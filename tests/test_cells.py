@@ -1,0 +1,150 @@
+"""Cell index + tile math: Column exprs vs numpy oracle, hierarchy,
+k-ring wraparound, known slippy tile values."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from skyway_spark.functions import cells
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = np.random.default_rng(42)
+    lat = rng.uniform(-89.9, 89.9, 500)
+    lon = rng.uniform(-180.0, 179.999, 500)
+    pdf = [(int(i), float(a), float(o)) for i, (a, o) in enumerate(zip(lat, lon))]
+    return spark.createDataFrame(pdf, "id long, lat double, lon double"), lat, lon
+
+
+@pytest.mark.parametrize("res", [0, 3, 8, 15, 26])
+def test_cell_encode_matches_numpy(points, res):
+    df, lat, lon = points
+    got = (
+        df.withColumn("cell", cells.cell_encode(F.col("lat"), F.col("lon"), res))
+        .orderBy("id")
+        .select("cell")
+        .toPandas()["cell"]
+        .to_numpy()
+    )
+    want = cells.cell_encode_np(lat, lon, res)
+    assert (got == want).all()
+
+
+def test_cell_decode_roundtrip(points):
+    df, lat, lon = points
+    res = 9
+    out = (
+        df.withColumn("cell", cells.cell_encode(F.col("lat"), F.col("lon"), res))
+        .select(
+            "id",
+            cells.cell_res(F.col("cell")).alias("r"),
+            cells.cell_x(F.col("cell")).alias("x"),
+            cells.cell_y(F.col("cell")).alias("y"),
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    x, y = cells.cell_xy_np(lat, lon, res)
+    assert (out["r"] == res).all()
+    assert (out["x"].to_numpy() == x).all()
+    assert (out["y"].to_numpy() == y).all()
+
+
+def test_parent_hierarchy(points):
+    df, lat, lon = points
+    out = (
+        df.withColumn("c9", cells.cell_encode(F.col("lat"), F.col("lon"), 9))
+        .withColumn("c5_direct", cells.cell_encode(F.col("lat"), F.col("lon"), 5))
+        .withColumn("c5_parent", cells.cell_parent(F.col("c9"), 9, 5))
+        .where(F.col("c5_direct") != F.col("c5_parent"))
+        .count()
+    )
+    assert out == 0
+
+
+def test_cell_center_in_cell(spark):
+    df = spark.createDataFrame([(37.7749, -122.4194)], "lat double, lon double")
+    res = 12
+    enc = df.select(cells.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell"))
+    lat_c, lon_c = cells.cell_center(F.col("cell"), res)
+    out = enc.select(
+        "cell", cells.cell_encode(lat_c, lon_c, res).alias("reenc")
+    ).first()
+    assert out["cell"] == out["reenc"]
+
+
+def test_k_ring_size_and_wrap(spark):
+    res = 6
+    # interior point: full (2k+1)^2 ring
+    df = spark.createDataFrame([(10.0, 20.0)], "lat double, lon double")
+    ring = df.select(
+        cells.k_ring(cells.cell_encode(F.col("lat"), F.col("lon"), res), res, 2).alias("r")
+    ).first()["r"]
+    assert len(ring) == 25
+    assert len(set(ring)) == 25
+
+    # antimeridian point: still 25 distinct (x wraps)
+    df2 = spark.createDataFrame([(0.0, 179.99)], "lat double, lon double")
+    ring2 = df2.select(
+        cells.k_ring(cells.cell_encode(F.col("lat"), F.col("lon"), res), res, 2).alias("r")
+    ).first()["r"]
+    assert len(set(ring2)) == 25
+    xs = [cells.cell_decode_np(c)[1][0] for c in ring2]
+    assert 0 in xs  # wrapped past the antimeridian
+
+    # pole point: y rows clamped away -> fewer cells
+    df3 = spark.createDataFrame([(89.9, 0.0)], "lat double, lon double")
+    ring3 = df3.select(
+        cells.k_ring(cells.cell_encode(F.col("lat"), F.col("lon"), res), res, 2).alias("r")
+    ).first()["r"]
+    assert len(ring3) == 15  # 3 of 5 rows valid at y=0
+
+
+def test_tile_xy_known_values(spark):
+    # standard slippy formula computed independently with math.*
+    lat, lon, z = 41.85, -87.65, 15
+    n = 1 << z
+    want_x = math.floor((lon + 180.0) / 360.0 * n)
+    want_y = math.floor((1.0 - math.asinh(math.tan(math.radians(lat))) / math.pi) / 2.0 * n)
+    df = spark.createDataFrame([(lat, lon)], "lat double, lon double")
+    tx, ty = cells.tile_xy(F.col("lat"), F.col("lon"), z)
+    row = df.select(tx.alias("x"), ty.alias("y")).first()
+    assert (row["x"], row["y"]) == (want_x, want_y)
+
+
+def test_tile_matches_numpy(points):
+    df, lat, lon = points
+    for z in (4, 11):
+        got = (
+            df.select(
+                F.col("id"),
+                cells.tile_xy(F.col("lat"), F.col("lon"), z)[0].alias("x"),
+                cells.tile_xy(F.col("lat"), F.col("lon"), z)[1].alias("y"),
+            )
+            .orderBy("id")
+            .toPandas()
+        )
+        wx, wy = cells.tile_xy_np(lat, lon, z)
+        assert (got["x"].to_numpy() == wx).all()
+        assert (got["y"].to_numpy() == wy).all()
+
+
+def test_bbox_covering():
+    got = cells.cells_covering_bbox(10.0, 11.0, 20.0, 21.5, res=8)
+    # verify by re-encoding a dense sample of the bbox
+    lat = np.linspace(10.0, 10.999, 50)
+    lon = np.linspace(20.0, 21.499, 50)
+    gl, go = np.meshgrid(lat, lon)
+    sample = set(cells.cell_encode_np(gl.ravel(), go.ravel(), 8).tolist())
+    assert sample <= set(got.tolist())
+
+
+def test_res_for_radius():
+    r = cells.res_for_radius_km(5.0)
+    assert 180.0 / (1 << r) >= 5.0 / 111.32
+    assert 180.0 / (1 << (r + 1)) < 5.0 / 111.32
