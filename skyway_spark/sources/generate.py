@@ -1,0 +1,213 @@
+"""Deterministic synthetic data generators (seed-stable, no external
+data): the elements fixture table, the Common-Crawl-style pages
+table (BASELINE.json input_hint schema), and the polygons table.
+
+Pages are generated DISTRIBUTED via spark.range -> Column exprs +
+one vectorized UDF-free path, so the bench can synthesize 10^6+ rows
+without driver involvement; lat/lon skew is power-law-ish: 80% of
+geo mentions drawn from 5 "hot city" disks (FIXTURES.md §1) to
+exercise hot-cell salting.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skyway_spark.schema import ELEMENTS_SCHEMA, POLYGONS_SCHEMA
+
+# ---------------------------------------------------------------------------
+# elements fixture (FIXTURES.md §2) — 300 rows, driver-side, seeded
+# ---------------------------------------------------------------------------
+
+_TAG_KEYS = ("highway", "footway", "surface", "amenity", "type", "name")
+_TAG_VALUES = (
+    "tertiary", "sidewalk", "concrete", "cafe", "route", "Main St",
+    "a b", "x,y", "k=v", "a@b", "50%", "line\nbreak", "😱", "𒄈", "",
+)
+_USERS = ("alice", "bob w space", "émile", "😱user", None)
+
+
+def generate_elements(spark: SparkSession, n_nodes=150, n_ways=100, n_rels=50, seed=42) -> DataFrame:
+    rng = random.Random(seed)
+    rows = []
+
+    def meta(i):
+        return (
+            rng.randrange(1, 10_000) if rng.random() < 0.8 else None,  # changeset
+            rng.randrange(1, 5_000) if rng.random() < 0.7 else None,  # uid
+            rng.choice(_USERS),  # user
+            rng.randrange(1, 30) if rng.random() < 0.9 else None,  # version
+            f"2024-0{rng.randrange(1, 10)}-1{i % 10}T0{i % 10}:00:00Z"
+            if rng.random() < 0.6
+            else None,  # timestamp (opaque string)
+            rng.choice([True, False, None]),  # visible
+        )
+
+    def tags():
+        n = rng.randrange(0, 9)
+        return {rng.choice(_TAG_KEYS): rng.choice(_TAG_VALUES) for _ in range(n)}
+
+    for i in range(n_nodes):
+        lat = round(rng.uniform(-85.0, 85.0), 7)
+        lon = round(rng.uniform(-180.0, 180.0), 7)
+        rows.append(("node", 1000 + i, lat, lon, None, None, tags(), *meta(i)))
+    for i in range(n_ways):
+        nds = [rng.randrange(1000, 1000 + n_nodes) for _ in range(rng.randrange(2, 41))]
+        rows.append(("way", 5000 + i, None, None, nds, None, tags(), *meta(i)))
+    for i in range(n_rels):
+        members = [
+            (
+                rng.choice(["node", "way", "relation"]),
+                rng.randrange(1000, 6000),
+                rng.choice(["outer", "inner", "", "stop", None]),
+            )
+            for _ in range(rng.randrange(1, 8))
+        ]
+        rows.append(("relation", 9000 + i, None, None, None, members, tags(), *meta(i)))
+    return spark.createDataFrame(rows, ELEMENTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pages table — distributed, deterministic (hash-based, no RNG state)
+# ---------------------------------------------------------------------------
+
+# 5 hot cities (FIXTURES.md §1): ~80% of geo mentions cluster here
+HOT_CITIES = (
+    (40.7128, -74.0060),   # nyc
+    (51.5074, -0.1278),    # london
+    (35.6762, 139.6503),   # tokyo
+    (-23.5505, -46.6333),  # sao paulo
+    (28.6139, 77.2090),    # delhi
+)
+
+_GEO_KINDS = ("cafe", "bench", "station", "museum", "park")
+
+
+def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """(url, warc_ts, html, text, lang) with 0-5 deterministic geo
+    mentions ``@geo(<lat>,<lon>;name=<slug>;amenity=<kind>)`` embedded
+    in text. Pure Column exprs over spark.range — scales linearly with
+    executors; identical output for a given n_rows regardless of
+    parallelism (hash-of-id determinism, no RNG sequence)."""
+    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+
+    def h(salt: int):
+        # deterministic per-(row, salt) pseudo-random in [0, 1)
+        return (F.abs(F.xxhash64(i, F.lit(salt))) % 1_000_000_007) / 1_000_000_007.0
+
+    def mention(j: int):
+        hot = h(10 + j) < 0.8
+        city = (F.abs(F.xxhash64(i, F.lit(20 + j))) % len(HOT_CITIES)).cast("int")
+        hot_lat = F.element_at(
+            F.array(*[F.lit(c[0]) for c in HOT_CITIES]), city + 1
+        ) + (h(30 + j) - 0.5) * 0.2
+        hot_lon = F.element_at(
+            F.array(*[F.lit(c[1]) for c in HOT_CITIES]), city + 1
+        ) + (h(40 + j) - 0.5) * 0.2
+        cold_lat = h(50 + j) * 170.0 - 85.0
+        cold_lon = h(60 + j) * 360.0 - 180.0
+        lat = F.round(F.when(hot, hot_lat).otherwise(cold_lat), 6)
+        lon = F.round(F.when(hot, hot_lon).otherwise(cold_lon), 6)
+        kind = F.element_at(
+            F.array(*[F.lit(k) for k in _GEO_KINDS]),
+            (F.abs(F.xxhash64(i, F.lit(70 + j))) % len(_GEO_KINDS)).cast("int") + 1,
+        )
+        return F.concat(
+            F.lit(" @geo("),
+            lat.cast("string"),
+            F.lit(","),
+            lon.cast("string"),
+            F.lit(";name=place-"),
+            i.cast("string"),
+            F.lit("-" + str(j)),
+            F.lit(";amenity="),
+            kind,
+            F.lit(")"),
+        )
+
+    n_mentions = (F.abs(F.xxhash64(i, F.lit(1))) % 6).cast("int")  # 0..5
+    mentions = F.concat(
+        *[F.when(n_mentions > j, mention(j)).otherwise(F.lit("")) for j in range(5)]
+    )
+    prose = F.concat(
+        F.lit("Page "),
+        i.cast("string"),
+        F.lit(" tells a story about travel and places."),
+        mentions,
+        F.lit(" The end."),
+    )
+    lang = (
+        F.when(h(2) < 0.90, "en").when(h(2) < 0.94, "de").when(h(2) < 0.98, "fr").otherwise("und")
+    )
+    ts0 = F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
+    return df.select(
+        F.concat(F.lit("https://example.org/p/"), i.cast("string")).alias("url"),
+        F.timestamp_add("SECOND", i.cast("int"), ts0).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), prose, F.lit("</body></html>")), "utf-8"
+        ).alias("html"),
+        prose.alias("text"),
+        lang.alias("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# polygons — driver-side, seeded, broadcastable
+# ---------------------------------------------------------------------------
+
+
+def _regular_ring(lat0, lon0, r_deg, n, rot=0.0, rng=None, jitter=0.0):
+    import math
+
+    pts = []
+    for k in range(n):
+        a = rot + 2 * math.pi * k / n
+        rr = r_deg * (1.0 + (rng.uniform(-jitter, jitter) if rng and jitter else 0.0))
+        pts.append((lat0 + rr * math.sin(a), lon0 + rr * math.cos(a)))
+    pts.append(pts[0])  # closed ring
+    return pts
+
+
+def generate_polygons(spark: SparkSession, n_scatter=35, seed=42) -> DataFrame:
+    """~40 polygons: 5 covering the hot-city disks (salting exercise),
+    the rest scattered; mix of convex / concave / one with a hole."""
+    rng = random.Random(seed)
+    rows = []
+    pid = 0
+    for lat0, lon0 in HOT_CITIES:
+        rows.append((pid, f"hot-{pid}", _regular_ring(lat0, lon0, 0.15, 12, rng=rng), "outer"))
+        pid += 1
+    for s in range(n_scatter):
+        lat0 = rng.uniform(-60.0, 60.0)
+        lon0 = rng.uniform(-170.0, 170.0)
+        shape = s % 3
+        if shape == 0:  # convex
+            ring = _regular_ring(lat0, lon0, rng.uniform(0.5, 3.0), rng.randrange(4, 10), rng=rng)
+        elif shape == 1:  # concave (jittered star)
+            import math
+
+            r = rng.uniform(0.5, 3.0)
+            pts = []
+            n = rng.randrange(5, 9) * 2
+            for k in range(n):
+                a = 2 * math.pi * k / n
+                rr = r if k % 2 == 0 else r * 0.4
+                pts.append((lat0 + rr * math.sin(a), lon0 + rr * math.cos(a)))
+            pts.append(pts[0])
+            ring = pts
+        else:  # with hole: outer + hole row sharing polygon_id
+            ring = _regular_ring(lat0, lon0, rng.uniform(1.0, 3.0), 8, rng=rng)
+            rows.append((pid, f"poly-{pid}", ring, "outer"))
+            rows.append(
+                (pid, f"poly-{pid}", _regular_ring(lat0, lon0, 0.3, 6, rng=rng), "hole")
+            )
+            pid += 1
+            continue
+        rows.append((pid, f"poly-{pid}", ring, "outer"))
+        pid += 1
+    return spark.createDataFrame(rows, POLYGONS_SCHEMA)

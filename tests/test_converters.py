@@ -1,0 +1,274 @@
+"""Converter tests: the reference's 9 byte-level unit vectors ported
+verbatim, layout rules, and full write->read->equal round-trips on the
+300-row fixture table."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from skyway_spark.functions import varint
+from skyway_spark.schema import empty_metadata
+from skyway_spark.sources import convert, jsonio, opl, xmlio
+from skyway_spark.sources.generate import generate_elements
+
+# ---------------- reference unit vectors (src/readers/opl.rs:248-255,
+# src/writers/opl.rs:197-233, src/writers/o5m.rs:222-291) ----------------
+
+
+def test_unescape_str_vectors():
+    assert opl.unescape_opl("%20%") == " "
+    assert opl.unescape_opl("%2c%") == ","
+    assert opl.unescape_opl("%2c%%2c%") == ",,"
+    assert opl.unescape_opl("%1f631%") == "😱"
+    assert opl.unescape_opl("%12108%") == "𒄈"
+
+
+def test_escape_char_vectors():
+    for c in [" ", "\n", ",", "=", "@", "%", "😱"]:
+        assert opl.should_escape_char(c) is True
+    assert opl.escape_opl(" ") == "%20%"
+    assert opl.escape_opl(",") == "%2c%"
+    assert opl.escape_opl("😱") == "%1f631%"
+    assert opl.escape_opl("𒄈") == "%12108%"
+
+
+def test_escape_string_vectors():
+    assert opl.escape_opl("A,B") == "A%2c%B"
+    assert opl.escape_opl("ohmy😱goodness") == "ohmy%1f631%goodness"
+
+
+def test_o5m_varint_vectors():
+    assert varint.encode_string("1inner") == bytes(
+        [0x00, 0x31, 0x69, 0x6E, 0x6E, 0x65, 0x72, 0x00]
+    )
+    assert varint.encode_tag("oneway", "yes") == bytes(
+        [0x00, 0x6F, 0x6E, 0x65, 0x77, 0x61, 0x79, 0x00, 0x79, 0x65, 0x73, 0x00]
+    )
+    assert varint.encode_tag("atm", "no") == bytes([0x00, 0x61, 0x74, 0x6D, 0x00, 0x6E, 0x6F, 0x00])
+    assert varint.encode_unsigned_varint(5) == bytes([0x05])
+    assert varint.encode_unsigned_varint(127) == bytes([0x7F])
+    assert varint.encode_unsigned_varint(323) == bytes([0xC3, 0x02])
+    assert varint.encode_unsigned_varint(16384) == bytes([0x80, 0x80, 0x01])
+    assert varint.encode_user(1020, "John") == bytes(
+        [0x00, 0xFC, 0x07, 0x00, 0x4A, 0x6F, 0x68, 0x6E, 0x00]
+    )
+
+
+def test_o5m_string_table():
+    st = varint.StringTable()
+    v1 = varint.encode_tag("oneway", "yes")
+    v2 = varint.encode_tag("atm", "no")
+    v3 = varint.encode_user(1020, "John")
+    assert st.hit_cache(v1) == v1
+    assert st.hit_cache(v2) == v2
+    assert st.hit_cache(v1) == bytes([0x02])
+    assert st.hit_cache(v3) == v3
+    assert st.hit_cache(v2) == bytes([0x02])
+    assert st.hit_cache(v1) == bytes([0x03])
+    assert st.hit_cache(v3) == bytes([0x01])
+
+
+# ---------------- layout rules ----------------
+
+
+@pytest.fixture(scope="module")
+def elements(spark):
+    return generate_elements(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        ("node", 1, 37.5, -122.25, None, None, {"amenity": "cafe", "name": "a b"},
+         77, 9, "ann e", 3, "2024-01-01T00:00:00Z", True),
+        ("node", 2, -1.5, 3.25, None, None, {}, None, None, None, None, None, False),
+        ("way", 10, None, None, [1, 2, 1], None, {"highway": "path"},
+         None, None, None, None, None, None),
+        ("relation", 20, None, None, None,
+         [("node", 1, "stop"), ("way", 10, None), ("relation", 21, "")],
+         {"type": "route"}, 5, None, None, 1, None, True),
+    ]
+    from skyway_spark.schema import ELEMENTS_SCHEMA
+
+    return spark.createDataFrame(rows, ELEMENTS_SCHEMA)
+
+
+def test_opl_layout(tiny):
+    lines = opl.serialize_opl_string(tiny).splitlines()
+    # node: x(lon) BEFORE y(lat); ' T' always present even with 0 tags
+    assert lines[0] == "n1 v3 dV c77 t2024-01-01T00:00:00Z i9 uann%20%e Tamenity=cafe,name=a%20%b x-122.25 y37.5"
+    assert lines[1] == "n2 dD T x3.25 y-1.5"
+    assert lines[2] == "w10 Thighway=path Nn1,n2,n1"
+    # member role None -> nothing after '@' (reference TODO keeps '@')
+    assert lines[3] == "r20 v1 dV c5 Ttype=route Mn1@stop,w10@,r21@"
+
+
+def test_json_layout(tiny):
+    s = jsonio.serialize_json_string(tiny, {"generator": "g", "copyright": "c",
+                                            "license": "l", "version": None,
+                                            "timestamp": None})
+    # OSM header: string version
+    assert s.startswith('{"generator":"g","copyright":"c","license":"l","version":"0.6","elements":[')
+    doc = json.loads(s)
+    els = doc["elements"]
+    # visible only-if-false
+    assert "visible" not in els[0]
+    assert els[1]["visible"] is False
+    # empty tags object omitted
+    assert "tags" not in els[1]
+    # role null -> ""
+    rel = els[3]
+    assert rel["members"][1]["role"] == ""
+    assert rel["members"][0] == {"ref": 1, "type": "node", "role": "stop"}
+    # exact field order for the node element
+    raw_node = s.split('"elements":[')[1]
+    assert raw_node.startswith(
+        '{"type":"node","lat":37.5,"lon":-122.25,"id":1,"changeset":77,'
+        '"timestamp":"2024-01-01T00:00:00Z","uid":9,"user":"ann e",'
+        '"tags":{"amenity":"cafe","name":"a b"}}'
+    )
+
+
+def test_overpass_header(tiny):
+    s = jsonio.serialize_json_string(
+        tiny,
+        {"generator": "g", "copyright": "c", "timestamp": "T0", "version": None, "license": None},
+        overpass=True,
+    )
+    # numeric version + osm3s block
+    assert s.startswith(
+        '{"generator":"g","osm3s":{"timestamp_osm_base":"T0","copyright":"c"},"version":0.6,"elements":['
+    )
+    json.loads(s)  # valid JSON
+
+
+def test_xml_layout(tiny):
+    s = xmlio.serialize_xml_string(tiny, {"version": "0.6", "generator": "g",
+                                          "copyright": None, "license": None,
+                                          "timestamp": None})
+    assert s.startswith('<?xml version="1.0" encoding="UTF-8"?><osm version="0.6" generator="g">')
+    # nodes then ways then relations; visible null -> "true"
+    i_node = s.index("<node")
+    i_way = s.index("<way")
+    i_rel = s.index("<relation")
+    assert i_node < i_way < i_rel
+    assert '<way id="10" visible="true">' in s
+    # node attr order: lat lon id ... ; visible false stays false
+    assert '<node lat="-1.5" lon="3.25" id="2" visible="false"/>' in s
+    assert '<member type="node" ref="1" role="stop"/>' in s
+    # member with null role omits the attr
+    assert '<member type="way" ref="10"/>' in s
+
+
+# ---------------- round-trips on the 300-row fixture ----------------
+
+
+def _canon(df):
+    rank = F.when(F.col("type") == "node", 0).when(F.col("type") == "way", 1).otherwise(2)
+    return [
+        (r["type"], r["id"], r["lat"], r["lon"], r["nodes"],
+         [tuple(m) for m in r["members"]] if r["members"] is not None else None,
+         dict(r["tags"]), r["changeset"], r["uid"], r["user"], r["version"],
+         r["timestamp"], r["visible"])
+        for r in df.orderBy(rank, "id").collect()
+    ]
+
+
+def test_opl_roundtrip(spark, elements, tmp_path):
+    p = str(tmp_path / "rt.opl")
+    with open(p, "w") as f:
+        f.write(opl.serialize_opl_string(elements))
+    back, md = opl.read_opl(spark, p)
+    want = _canon(elements)
+    got = _canon(back)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        w_adj = list(w)
+        # member role None -> "": writer emits nothing after '@'
+        # (opl.rs:158-162 TODO) and the reference reader always wraps
+        # the role in Some (src/readers/opl.rs:196)
+        if w_adj[5] is not None:
+            w_adj[5] = [(t, r, "" if role is None else role) for (t, r, role) in w_adj[5]]
+        assert g == tuple(w_adj), f"\nwant {tuple(w_adj)}\ngot  {g}"
+    assert md == empty_metadata()
+
+
+def test_json_roundtrip(spark, elements, tmp_path):
+    p = str(tmp_path / "rt.json")
+    md_in = {"version": "0.6", "generator": "skyway_spark", "copyright": "c",
+             "license": "l", "timestamp": None}
+    with open(p, "w") as f:
+        f.write(jsonio.serialize_json_string(elements, md_in))
+    back, md = jsonio.read_json(spark, p)
+    want = _canon(elements)
+    got = _canon(back)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        # JSON emits visible only-if-false: True/None both read back None
+        w_adj = list(w)
+        if w_adj[12] is True:
+            w_adj[12] = None
+        # the reference JSON writer never emits element version
+        # (append_serialized_element, json.rs:140-188) -> lossy by design
+        w_adj[10] = None
+        # member role None -> "" on write (json.rs:130-134)
+        if w_adj[5] is not None:
+            w_adj[5] = [(t, r, "" if role is None else role) for (t, r, role) in w_adj[5]]
+        assert g == tuple(w_adj), f"\nwant {tuple(w_adj)}\ngot  {g}"
+    assert md["generator"] == "skyway_spark"
+    assert md["copyright"] == "c"
+    assert md["version"] == "0.6"
+
+
+def test_xml_roundtrip(spark, elements, tmp_path):
+    p = str(tmp_path / "rt.xml")
+    md_in = {"version": "0.6", "generator": "g", "copyright": None, "license": None,
+             "timestamp": None}
+    with open(p, "w") as f:
+        f.write(xmlio.serialize_xml_string(elements, md_in))
+    back, md = xmlio.read_xml(spark, p)
+    want = _canon(elements)
+    got = _canon(back)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        # XML defaults visible null -> true on write (xml.rs:172)
+        w_adj = list(w)
+        if w_adj[12] is None:
+            w_adj[12] = True
+        assert g == tuple(w_adj), f"\nwant {tuple(w_adj)}\ngot  {g}"
+    assert md["version"] == "0.6"
+
+
+def test_overpass_roundtrip(spark, elements, tmp_path):
+    p = str(tmp_path / "rt_op.json")
+    md_in = {"version": None, "generator": "overpass-ish", "copyright": "cr",
+             "license": None, "timestamp": "2024-02-02T00:00:00Z"}
+    with open(p, "w") as f:
+        f.write(jsonio.serialize_json_string(elements, md_in, overpass=True))
+    back, md = jsonio.read_json(spark, p)
+    assert back.count() == elements.count()
+    # numeric version 0.6 read back as string (reference version
+    # deserializer accepts number-or-string, json.rs:82-99)
+    assert md["version"] == "0.6"
+    assert md["timestamp"] == "2024-02-02T00:00:00Z"
+    assert md["copyright"] == "cr"
+
+
+def test_dispatch(spark, elements, tmp_path):
+    with pytest.raises(NotImplementedError):
+        convert.read_pbf(spark, "whatever.pbf")
+    with pytest.raises(ValueError):
+        convert.serialize_string(elements, "o5m")
+    s = convert.serialize_string(elements.limit(3), "opl")
+    assert s.count("\n") == 3
+
+
+def test_distributed_opl_write_read(spark, elements, tmp_path):
+    out = str(tmp_path / "dist_opl")
+    convert.write_elements(elements, out, fmt="opl")
+    back = opl.parse_opl_lines(spark.read.text(out))
+    assert back.count() == elements.count()
+    assert set(back.columns) == set(elements.columns)
