@@ -1,0 +1,69 @@
+"""Geo-entity extraction from web pages (north-rule stage 1).
+
+pages(url, warc_ts, html, text, lang) -> one row per geo mention in
+``text``, in the canonical elements schema (type='node'), plus the
+pass-through ``text`` column so the byte-identical-text-per-url
+invariant (BASELINE.json input_hint) is checkable end-to-end.
+
+Pure Column exprs: regexp_extract_all + explode; no Python touches
+the rows. Extraction NEVER rewrites ``text`` — the invariant holds by
+construction and is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# @geo(<lat>,<lon>;name=<slug>;amenity=<kind>)
+GEO_RE = r"@geo\((-?[0-9.]+),(-?[0-9.]+);name=([^;]+);amenity=([^)]+)\)"
+
+
+def extract_geo_entities(pages: DataFrame) -> DataFrame:
+    """One output row per mention: url, text (byte-identical), lat,
+    lon, tags{name, amenity}, plus a deterministic entity id."""
+    mentions = pages.select(
+        "url",
+        "text",
+        "lang",
+        F.posexplode(F.regexp_extract_all("text", F.lit(GEO_RE), 0)).alias("pos", "mention"),
+    )
+    lat = F.regexp_extract("mention", GEO_RE, 1).cast("double")
+    lon = F.regexp_extract("mention", GEO_RE, 2).cast("double")
+    name = F.regexp_extract("mention", GEO_RE, 3)
+    amenity = F.regexp_extract("mention", GEO_RE, 4)
+    return mentions.select(
+        "url",
+        "text",
+        "lang",
+        F.lit("node").alias("type"),
+        # deterministic, collision-resistant id per (url, position)
+        F.xxhash64("url", "pos").alias("id"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.map_from_arrays(
+            F.array(F.lit("name"), F.lit("amenity")), F.array(name, amenity)
+        ).alias("tags"),
+    )
+
+
+def pages_to_elements(pages: DataFrame) -> DataFrame:
+    """Strict elements-schema projection of the extraction (drops the
+    page columns; use extract_geo_entities when the url/text lineage
+    must flow further)."""
+    e = extract_geo_entities(pages)
+    return e.select(
+        "type",
+        "id",
+        "lat",
+        "lon",
+        F.lit(None).cast("array<bigint>").alias("nodes"),
+        F.lit(None).cast("array<struct<type:string,ref:bigint,role:string>>").alias("members"),
+        "tags",
+        F.lit(None).cast("bigint").alias("changeset"),
+        F.lit(None).cast("int").alias("uid"),
+        F.lit(None).cast("string").alias("user"),
+        F.lit(None).cast("int").alias("version"),
+        F.lit(None).cast("string").alias("timestamp"),
+        F.lit(None).cast("boolean").alias("visible"),
+    )

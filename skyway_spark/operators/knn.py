@@ -1,0 +1,74 @@
+"""Bounded-radius kNN via k-ring cell expansion.
+
+north_rule: "kNN via k-ring cell expansion". For each query point:
+expand its cell's k-ring at a resolution matched to ``radius_km``
+(ring cells jointly cover the radius), equi-join candidate points on
+cell, haversine, keep top-k by (distance, point id) with a window.
+
+Contract: neighbors are found within ``radius_km`` (cell-index kNN is
+radius-bounded — same as an H3 k-ring search). Choose radius to the
+application's recall needs; the join is an equi-join on int64 cells,
+so it shuffles only by cell and broadcast-joins when the query side
+is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from skyway_spark.functions import cells
+from skyway_spark.functions.geo import haversine_km
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    radius_km: float = 50.0,
+    ring: int = 1,
+    point_id: str = "id",
+    query_id: str = "query_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """(query_id, point id, dist_km, rank<=k) for neighbors within the
+    ring-covered radius.
+
+    points needs (point_id, lat, lon); queries needs (query_id, lat,
+    lon). ``ring=1`` with res_for_radius guarantees full coverage of
+    ``radius_km`` around the query (cell height >= radius, so the 3x3
+    ring covers it).
+    """
+    res = cells.res_for_radius_km(radius_km)
+    q = queries.select(
+        F.col(query_id),
+        F.col("lat").alias("__qlat"),
+        F.col("lon").alias("__qlon"),
+        F.explode(
+            cells.k_ring(cells.cell_encode(F.col("lat"), F.col("lon"), res), res, ring)
+        ).alias("__cell"),
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    p = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col("lat").alias("__plat"),
+        F.col("lon").alias("__plon"),
+        cells.cell_encode(F.col("lat"), F.col("lon"), res).alias("__cell"),
+    )
+    cand = p.join(q, "__cell").withColumn(
+        "dist_km",
+        haversine_km(F.col("__plat"), F.col("__plon"), F.col("__qlat"), F.col("__qlon")),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col("__pid").asc())
+    return (
+        cand.where(F.col("dist_km") <= radius_km)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(query_id),
+            F.col("__pid").alias(point_id),
+            F.col("dist_km"),
+            F.col("rank"),
+        )
+    )

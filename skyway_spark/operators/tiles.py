@@ -1,0 +1,100 @@
+"""Raster / vector tile materialization (north_rule operator).
+
+- vector tiles: groupBy slippy tile -> per-tile feature list
+  (bounded by ``max_features`` with deterministic selection — no
+  silent unbounded collect_list);
+- raster tiles: per-tile pixel grid (256x256 via z+8 subtile math)
+  -> sparse (px, py, count) arrays.
+
+All tile/pixel math is Column-only integer arithmetic (functions/
+cells.py); the heavy groupBys are standard partial-agg shuffles that
+Catalyst map-side combines. Tile keys are int64 -> even partitioning;
+hot tiles (cities) are exactly the hot cells handled by salt.py when
+a downstream join needs them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from skyway_spark.functions import cells
+
+
+def assign_tiles(points: DataFrame, z: int, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    tx, ty = cells.tile_xy(F.col(lat), F.col(lon), z)
+    return points.withColumns(
+        {"tile_z": F.lit(z), "tile_x": tx, "tile_y": ty}
+    )
+
+
+def vector_tiles(
+    points: DataFrame,
+    z: int,
+    feature_cols: list[str] | None = None,
+    max_features: int = 10_000,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """(tile_z, tile_x, tile_y, n_points, features[<=max_features]).
+
+    Deterministic feature cap: rank by (id) inside the tile before
+    collect_list, so output is stable under any parallelism.
+    """
+    feature_cols = feature_cols or ["id", lat, lon]
+    t = assign_tiles(points, z, lat, lon)
+    w = Window.partitionBy("tile_z", "tile_x", "tile_y").orderBy(*feature_cols)
+    ranked = t.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("tile_z", "tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rk") <= max_features, F.struct(*feature_cols))
+                )
+            ).alias("features"),
+        )
+    )
+
+
+def raster_tiles(
+    points: DataFrame, z: int, lat: str = "lat", lon: str = "lon", pixel_zoom_delta: int = 8
+) -> DataFrame:
+    """Sparse per-tile raster: (tile, pixels array<struct<px,py,cnt>>).
+
+    Pixel index = position of the point's (z + delta) subtile inside
+    its z tile — e.g. delta=8 gives the standard 256x256 raster grid.
+    Two shuffles total (pixel agg, then tile agg), both map-side
+    combined.
+    """
+    n = 1 << pixel_zoom_delta
+    t = assign_tiles(points, z, lat, lon)
+    sx, sy = cells.tile_xy(F.col(lat), F.col(lon), z + pixel_zoom_delta)
+    px = sx - F.col("tile_x") * n
+    py = sy - F.col("tile_y") * n
+    pixel_counts = (
+        t.withColumns({"px": px, "py": py})
+        .groupBy("tile_z", "tile_x", "tile_y", "px", "py")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        pixel_counts.groupBy("tile_z", "tile_x", "tile_y")
+        .agg(
+            F.sum("cnt").alias("n_points"),
+            F.sort_array(F.collect_list(F.struct("px", "py", "cnt"))).alias("pixels"),
+        )
+    )
+
+
+def tile_stats(points: DataFrame, z: int, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Lightweight per-tile aggregate (count + distinct-ish) used by
+    bench and the hot-cell pre-pass."""
+    return (
+        assign_tiles(points, z, lat, lon)
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.approx_count_distinct("id").alias("approx_ids"),
+        )
+    )

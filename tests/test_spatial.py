@@ -1,0 +1,199 @@
+"""Spatial operators vs brute-force oracles: PIP (convex/concave/
+hole), bounded kNN, tiles, salting, extraction invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from skyway_spark.functions import cells
+from skyway_spark.functions.geo import haversine_km_np
+from skyway_spark.operators import salt, tiles
+from skyway_spark.operators.extract import extract_geo_entities, pages_to_elements
+from skyway_spark.operators.knn import knn_join
+from skyway_spark.operators.pip import point_in_polygon, ray_cast_py
+from skyway_spark.schema import POLYGONS_SCHEMA
+from skyway_spark.sources.generate import generate_pages, generate_polygons
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, 2000, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def entities(spark, pages):
+    return extract_geo_entities(pages).cache()
+
+
+# ------------------------------ extraction ------------------------------
+
+
+def test_extraction_counts_and_determinism(spark, pages, entities):
+    n = entities.count()
+    assert n > 2000  # ~2.5 mentions/page on average
+    # deterministic: regenerate -> identical set of (url, id, lat, lon)
+    again = extract_geo_entities(generate_pages(spark, 2000, partitions=8))
+    a = {tuple(r) for r in entities.select("url", "id", "lat", "lon").collect()}
+    b = {tuple(r) for r in again.select("url", "id", "lat", "lon").collect()}
+    assert a == b  # independent of partitioning
+
+
+def test_text_byte_identical_per_url(pages, entities):
+    """input_hint invariant: extracted text is byte-identical per url."""
+    joined = (
+        pages.select("url", F.col("text").alias("orig"))
+        .join(entities.select("url", "text"), "url")
+        .where(F.col("orig") != F.col("text"))
+    )
+    assert joined.count() == 0
+
+
+def test_elements_projection_schema(entities, pages):
+    els = pages_to_elements(pages)
+    from skyway_spark.schema import ELEMENTS_SCHEMA
+
+    assert [f.name for f in els.schema.fields] == [f.name for f in ELEMENTS_SCHEMA.fields]
+    assert els.where(F.col("lat").isNull() | F.col("lon").isNull()).count() == 0
+
+
+# ------------------------------ PIP ------------------------------
+
+
+def _pip_oracle(points_rows, poly_rows):
+    """Brute-force: inside any outer ring of pid and not inside a hole."""
+    from collections import defaultdict
+
+    rings = defaultdict(lambda: {"outer": [], "hole": []})
+    for r in poly_rows:
+        rings[r["polygon_id"]][r["ring_role"]].append(
+            [(p["lat"], p["lon"]) for p in r["ring"]]
+        )
+    expected = set()
+    for p in points_rows:
+        for pid, rr in rings.items():
+            in_outer = any(ray_cast_py(p["lat"], p["lon"], ring) for ring in rr["outer"])
+            in_hole = any(ray_cast_py(p["lat"], p["lon"], ring) for ring in rr["hole"])
+            if in_outer and not in_hole:
+                expected.add((p["id"], pid))
+    return expected
+
+
+@pytest.mark.parametrize("res", [5, 7])
+def test_pip_matches_oracle(spark, entities, res):
+    polys = generate_polygons(spark)
+    pts = entities.select("id", "lat", "lon").limit(3000).cache()
+    got = {
+        (r["id"], r["polygon_id"])
+        for r in point_in_polygon(pts, polys, res=res).select("id", "polygon_id").collect()
+    }
+    want = _pip_oracle(pts.collect(), polys.collect())
+    assert got == want
+    assert len(want) > 0  # hot-city polygons guarantee hits
+
+
+def test_pip_hole_and_concave(spark):
+    # explicit tiny cases: square with hole + concave "U"
+    square = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0), (1.0, 1.0)]
+    u_shape = [(10.0, 0.0), (14.0, 0.0), (14.0, 1.0), (11.0, 1.0), (11.0, 3.0),
+               (14.0, 3.0), (14.0, 4.0), (10.0, 4.0), (10.0, 0.0)]
+    polys = spark.createDataFrame(
+        [
+            (1, "sq", [{"lat": a, "lon": b} for a, b in square], "outer"),
+            (1, "sq", [{"lat": a, "lon": b} for a, b in hole], "hole"),
+            (2, "u", [{"lat": a, "lon": b} for a, b in u_shape], "outer"),
+        ],
+        POLYGONS_SCHEMA,
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 0.5, 0.5),    # in square, outside hole -> pid 1
+            (2, 2.0, 2.0),    # inside hole -> nothing
+            (3, 10.5, 0.5),   # in U arm -> pid 2
+            (4, 12.0, 2.0),   # in U notch -> nothing
+            (5, 13.5, 0.5),   # in U other arm... (lat 13.5, lon 0.5) -> pid 2
+            (6, 50.0, 50.0),  # far away -> nothing
+        ],
+        "id long, lat double, lon double",
+    )
+    got = {
+        (r["id"], r["polygon_id"])
+        for r in point_in_polygon(pts, polys, res=4).select("id", "polygon_id").collect()
+    }
+    assert got == {(1, 1), (3, 2), (5, 2)}
+
+
+# ------------------------------ kNN ------------------------------
+
+
+def test_knn_matches_bruteforce(spark, entities):
+    pts = entities.select("id", "lat", "lon").limit(4000).cache()
+    qrows = [(i, r["lat"], r["lon"]) for i, r in enumerate(pts.limit(40).collect())]
+    queries = spark.createDataFrame(qrows, "query_id long, lat double, lon double")
+    k, radius = 5, 50.0
+    got = knn_join(pts, queries, k=k, radius_km=radius).collect()
+
+    prows = pts.collect()
+    plat = np.array([r["lat"] for r in prows])
+    plon = np.array([r["lon"] for r in prows])
+    pid = np.array([r["id"] for r in prows])
+    by_q = {}
+    for qid, qlat, qlon in qrows:
+        d = haversine_km_np(qlat, qlon, plat, plon)
+        mask = d <= radius
+        order = sorted(zip(d[mask], pid[mask]))[:k]
+        by_q[qid] = [(p, round(dd, 9)) for dd, p in order]
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append((r["id"], round(r["dist_km"], 9)))
+    for qid in by_q:
+        assert got_by_q.get(qid, []) == by_q[qid], f"query {qid}"
+
+
+# ------------------------------ tiles ------------------------------
+
+
+def test_tiles_counts(entities):
+    z = 6
+    vt = tiles.vector_tiles(entities.select("id", "lat", "lon"), z=z, max_features=100)
+    total = vt.agg(F.sum("n_points")).first()[0]
+    assert total == entities.count()
+    # features capped
+    assert vt.select(F.max(F.size("features"))).first()[0] <= 100
+    rt = tiles.raster_tiles(entities.select("id", "lat", "lon"), z=4)
+    assert rt.agg(F.sum("n_points")).first()[0] == entities.count()
+    # pixel coords within the 256-grid
+    mx = rt.select(
+        F.max(F.expr("aggregate(pixels, 0L, (a, p) -> greatest(a, greatest(p.px, p.py)))"))
+    ).first()[0]
+    assert 0 <= mx < 256
+
+
+# ------------------------------ salting ------------------------------
+
+
+def test_salted_join_equals_plain_join(spark, entities):
+    res = 6
+    pts = entities.select(
+        "id", "lat", "lon", cells.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell")
+    ).cache()
+    # dim: distinct cells of the hot polygons region + some cold cells
+    dim = pts.select("cell").distinct().withColumn("dim_tag", F.lit("d"))
+    plain = pts.join(dim, "cell")
+    salted = salt.salted_equi_join(pts, dim, n_salt=4, cell_col="cell", fact_id="id")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.select("id", "cell").collect()}
+    b = {tuple(r) for r in plain.select("id", "cell").collect()}
+    assert a == b
+
+
+def test_hot_cells_found(entities):
+    res = 6
+    with_cell = entities.select(
+        "id", cells.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell")
+    )
+    hot = salt.hot_cells(with_cell, "cell")
+    # the 5 hot cities dominate -> at least a few hot cells
+    assert hot.count() >= 3
