@@ -1,38 +1,827 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator family (SURVEY.md §2 +
+north-rule spatial ops + training-data pipeline ops) to a DataFrame
+callable; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+Cross-engine exactness strategy:
+- money aggregates go through DECIMAL casts (exact sums in both
+  engines, emitted as DOUBLE);
+- every custom hash is portable integer math (mod 2^44 / 2^40 folds)
+  written identically in Column exprs and SQL;
+- float formulas are written with the same operation order on both
+  sides so IEEE doubles match bit-for-bit (trig ULP divergence only
+  affects floor/round at ~1e-15 boundaries, avoided by construction);
+- spatial queries derive deterministic lat/lon from the events table
+  with pure integer arithmetic, so both engines see identical points.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skyway_spark.functions import cells
+from skyway_spark.functions.filter import compile_osmfilter, compile_cel
+from skyway_spark.operators import dedup, salt, similarity, textstats, tiles
+from skyway_spark.operators.extract import extract_geo_entities
+from skyway_spark.operators.knn import knn_join
+from skyway_spark.operators.pip import point_in_polygon
+from skyway_spark.schema import ELEMENTS_SCHEMA, POLYGONS_SCHEMA
+from skyway_spark.sources import opl as oplio
+from skyway_spark.sources.generate import generate_pages, generate_polygons
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark side + SQL side must match exactly)
+# ---------------------------------------------------------------------------
+
+CELL_RES = 6
+TILE_Z = 10
+
+_POINTS_SQL = """
+    SELECT event_id,
+           ((user_id * 7919) % 17000) / 100.0 - 85.0  AS lat,
+           ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+    FROM events
+"""
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _tables(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.col("user_id") * 7919) % 17000 / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def _part_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic elements table derived from `part` (tags map +
+    type discriminator) — lets the filter compilers run against
+    driver-provided data with a plain-SQL oracle."""
+    (part,) = _tables(spark, sf_dir, "part")
+    etype = (
+        F.when(F.col("p_partkey") % 3 == 0, "node")
+        .when(F.col("p_partkey") % 3 == 1, "way")
+        .otherwise("relation")
+    )
+    base_tags = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("ptype"), F.col("p_type")
+    )
+    tags = F.when(
+        F.col("p_size") > 40,
+        F.map_concat(base_tags, F.create_map(F.lit("big"), F.lit("yes"))),
+    ).otherwise(base_tags)
+    return part.select(
+        etype.alias("type"),
+        F.col("p_partkey").alias("id"),
+        F.when(etype == "node", (F.col("p_partkey") % 170) - 85.0).alias("lat"),
+        F.when(etype == "node", (F.col("p_partkey") % 360) - 180.0).alias("lon"),
+        F.when(
+            etype == "way", F.array(F.col("p_partkey"), F.col("p_partkey") + 1)
+        ).alias("nodes"),
+        F.when(
+            etype == "relation",
+            F.array(
+                F.struct(
+                    F.lit("node").alias("type"),
+                    F.col("p_partkey").alias("ref"),
+                    F.lit("outer").alias("role"),
+                )
+            ),
+        ).alias("members"),
+        tags.alias("tags"),
+        F.lit(None).cast("long").alias("changeset"),
+        F.lit(None).cast("int").alias("uid"),
+        F.lit(None).cast("string").alias("user"),
+        F.lit(None).cast("int").alias("version"),
+        F.lit(None).cast("string").alias("timestamp"),
+        F.lit(None).cast("boolean").alias("visible"),
+    )
+
+
+OSMFILTER_PROGRAM = (
+    "OSMFilter v0.2.0\n"
+    "\n"
+    "TYPE node, way\n"
+    '\tHAS "big"\n'
+    '\t\tSET "class" "large"\n'
+    "\t\tCOMMIT\n"
+    'EQUALS "brand" "Brand#13"\n'
+    "\tDROP\n"
+    "COMMIT\n"
+)
+
+CEL_PROGRAM = 'has(tags.big) && id % 2 == 0 || type == "relation"'
+
+# deterministic 64-d query vector for similarity search
+QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_QNORM = math.sqrt(sum(x * x for x in QUERY_VEC))
+
+# literal polygons for the PIP oracle (offsets .005 avoid the .01
+# point grid, so no point ever sits exactly on an edge)
+PIP_POLYGONS = {
+    # polygon_id -> list of (ring_role, [(lat, lon), ...closed])
+    1: [("outer", [(10.005, -50.005), (10.005, -10.005), (30.005, -10.005),
+                   (30.005, -50.005), (10.005, -50.005)]),
+        ("hole", [(15.005, -40.005), (15.005, -20.005), (25.005, -20.005),
+                  (25.005, -40.005), (15.005, -40.005)])],
+    2: [("outer", [(-20.005, 100.005), (-40.005, 120.005), (-20.005, 140.005),
+                   (0.005, 120.005), (-20.005, 100.005)])],  # diamond
+    3: [("outer", [(40.005, 60.005), (40.005, 90.005), (55.005, 75.005),
+                   (40.005, 60.005)])],  # triangle
+}
+
+KNN_QUERIES = [(0, 5.01, 10.01), (1, -10.01, -60.01), (2, 0.01, 120.01),
+               (3, 12.01, -120.01), (4, -5.01, 60.01)]
+KNN_K = 5
+KNN_RADIUS = 300.0
+
+
+def _pip_polygons_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for pid, rings in PIP_POLYGONS.items():
+        for role, ring in rings:
+            rows.append((pid, f"p{pid}", [{"lat": a, "lon": b} for a, b in ring], role))
+    return spark.createDataFrame(rows, POLYGONS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (driver smoke-check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial-join + tile-assignment over points derived
+    from the sf0.001 events table — cell encode, PIP against literal
+    polygons, slippy tile assignment, per-tile/polygon rollup."""
+    sf = "/root/testdata/sf0.001"
+    pts = _event_points(spark, sf)
+    polys = _pip_polygons_df(spark)
+    hits = point_in_polygon(
+        pts, polys, res=5, point_id="event_id", broadcast_polygons=True
+    )
+    tiled = tiles.assign_tiles(hits, TILE_Z)
+    return (
+        tiled.groupBy("polygon_id", "tile_z", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("polygon_id", "tile_x", "tile_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _dec(col, p=18, s=2):
+    return col.cast(f"decimal({p},{s})")
+
+
+def q01_pricing_summary(spark, sf):
+    (li,) = _tables(spark, sf, "lineitem")
+    disc = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"), 18, 2)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q03_top_orders(spark, sf):
+    cust, orders, li = _tables(spark, sf, "customer", "orders", "lineitem")
+    disc = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"), 18, 2)
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(
+            (F.col("o_orderdate") < F.lit("1998-03-15"))
+            & (F.col("l_shipdate") > F.lit("1998-03-15"))
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q05_region_volume(spark, sf):
+    region, nation, cust, orders, li, supp = _tables(
+        spark, sf, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    disc = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"), 18, 2)
+    return (
+        region.where(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+def q_orders_rollup(spark, sf):
+    (orders,) = _tables(spark, sf, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("sum_total"),
+    )
+
+
+def q_nation_setops(spark, sf):
+    cust, supp = _tables(spark, sf, "customer", "supplier")
+    c = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    conly = c.exceptAll(s).withColumn("src", F.lit("customer_only"))
+    return both.unionByName(conly)
+
+
+def q_events_hourly(spark, sf):
+    (ev,) = _tables(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_dec(F.col("value"))).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+def q_events_sessions(spark, sf):
+    from pyspark.sql import Window
+
+    (ev,) = _tables(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    brk = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("__brk", brk)
+        .groupBy("user_id")
+        .agg(F.sum("__brk").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_dedup_exact(spark, sf):
+    (docs,) = _tables(spark, sf, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+def q_dedup_ngram(spark, sf):
+    (docs,) = _tables(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash(spark, sf):
+    (docs,) = _tables(spark, sf, "documents")
+    sig = dedup.minhash_signature(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sig[0].alias("mh_0"),
+        sig[7].alias("mh_7"),
+        sig[15].alias("mh_15"),
+    )
+
+
+def q_simhash(spark, sf):
+    (docs,) = _tables(spark, sf, "documents")
+    return docs.select("doc_id", dedup.simhash(F.col("text"), bits=32).alias("simhash32"))
+
+
+def q_token_stats(spark, sf):
+    (docs,) = _tables(spark, sf, "documents")
+    st = textstats.text_stats(docs)
+    return st.select("doc_id", "ws_tokens", "bpe_tokens", "n_chars_actual", "fingerprint")
+
+
+def q_quality(spark, sf):
+    (docs,) = _tables(spark, sf, "documents")
+    st = textstats.text_stats(docs)
+    return st.select("doc_id", "punct_ratio", "stopword_ratio", "quality")
+
+
+def q_lang_id(spark, sf):
+    (docs,) = _tables(spark, sf, "documents")
+    return docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_embed_topk(spark, sf):
+    (emb,) = _tables(spark, sf, "embeddings")
+    return similarity.cosine_topk(emb, QUERY_VEC, k=10)
+
+
+def q_embed_neardup(spark, sf):
+    (emb,) = _tables(spark, sf, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.95)
+
+
+def q_cell_assign(spark, sf):
+    pts = _event_points(spark, sf)
+    return (
+        pts.withColumn("cell", cells.cell_encode(F.col("lat"), F.col("lon"), CELL_RES))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_tile_assign(spark, sf):
+    pts = _event_points(spark, sf)
+    return tiles.tile_stats(
+        pts.withColumnRenamed("event_id", "id"), TILE_Z
+    ).select("tile_x", "tile_y", "n_points")
+
+
+def q_pip(spark, sf):
+    pts = _event_points(spark, sf)
+    polys = _pip_polygons_df(spark)
+    return point_in_polygon(pts, polys, res=5, point_id="event_id").select(
+        "event_id", "polygon_id"
+    )
+
+
+def q_knn(spark, sf):
+    pts = _event_points(spark, sf).withColumnRenamed("event_id", "id")
+    queries = spark.createDataFrame(KNN_QUERIES, "query_id long, lat double, lon double")
+    return knn_join(pts, queries, k=KNN_K, radius_km=KNN_RADIUS).select(
+        "query_id", F.col("id").alias("event_id"), "rank"
+    )
+
+
+def q_salted_join(spark, sf):
+    pts = _event_points(spark, sf).withColumn(
+        "cell", cells.cell_encode(F.col("lat"), F.col("lon"), CELL_RES)
+    )
+    dim = pts.select("cell").distinct()
+    hot = salt.hot_cells(pts, "cell", threshold=50)
+    joined = salt.salted_equi_join(
+        pts, dim, n_salt=4, cell_col="cell", fact_id="event_id", hot=hot
+    )
+    return joined.groupBy("cell").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def q_osmfilter(spark, sf):
+    els = _part_elements(spark, sf)
+    out = compile_osmfilter(OSMFILTER_PROGRAM).apply(els)
+    return out.select(
+        "type",
+        "id",
+        F.col("tags")["class"].alias("class"),
+        F.col("tags")["brand"].alias("brand"),
+    )
+
+
+def q_cel(spark, sf):
+    els = _part_elements(spark, sf)
+    out = compile_cel(CEL_PROGRAM).apply(els)
+    return out.select("type", "id")
+
+
+# ------------------------- rows-only (non-SQL) queries -------------------------
+
+
+def q_extract_entities(spark, sf):
+    pages = generate_pages(spark, 2000, partitions=8)
+    return extract_geo_entities(pages).select("url", "id", "lat", "lon")
+
+
+def q_opl_lines(spark, sf):
+    els = _part_elements(spark, sf)
+    return oplio.serialize_opl(els)
+
+
+def q_media_features(spark, sf):
+    from skyway_spark.operators import multimodal
+
+    pages = generate_pages(spark, 500, partitions=8)
+    media = multimodal.pages_to_media(pages)
+    return multimodal.extract_media_features(media, dim=8)
+
+
+def q_pages_pipeline(spark, sf):
+    """End-to-end north-rule slice: pages -> extract -> filter -> PIP
+    vs generated polygons -> tile rollup."""
+    pages = generate_pages(spark, 2000, partitions=8)
+    ents = extract_geo_entities(pages)
+    kept = compile_cel('tags["amenity"] != "bench"').apply(ents)
+    polys = generate_polygons(spark)
+    hits = point_in_polygon(kept.select("id", "lat", "lon"), polys, res=6)
+    return tiles.assign_tiles(hits, 8).groupBy("polygon_id", "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_orders": q03_top_orders,
+        "q05_region_volume": q05_region_volume,
+        "q_orders_rollup": q_orders_rollup,
+        "q_nation_setops": q_nation_setops,
+        "q_events_hourly": q_events_hourly,
+        "q_events_sessions": q_events_sessions,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_ngram": q_dedup_ngram,
+        "q_minhash": q_minhash,
+        "q_simhash": q_simhash,
+        "q_token_stats": q_token_stats,
+        "q_quality": q_quality,
+        "q_lang_id": q_lang_id,
+        "q_embed_topk": q_embed_topk,
+        "q_embed_neardup": q_embed_neardup,
+        "q_cell_assign": q_cell_assign,
+        "q_tile_assign": q_tile_assign,
+        "q_pip": q_pip,
+        "q_knn": q_knn,
+        "q_salted_join": q_salted_join,
+        "q_osmfilter": q_osmfilter,
+        "q_cel": q_cel,
+        "q_extract_entities": q_extract_entities,
+        "q_opl_lines": q_opl_lines,
+        "q_media_features": q_media_features,
+        "q_pages_pipeline": q_pages_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — built to match the Spark semantics bit-for-bit
+# ---------------------------------------------------------------------------
+
+_HM = dedup.HASH_MOD
+_FM = dedup.FP_MOD
+_FX = dedup.FP_MULT
+_PR = dedup.PRIME
+
+
+def _sql_token_hash(tok_expr: str) -> str:
+    """fold (acc*31 + ord(char)) % 2^44 over the chars of tok_expr."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, len({tok_expr}) + 1), "
+        f"i -> ord(substring({tok_expr}, i::INT, 1))::BIGINT)), "
+        f"(a, b) -> (a * 31 + b) % {_HM})"
+    )
+
+
+def _sql_gram3_hash(i: str = "i") -> str:
+    """3-char gram hash at 1-based offset i of text (expanded fold)."""
+    c = lambda o: f"ord(substring(text, ({i}+{o})::INT, 1))::BIGINT"  # noqa: E731
+    return f"((({c(0)} * 31 + {c(1)}) * 31 + {c(2)}) % {_HM})"
+
+
+_SQL_GRAMS = (
+    f"list_distinct(list_transform(range(1, greatest(len(text) - 2, 1) + 1), "
+    f"i -> {_sql_gram3_hash()}))"
+)
+
+_SQL_TOKEN_HASHES = (
+    "list_transform(string_split(text, ' '), tok -> " + _sql_token_hash("tok") + ")"
+)
+
+
+def _sql_occurrences(padded: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (
+        f"(len({padded}) - len(replace({padded}, '{esc}', ''))) / {len(needle)}"
+    )
+
+
+def _sql_lang_scores() -> dict[str, str]:
+    out = {}
+    for lang, markers in textstats.LANG_MARKERS.items():
+        out[lang] = " + ".join(_sql_occurrences("p", m) for m in markers)
+    return out
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(
+            f"(CASE WHEN 2 * list_sum(list_transform(th, h -> (h >> {b}) & 1)) "
+            f"> ntok THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
+        )
+    votes = " + ".join(terms)
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {_SQL_TOKEN_HASHES} AS th,
+                   len(string_split(text, ' '))::BIGINT AS ntok
+            FROM documents
+        )
+        SELECT doc_id, ({votes}) AS simhash32 FROM t
     """
-    return {}
+
+
+def _minhash_sql() -> str:
+    cols = []
+    for j in (0, 7, 15):
+        a, b = dedup.MINHASH_PERMS[j]
+        cols.append(f"list_min(list_transform(g, x -> (x * {a} + {b}) % {_PR})) AS mh_{j}")
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_GRAMS} AS g FROM documents)
+        SELECT doc_id, {', '.join(cols)} FROM t
+    """
+
+
+def _cell_sql(lat: str, lon: str, res: int) -> str:
+    nx, ny = 1 << (res + 1), 1 << res
+    x = f"greatest(0, least({nx - 1}, floor((({lon}) + 180.0) / 360.0 * {float(nx)})::BIGINT))"
+    y = f"greatest(0, least({ny - 1}, floor((90.0 - ({lat})) / 180.0 * {float(ny)})::BIGINT))"
+    return f"(({res}::BIGINT << 58) | ({x} << 29) | {y})"
+
+
+def _tile_xy_sql(lat: str, lon: str, z: int) -> tuple[str, str]:
+    n = 1 << z
+    latc = f"greatest(-85.05112878, least(85.05112878, {lat}))"
+    tx = f"greatest(0, least({n - 1}, floor((({lon}) + 180.0) / 360.0 * {float(n)})::BIGINT))"
+    # asinh(t) == ln(t + sqrt(t*t + 1)) — DuckDB has no asinh builtin
+    asinh = f"ln(tan(radians({latc})) + sqrt(tan(radians({latc})) * tan(radians({latc})) + 1.0))"
+    ty = (
+        f"greatest(0, least({n - 1}, "
+        f"floor((1.0 - {asinh} / pi()) / 2.0 * {float(n)})::BIGINT))"
+    )
+    return tx, ty
+
+
+def _pip_edges_values() -> str:
+    rows = []
+    for pid, rings in PIP_POLYGONS.items():
+        for role, ring in rings:
+            for (y1, x1), (y2, x2) in zip(ring[:-1], ring[1:]):
+                rows.append(f"({pid}, '{role}', {y1!r}, {x1!r}, {y2!r}, {x2!r})")
+    return ", ".join(rows)
+
+
+def _haversine_sql(plat: str, plon: str, qlat: str, qlon: str) -> str:
+    """Same op order as functions/geo.py haversine_km."""
+    dlat = f"radians(({qlat}) - ({plat})) / 2.0"
+    dlon = f"radians(({qlon}) - ({plon})) / 2.0"
+    a = (
+        f"sin({dlat}) * sin({dlat}) + "
+        f"cos(radians({plat})) * cos(radians({qlat})) * sin({dlon}) * sin({dlon})"
+    )
+    return f"12742.0176 * asin(sqrt({a}))"
+
+
+_ELEMENTS_SQL = """
+    SELECT CASE WHEN p_partkey % 3 = 0 THEN 'node'
+                WHEN p_partkey % 3 = 1 THEN 'way'
+                ELSE 'relation' END AS type,
+           p_partkey AS id, p_brand AS brand, p_size
+    FROM part
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = _sql_lang_scores()
+    gmax = f"greatest({langs['en']}, {langs['de']}, {langs['fr']}, {langs['es']})"
+    tx10, ty10 = _tile_xy_sql("lat", "lon", TILE_Z)
+    q_emb_elem = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> embedding[i::INT]::DOUBLE * (qv[i::INT]))), (a, b) -> a + b)"
+    )
+    qv_lit = "[" + ", ".join(repr(float(x)) for x in QUERY_VEC) + "]"
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, "
+        "x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b))"
+    )
+    pair_dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> a.embedding[i::INT]::DOUBLE * b.embedding[i::INT]::DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    pair_norm = lambda side: (  # noqa: E731
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({side}.embedding, "
+        f"x -> x::DOUBLE * x::DOUBLE)), (x, y) -> x + y))"
+    )
+
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q03_top_orders": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q05_region_volume": """
+            SELECT n_name,
+                   CAST(SUM(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)) AS DOUBLE) AS revenue
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q_orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_total
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "q_nation_setops": """
+            SELECT nationkey, 'both' AS src FROM (
+                SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+            UNION ALL
+            SELECT nationkey, 'customer_only' AS src FROM (
+                SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                EXCEPT
+                SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        """,
+        "q_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q_events_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events)
+            SELECT user_id,
+                   SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "q_dedup_exact": """
+            SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY text HAVING COUNT(*) > 1
+        """,
+        "q_dedup_ngram": f"""
+            WITH g AS (SELECT doc_id, n_chars, {_SQL_GRAMS} AS grams FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE, 6) AS jaccard
+            FROM g a JOIN g b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE >= 0.8
+        """,
+        "q_minhash": _minhash_sql(),
+        "q_simhash": _simhash_sql(),
+        "q_token_stats": f"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens,
+                   len(text) AS n_chars_actual,
+                   list_reduce(list_prepend(0::BIGINT,
+                       list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      tok -> {_sql_token_hash('tok')})),
+                       (a, h) -> (a * {_FX} + h) % {_FM}) AS fingerprint
+            FROM documents
+        """,
+        "q_quality": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE / len(text)::DOUBLE AS pr,
+                       (' ' || text || ' ') AS p,
+                       len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE AS ntok
+                FROM documents)
+            SELECT doc_id,
+                   round(pr, 6) AS punct_ratio,
+                   round(({_sql_occurrences('p', ' the ')} + {_sql_occurrences('p', ' and ')} + {_sql_occurrences('p', ' of ')}) / ntok, 6) AS stopword_ratio,
+                   round(least(ntok / 20.0, 1.0) * (1.0 - least(pr * 2.0, 1.0)) *
+                         (0.5 + least(({_sql_occurrences('p', ' the ')} + {_sql_occurrences('p', ' and ')} + {_sql_occurrences('p', ' of ')}) / ntok * 5.0, 1.0) / 2), 6) AS quality
+            FROM t
+        """,
+        "q_lang_id": f"""
+            WITH t AS (SELECT doc_id, (' ' || text || ' ') AS p FROM documents)
+            SELECT doc_id,
+                   CASE WHEN {gmax} <= 0 THEN 'und'
+                        WHEN ({langs['en']}) = {gmax} THEN 'en'
+                        WHEN ({langs['de']}) = {gmax} THEN 'de'
+                        WHEN ({langs['fr']}) = {gmax} THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM t
+        """,
+        "q_embed_topk": f"""
+            WITH q AS (SELECT {qv_lit}::DOUBLE[] AS qv),
+            s AS (
+                SELECT vec_id,
+                       round({q_emb_elem} / ({norm} * {_QNORM!r}), 6) AS cos_sim
+                FROM embeddings, q)
+            SELECT vec_id, cos_sim,
+                   row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM s
+            QUALIFY rank <= 10
+        """,
+        "q_embed_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({pair_dot} / ({pair_norm('a')} * {pair_norm('b')}), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round({pair_dot} / ({pair_norm('a')} * {pair_norm('b')}), 6) >= 0.95
+        """,
+        "q_cell_assign": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT {_cell_sql('lat', 'lon', CELL_RES)} AS cell, COUNT(*) AS n_points
+            FROM pts GROUP BY 1
+        """,
+        "q_tile_assign": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT {tx10} AS tile_x, {ty10} AS tile_y, COUNT(*) AS n_points
+            FROM pts GROUP BY 1, 2
+        """,
+        "q_pip": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            edges(polygon_id, role, y1, x1, y2, x2) AS (VALUES {_pip_edges_values()}),
+            ring_hits AS (
+                SELECT p.event_id, e.polygon_id, e.role,
+                       SUM(CASE WHEN ((e.y1 > p.lat) != (e.y2 > p.lat))
+                                 AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+                                THEN 1 ELSE 0 END) % 2 = 1 AS inside
+                FROM pts p CROSS JOIN edges e
+                GROUP BY p.event_id, e.polygon_id, e.role)
+            SELECT event_id, polygon_id
+            FROM ring_hits
+            GROUP BY event_id, polygon_id
+            HAVING bool_or(role = 'outer' AND inside)
+               AND NOT bool_or(role = 'hole' AND inside)
+        """,
+        "q_knn": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            q(query_id, qlat, qlon) AS (VALUES {", ".join(f"({i}, {a!r}, {b!r})" for i, a, b in KNN_QUERIES)}),
+            d AS (
+                SELECT q.query_id, p.event_id,
+                       {_haversine_sql('p.lat', 'p.lon', 'q.qlat', 'q.qlon')} AS dist
+                FROM pts p CROSS JOIN q)
+            SELECT query_id, event_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS rank
+            FROM d
+            WHERE dist <= {KNN_RADIUS!r}
+            QUALIFY rank <= {KNN_K}
+        """,
+        "q_salted_join": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT {_cell_sql('lat', 'lon', CELL_RES)} AS cell, COUNT(*) AS n_points
+            FROM pts GROUP BY 1
+        """,
+        "q_osmfilter": f"""
+            WITH e AS ({_ELEMENTS_SQL})
+            SELECT type, id,
+                   CASE WHEN type IN ('node', 'way') AND p_size > 40
+                        THEN 'large' END AS class,
+                   brand
+            FROM e
+            WHERE (type IN ('node', 'way') AND p_size > 40)
+               OR brand != 'Brand#13'
+        """,
+        "q_cel": f"""
+            WITH e AS ({_ELEMENTS_SQL})
+            SELECT type, id FROM e
+            WHERE (p_size > 40 AND id % 2 = 0) OR type = 'relation'
+        """,
+    }

@@ -131,6 +131,30 @@ def k_ring(cell: Column, res: int, k: int) -> Column:
     return F.filter(grid, lambda c: c.isNotNull())
 
 
+def k_ring_xy(cell: Column, res: int, kx: Column, ky: Column) -> Column:
+    """Asymmetric ring: Chebyshev box of ±kx columns / ±ky rows, with
+    per-row Column bounds (used by latitude-adaptive kNN — longitude
+    cells shrink in km towards the poles, so kx grows as 1/cos(lat)).
+    Pure Column expr."""
+    nx = 1 << (res + 1)
+    ny = 1 << res
+    x0, y0 = cell_x(cell), cell_y(cell)
+    kx = F.least(kx.cast("long"), F.lit(nx // 2))
+    grid = F.flatten(
+        F.transform(
+            F.sequence(-ky.cast("long"), ky.cast("long")),
+            lambda dy: F.transform(
+                F.sequence(-kx, kx),
+                lambda dx: F.when(
+                    ((y0 + dy) >= 0) & ((y0 + dy) < ny),
+                    pack_cell(F.pmod(x0 + dx, F.lit(nx)), y0 + dy, res),
+                ),
+            ),
+        )
+    )
+    return F.array_distinct(F.filter(grid, lambda c: c.isNotNull()))
+
+
 def cell_width_deg(res: int) -> float:
     """Cell width in degrees of longitude at resolution ``res``."""
     return 360.0 / float(1 << (res + 1))

@@ -40,12 +40,28 @@ def knn_join(
     ring covers it).
     """
     res = cells.res_for_radius_km(radius_km)
+    # latitude rows are radius-safe by res choice (cell height >=
+    # radius); longitude columns shrink by cos(lat), so the x-extent
+    # of the ring grows adaptively (clamped to the full band near the
+    # poles). Without this, kNN silently misses neighbors above ~16°
+    # latitude.
+    radius_deg = radius_km / 111.32
+    width = cells.cell_width_deg(res)
+    kx = F.ceil(
+        F.lit(radius_deg / width)
+        / F.greatest(F.cos(F.radians(F.col("lat"))), F.lit(1e-9))
+    )
     q = queries.select(
         F.col(query_id),
         F.col("lat").alias("__qlat"),
         F.col("lon").alias("__qlon"),
         F.explode(
-            cells.k_ring(cells.cell_encode(F.col("lat"), F.col("lon"), res), res, ring)
+            cells.k_ring_xy(
+                cells.cell_encode(F.col("lat"), F.col("lon"), res),
+                res,
+                F.greatest(kx, F.lit(ring)),
+                F.lit(ring),
+            )
         ).alias("__cell"),
     )
     if broadcast_queries:

@@ -197,3 +197,22 @@ def test_hot_cells_found(entities):
     hot = salt.hot_cells(with_cell, "cell")
     # the 5 hot cities dominate -> at least a few hot cells
     assert hot.count() >= 3
+
+
+def test_knn_high_latitude(spark):
+    """Longitude cells shrink in km near the poles — the adaptive ring
+    must still find neighbors ~radius away in the east-west direction."""
+    import numpy as np
+
+    qrows = [(0, 70.0, 10.0)]
+    # points due east/west at lat 70: 1 deg lon ~ 38 km
+    prows = [(i, 70.0, 10.0 + d) for i, d in enumerate([-7.0, -5.0, -2.5, 2.5, 5.0, 7.0])]
+    pts = spark.createDataFrame(prows, "id long, lat double, lon double")
+    queries = spark.createDataFrame(qrows, "query_id long, lat double, lon double")
+    got = knn_join(pts, queries, k=6, radius_km=290.0).collect()
+    plat = np.array([r[1] for r in prows])
+    plon = np.array([r[2] for r in prows])
+    d = haversine_km_np(70.0, 10.0, plat, plon)
+    want_ids = {i for i, dd in enumerate(d) if dd <= 290.0}
+    assert {r["id"] for r in got} == want_ids
+    assert len(want_ids) >= 4  # the ±5 deg points are ~190 km away
