@@ -3,34 +3,144 @@
 Strategy (north_rule: "point-in-polygon via ray-casting over
 cell-bucketed polygon partitions"):
 
-1. each polygon ring -> its covering cells at ``res`` (bbox cover,
-   computed in a vectorized Arrow UDF — polygons stay distributed);
+1. each polygon ring -> its covering cells at ``res`` (bbox cover);
 2. points -> cell at the same res (pure Column math);
-3. equi-join on cell. The polygon-cells side is typically small
-   (dimension-like) and is broadcast — NO shuffle of the point side;
-4. exact even-odd ray-cast refine in a vectorized numpy UDF;
-5. hole handling: a point is in the polygon iff inside an ``outer``
-   ring and not inside any ``hole`` ring of the same polygon_id.
+3. equi-join on cell — polygon side broadcast, so the point side
+   never shuffles;
+4. exact even-odd ray-cast refine, fully numpy-vectorized;
+5. hole handling: inside an ``outer`` ring and not inside any
+   ``hole`` ring of the same polygon_id.
 
-Geometry is planar in (lat, lon) — documented approximation, fine for
-city-scale polygons away from the antimeridian (the generator
-guarantees this; a production build would split rings at the
-antimeridian first).
+Two physical paths:
 
-At 100 TB the point side never moves: the join is broadcast, the
-refine is a narrow Arrow batch op, and skew from hot cells is handled
-by the salting module (operators/salt.py) plus AQE skew-join.
+- **broadcast path (default)**: the polygon table is dimension-sized
+  (same assumption a broadcast join makes). Ring geometry is
+  collected ONCE on the driver, shipped to Python workers inside the
+  UDF closure, and the refine groups each Arrow batch by polygon id
+  and ray-casts ALL points of a group against its ring in one numpy
+  broadcast (points x edges matrix) — zero per-row Python, zero ring
+  bytes on the wire per candidate.
+- **distributed path** (``broadcast_polygons=False``): rings stay in
+  the DataFrame and ship per candidate row — for polygon sets too
+  large to hold on the driver; the cell equi-join then shuffles on
+  cell, where hot-cell salting (operators/salt.py) + AQE apply.
+
+Geometry is planar in (lat, lon) — fine for city-scale polygons away
+from the antimeridian (the generator guarantees this; a production
+build would split rings at the antimeridian first).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BooleanType, LongType
 
 from skyway_spark.functions import cells
+
+
+def _ring_arrays(ring) -> tuple[np.ndarray, np.ndarray]:
+    ys = np.array([p["lat"] for p in ring], dtype=np.float64)
+    xs = np.array([p["lon"] for p in ring], dtype=np.float64)
+    return ys, xs
+
+
+def _ray_cast_batch(py: np.ndarray, px: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast of P points against one ring: (P, E) numpy
+    broadcast, no Python loop."""
+    y1, y2 = ys[:-1][None, :], ys[1:][None, :]
+    x1, x2 = xs[:-1][None, :], xs[1:][None, :]
+    pyc = py[:, None]
+    pxc = px[:, None]
+    crosses = (y1 > pyc) != (y2 > pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (pyc - y1) / (y2 - y1) + x1
+    return ((crosses & (pxc < xint)).sum(axis=1) % 2).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# broadcast path
+# ---------------------------------------------------------------------------
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 7,
+    point_id: str = "id",
+    lat: str = "lat",
+    lon: str = "lon",
+    broadcast_polygons: bool = True,
+) -> DataFrame:
+    """Rows of ``points`` (all columns preserved) paired with every
+    ``polygon_id`` containing them."""
+    if not broadcast_polygons:
+        return _point_in_polygon_distributed(points, polygons, res, point_id, lat, lon)
+
+    # driver-side: geometry grouped per POLYGON (all its outer + hole
+    # rings together) so one UDF verdict = outer-minus-holes in a
+    # single pass. The polygon table is dimension-sized by contract —
+    # identical assumption to broadcasting it.
+    rows = polygons.select("polygon_id", "ring_role", "ring").collect()
+    by_pid: dict[int, dict[str, list]] = {}
+    for r in rows:
+        by_pid.setdefault(r["polygon_id"], {"outer": [], "hole": []})[
+            r["ring_role"]
+        ].append(_ring_arrays(r["ring"]))
+    pids = sorted(by_pid)
+    geoms = [by_pid[p] for p in pids]  # indexed by __geom
+    cell_rows: list[tuple[int, int]] = []  # (cell, geom_idx) distinct
+    for gi, p in enumerate(pids):
+        cs: set[int] = set()
+        for ys, xs in by_pid[p]["outer"] + by_pid[p]["hole"]:
+            cs.update(
+                int(c)
+                for c in cells.cells_covering_bbox(
+                    float(ys.min()), float(ys.max()), float(xs.min()), float(xs.max()), res
+                )
+            )
+        cell_rows.extend((c, gi) for c in cs)
+
+    spark = points.sparkSession
+    pcells = F.broadcast(spark.createDataFrame(cell_rows, "cell long, __geom int"))
+
+    @F.pandas_udf(BooleanType())
+    def inside_udf(lat_s: pd.Series, lon_s: pd.Series, geom_s: pd.Series) -> pd.Series:
+        out = np.zeros(len(lat_s), dtype=bool)
+        py = lat_s.to_numpy(dtype=np.float64)
+        px = lon_s.to_numpy(dtype=np.float64)
+        gi = geom_s.to_numpy()
+        for g in np.unique(gi):
+            m = gi == g
+            rings = geoms[int(g)]
+            in_outer = np.zeros(int(m.sum()), dtype=bool)
+            for ys, xs in rings["outer"]:
+                in_outer |= _ray_cast_batch(py[m], px[m], ys, xs)
+            for ys, xs in rings["hole"]:
+                in_outer &= ~_ray_cast_batch(py[m], px[m], ys, xs)
+            out[m] = in_outer
+        return pd.Series(out)
+
+    pts = points.withColumn("__cell", cells.cell_encode(F.col(lat), F.col(lon), res))
+    pid_arr = F.array(*[F.lit(p) for p in pids])
+    passthrough = [c for c in points.columns if c != point_id]
+    # a point lives in exactly one cell and (cell, geom) is distinct,
+    # so each (point, polygon) candidate appears once: the filtered
+    # join IS the result — fully narrow, zero shuffles.
+    return (
+        pts.join(pcells, pts["__cell"] == pcells["cell"], "inner")
+        .where(inside_udf(F.col(lat), F.col(lon), F.col("__geom")))
+        .select(
+            point_id, *passthrough, F.element_at(pid_arr, F.col("__geom") + 1).alias("polygon_id")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed path (very large polygon tables)
+# ---------------------------------------------------------------------------
 
 
 @F.pandas_udf(ArrayType(LongType(), False))
@@ -39,10 +149,9 @@ def _covering_cells_udf(rings: pd.Series, res_s: pd.Series) -> pd.Series:
 
     def cover(args):
         ring, res = args
-        lats = np.array([p["lat"] for p in ring])
-        lons = np.array([p["lon"] for p in ring])
+        ys, xs = _ring_arrays(ring)
         return cells.cells_covering_bbox(
-            float(lats.min()), float(lats.max()), float(lons.min()), float(lons.max()), int(res)
+            float(ys.min()), float(ys.max()), float(xs.min()), float(xs.max()), int(res)
         ).tolist()
 
     return pd.Series([cover(a) for a in zip(rings, res_s)])
@@ -50,18 +159,24 @@ def _covering_cells_udf(rings: pd.Series, res_s: pd.Series) -> pd.Series:
 
 @F.pandas_udf(BooleanType())
 def _ray_cast_udf(lat_s: pd.Series, lon_s: pd.Series, rings: pd.Series) -> pd.Series:
-    """Even-odd ray cast (horizontal ray in +lon direction), numpy
-    per (point, ring) pair; edges on the vertex list order."""
-    out = np.empty(len(lat_s), dtype=bool)
-    for i, (py, px, ring) in enumerate(zip(lat_s, lon_s, rings)):
-        ys = np.array([p["lat"] for p in ring])
-        xs = np.array([p["lon"] for p in ring])
-        y1, y2 = ys[:-1], ys[1:]
-        x1, x2 = xs[:-1], xs[1:]
-        crosses = (y1 > py) != (y2 > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
-        out[i] = bool((crosses & (px < xint)).sum() % 2)
+    """Ray cast with per-row rings (distributed path). Rows sharing a
+    ring object within the batch are grouped to keep numpy batching."""
+    py = lat_s.to_numpy(dtype=np.float64)
+    px = lon_s.to_numpy(dtype=np.float64)
+    out = np.zeros(len(py), dtype=bool)
+    # group rows by ring identity (first-vertex + length fingerprint)
+    groups: dict[tuple, list[int]] = {}
+    ring_of: dict[tuple, object] = {}
+    for i, ring in enumerate(rings):
+        mid = ring[len(ring) // 2]
+        k = (len(ring), ring[0]["lat"], ring[0]["lon"], mid["lat"], mid["lon"],
+             ring[1]["lat"], ring[1]["lon"])
+        groups.setdefault(k, []).append(i)
+        ring_of[k] = ring
+    for k, idxs in groups.items():
+        ys, xs = _ring_arrays(ring_of[k])
+        ii = np.array(idxs)
+        out[ii] = _ray_cast_batch(py[ii], px[ii], ys, xs)
     return pd.Series(out)
 
 
@@ -76,31 +191,22 @@ def polygon_cells(polygons: DataFrame, res: int) -> DataFrame:
     )
 
 
-def point_in_polygon(
+def _point_in_polygon_distributed(
     points: DataFrame,
     polygons: DataFrame,
-    res: int = 7,
-    point_id: str = "id",
-    lat: str = "lat",
-    lon: str = "lon",
-    broadcast_polygons: bool = True,
+    res: int,
+    point_id: str,
+    lat: str,
+    lon: str,
 ) -> DataFrame:
-    """Rows of ``points`` paired with every polygon containing them.
-
-    Returns points columns + ``polygon_id``. Cell-bucket equi-join
-    (broadcast polygon side) then exact refine; hole rings subtract.
-    """
     pts = points.withColumn("__cell", cells.cell_encode(F.col(lat), F.col(lon), res))
     pcells = polygon_cells(polygons, res)
-    if broadcast_polygons:
-        pcells = F.broadcast(pcells)
     cand = pts.join(pcells, pts["__cell"] == pcells["cell"], "inner")
     refined = cand.withColumn(
         "__inside", _ray_cast_udf(F.col(lat), F.col(lon), F.col("ring"))
     )
-    # a candidate pair may appear once per ring role; aggregate:
-    # inside outer AND NOT inside any hole
-    verdict = (
+    passthrough = [c for c in points.columns if c != point_id]
+    return (
         refined.groupBy(point_id, "polygon_id")
         .agg(
             F.max(F.when(F.col("ring_role") == "outer", F.col("__inside")).otherwise(False)).alias(
@@ -109,11 +215,11 @@ def point_in_polygon(
             F.max(F.when(F.col("ring_role") == "hole", F.col("__inside")).otherwise(False)).alias(
                 "__in_hole"
             ),
+            *[F.first(c).alias(c) for c in passthrough],
         )
         .where(F.col("__in_outer") & ~F.col("__in_hole"))
-        .select(point_id, "polygon_id")
+        .select(point_id, *passthrough, "polygon_id")
     )
-    return points.join(verdict, on=point_id, how="inner")
 
 
 # ------------------------- plain-python oracle -------------------------

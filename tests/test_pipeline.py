@@ -1,0 +1,132 @@
+"""Checkpoint/resume, pipeline job, streaming, entry contract."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from skyway_spark.plans.checkpoint import CheckpointManager
+
+
+def test_checkpoint_resume_identical(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(0, 100).withColumn("v", F.col("id") * 2)
+
+    cm = CheckpointManager(root)
+    a = cm.stage(spark, "s1", "fp1", compute).collect()
+    assert calls["n"] == 1
+    # resume: same fingerprint -> no recompute, identical rows
+    cm2 = CheckpointManager(root)
+    b = cm2.stage(spark, "s1", "fp1", compute).collect()
+    assert calls["n"] == 1
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert cm2.results[0].resumed is True
+    # changed fingerprint -> recompute
+    cm3 = CheckpointManager(root)
+    cm3.stage(spark, "s1", "fp2", compute)
+    assert calls["n"] == 2
+    # manifest carries lineage
+    m = json.load(open(f"{root}/s1/_MANIFEST.json"))
+    assert m["row_count"] == 100
+    assert sum(m["partition_rows"].values()) == 100
+
+
+def test_checkpoint_kill_between_data_and_manifest(spark, tmp_path):
+    """A stage whose manifest is missing (crash window) recomputes."""
+    root = str(tmp_path / "ckpt2")
+    cm = CheckpointManager(root)
+    cm.stage(spark, "s1", "fp", lambda: spark.range(10))
+    cm.invalidate("s1")  # simulates the crash-before-manifest state
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(10)
+
+    cm2 = CheckpointManager(root)
+    cm2.stage(spark, "s1", "fp", compute)
+    assert calls["n"] == 1
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    from jobs.run_pipeline import run
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    m1 = run(2000, out, ckpt)
+    assert m1["entities"] > 2000
+    assert m1["pip_hits"] > 0
+    assert all(not s["resumed"] for s in m1["stages"])
+    # resume: all stages come back from checkpoints with identical counts
+    m2 = run(2000, out, ckpt)
+    assert all(s["resumed"] for s in m2["stages"])
+    assert m2["entities"] == m1["entities"]
+    assert m2["pip_hits"] == m1["pip_hits"]
+    # partial resume: nuke a late stage only
+    CheckpointManager(ckpt).invalidate("tiles")
+    m3 = run(2000, out, ckpt)
+    flags = {s["stage"]: s["resumed"] for s in m3["stages"]}
+    assert flags["pages"] and flags["extract"] and flags["pip"]
+    assert not flags["tiles"]
+    assert m3["pip_hits"] == m1["pip_hits"]
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from skyway_spark.streaming.events import (
+        read_events_stream,
+        run_bounded,
+        windowed_counts,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(src)
+    in_dir = str(tmp_path / "stream_in")
+    ev.write.parquet(in_dir)
+    stream = read_events_stream(spark, in_dir)
+    assert stream.isStreaming
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    out_dir = str(tmp_path / "stream_out")
+    run_bounded(agg, str(tmp_path / "stream_ck"), out_dir)
+    got = spark.read.parquet(out_dir)
+    # batch oracle: same tumbling window computed with date_trunc
+    want = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    w = {(r["window_start"], r["event_type"]): r["n_events"] for r in want.collect()}
+    # append mode only emits CLOSED windows: those still open at the
+    # final watermark (max ts - 2h, minus the 1h window) are withheld
+    import datetime as dt
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - dt.timedelta(hours=3)
+    assert g.items() <= w.items()
+    missing = set(w) - set(g)
+    assert all(k[0] >= horizon for k in missing), missing
+    assert len(g) > 0.9 * len(w)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert {f.name for f in df.schema.fields} == {
+        "polygon_id", "tile_z", "tile_x", "tile_y", "n_points"
+    }
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is intentionally rows-only
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "q_extract_entities", "q_opl_lines", "q_media_features", "q_pages_pipeline"
+    }

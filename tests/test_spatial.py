@@ -81,12 +81,15 @@ def _pip_oracle(points_rows, poly_rows):
 
 
 @pytest.mark.parametrize("res", [5, 7])
-def test_pip_matches_oracle(spark, entities, res):
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_pip_matches_oracle(spark, entities, res, broadcast):
     polys = generate_polygons(spark)
     pts = entities.select("id", "lat", "lon").limit(3000).cache()
     got = {
         (r["id"], r["polygon_id"])
-        for r in point_in_polygon(pts, polys, res=res).select("id", "polygon_id").collect()
+        for r in point_in_polygon(pts, polys, res=res, broadcast_polygons=broadcast)
+        .select("id", "polygon_id")
+        .collect()
     }
     want = _pip_oracle(pts.collect(), polys.collect())
     assert got == want
