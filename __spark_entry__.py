@@ -289,15 +289,53 @@ def q_events_sessions(spark, sf):
     )
 
 
-def q_dedup_exact(spark, sf):
+def _docs_with_dups(spark, sf):
+    """documents + derived duplicates so the dedup operators have
+    non-trivial output at every sf: exact copies (doc_id+100000,
+    doc_id%7==0) and same-length near copies with the first char
+    replaced (doc_id+200000, doc_id%5==0). The oracle SQL derives the
+    identical view."""
     (docs,) = _tables(spark, sf, "documents")
-    return dedup.exact_duplicates(docs)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    exact = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), *cols[1:]
+    )
+    near = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr("concat('Z', substring(text, 2))").alias("text"),
+        *cols[2:],
+    )
+    return docs.select(*cols).unionByName(exact).unionByName(near)
+
+
+def _emb_with_dups(spark, sf):
+    (emb,) = _tables(spark, sf, "embeddings")
+    cols = ["vec_id", "embedding", "label"]
+    copies = emb.where(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), *cols[1:]
+    )
+    return emb.select(*cols).unionByName(copies)
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_duplicates(_docs_with_dups(spark, sf))
 
 
 def q_dedup_ngram(spark, sf):
-    (docs,) = _tables(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.8).select(
+    return dedup.ngram_jaccard_pairs(_docs_with_dups(spark, sf), threshold=0.8).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(_docs_with_dups(spark, sf), threshold=0.9).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_pairs(spark, sf):
+    return dedup.simhash_near_dup_pairs(
+        _docs_with_dups(spark, sf), bits=32, bands=4, max_hamming=1
     )
 
 
@@ -340,8 +378,7 @@ def q_embed_topk(spark, sf):
 
 
 def q_embed_neardup(spark, sf):
-    (emb,) = _tables(spark, sf, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb, threshold=0.95)
+    return dedup.embedding_near_dup_pairs(_emb_with_dups(spark, sf), threshold=0.95)
 
 
 def q_cell_assign(spark, sf):
@@ -451,7 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram": q_dedup_ngram,
         "q_minhash": q_minhash,
+        "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
+        "q_simhash_pairs": q_simhash_pairs,
         "q_token_stats": q_token_stats,
         "q_quality": q_quality,
         "q_lang_id": q_lang_id,
@@ -521,14 +560,36 @@ def _sql_lang_scores() -> dict[str, str]:
     return out
 
 
-def _simhash_sql(bits: int = 32) -> str:
+# dup-augmented views (mirror _docs_with_dups / _emb_with_dups exactly)
+_DOCS2_SQL = """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 200000, 'Z' || substring(text, 2), lang, source, n_chars
+        FROM documents WHERE doc_id % 5 = 0
+"""
+
+_EMB2_SQL = """
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding, label
+        FROM embeddings WHERE vec_id % 9 = 0
+"""
+
+
+def _simhash_votes(bits: int = 32) -> str:
     terms = []
     for b in range(bits):
         terms.append(
             f"(CASE WHEN 2 * list_sum(list_transform(th, h -> (h >> {b}) & 1)) "
             f"> ntok THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
         )
-    votes = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _simhash_sql(bits: int = 32) -> str:
     return f"""
         WITH t AS (
             SELECT doc_id,
@@ -536,7 +597,70 @@ def _simhash_sql(bits: int = 32) -> str:
                    len(string_split(text, ' '))::BIGINT AS ntok
             FROM documents
         )
-        SELECT doc_id, ({votes}) AS simhash32 FROM t
+        SELECT doc_id, ({_simhash_votes(bits)}) AS simhash32 FROM t
+    """
+
+
+def _simhash_pairs_sql(bits: int = 32, bands: int = 4, max_hamming: int = 1) -> str:
+    """Pairs sharing >=1 simhash band, verified hamming <= max_hamming
+    — over the dup-augmented docs2 view."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {i} AS band, (sh >> {i * width}) & {mask} AS bh FROM s"
+        for i in range(bands)
+    )
+    return f"""
+        WITH docs2 AS ({_DOCS2_SQL}),
+        t AS (
+            SELECT doc_id,
+                   {_SQL_TOKEN_HASHES} AS th,
+                   len(string_split(text, ' '))::BIGINT AS ntok
+            FROM docs2
+        ),
+        s AS (SELECT doc_id, ({_simhash_votes(bits)}) AS sh FROM t),
+        bnd AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh))::INT AS hamming
+        FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh
+                              AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _minhash_lsh_sql(bands: int = 4, threshold: float = 0.9) -> str:
+    """LSH banding over the full 16-perm signature (per-step mod fold
+    of each band, same arithmetic as dedup.minhash_lsh_pairs), then
+    exact n-gram Jaccard verification — over docs2."""
+    rows_per_band = len(dedup.MINHASH_PERMS) // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(g, x -> (x * {a} + {b}) % {_PR}))"
+        for a, b in dedup.MINHASH_PERMS
+    )
+    band_exprs = []
+    for i in range(bands):
+        acc = "0::BIGINT"
+        for j in range(i * rows_per_band + 1, (i + 1) * rows_per_band + 1):
+            acc = f"(({acc}) * 31 + sig[{j}]) % {_HM}"
+        band_exprs.append(f"SELECT doc_id, {i} AS band, {acc} AS bh FROM s")
+    jac = (
+        "len(list_intersect(ta.g, tb.g))::DOUBLE / "
+        "(len(ta.g) + len(tb.g) - len(list_intersect(ta.g, tb.g)))::DOUBLE"
+    )
+    return f"""
+        WITH docs2 AS ({_DOCS2_SQL}),
+        t AS (SELECT doc_id, {_SQL_GRAMS} AS g FROM docs2),
+        s AS (SELECT doc_id, [{sig_elems}] AS sig FROM t),
+        bnd AS ({" UNION ALL ".join(band_exprs)}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh
+                                  AND a.doc_id < b.doc_id)
+        SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.id_a
+        JOIN t tb ON tb.doc_id = c.id_b
+        WHERE {jac} >= {threshold}
     """
 
 
@@ -697,12 +821,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM g GROUP BY user_id
         """,
-        "q_dedup_exact": """
+        "q_dedup_exact": f"""
+            WITH docs2 AS ({_DOCS2_SQL})
             SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-            FROM documents GROUP BY text HAVING COUNT(*) > 1
+            FROM docs2 GROUP BY text HAVING COUNT(*) > 1
         """,
         "q_dedup_ngram": f"""
-            WITH g AS (SELECT doc_id, n_chars, {_SQL_GRAMS} AS grams FROM documents)
+            WITH docs2 AS ({_DOCS2_SQL}),
+            g AS (SELECT doc_id, n_chars, {_SQL_GRAMS} AS grams FROM docs2)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE, 6) AS jaccard
@@ -711,7 +837,9 @@ def oracle_sql() -> dict[str, str]:
                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE >= 0.8
         """,
         "q_minhash": _minhash_sql(),
+        "q_minhash_lsh": _minhash_lsh_sql(),
         "q_simhash": _simhash_sql(),
+        "q_simhash_pairs": _simhash_pairs_sql(),
         "q_token_stats": f"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
@@ -759,9 +887,10 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 10
         """,
         "q_embed_neardup": f"""
+            WITH emb2 AS ({_EMB2_SQL})
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round({pair_dot} / ({pair_norm('a')} * {pair_norm('b')}), 6) AS cos_sim
-            FROM embeddings a JOIN embeddings b
+            FROM emb2 a JOIN emb2 b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({pair_dot} / ({pair_norm('a')} * {pair_norm('b')}), 6) >= 0.95
         """,

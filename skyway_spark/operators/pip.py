@@ -15,11 +15,18 @@ Two physical paths:
 
 - **broadcast path (default)**: the polygon table is dimension-sized
   (same assumption a broadcast join makes). Ring geometry is
-  collected ONCE on the driver, shipped to Python workers inside the
-  UDF closure, and the refine groups each Arrow batch by polygon id
-  and ray-casts ALL points of a group against its ring in one numpy
-  broadcast (points x edges matrix) — zero per-row Python, zero ring
-  bytes on the wire per candidate.
+  collected ONCE on the driver and compiled into the plan. Two refine
+  engines:
+  - ``refine='jvm'`` (default): ring edges become literal
+    array<struct> columns and the even-odd ray cast is a pure
+    higher-order-function expression (``exists``/``aggregate``) —
+    zero Python processes in the hot path, no Arrow transfer, stable
+    latency, and the whole pipeline stays narrow.
+  - ``refine='pandas'``: ships rings to Python workers inside a
+    pandas UDF closure and ray-casts each Arrow batch as one numpy
+    (points x edges) broadcast — useful when rings have thousands of
+    vertices, where numpy's vectorized matrix beats the per-edge
+    interpreted HOF lambda.
 - **distributed path** (``broadcast_polygons=False``): rings stay in
   the DataFrame and ship per candidate row — for polygon sets too
   large to hold on the driver; the cell equi-join then shuffles on
@@ -65,6 +72,54 @@ def _ray_cast_batch(py: np.ndarray, px: np.ndarray, ys: np.ndarray, xs: np.ndarr
 # ---------------------------------------------------------------------------
 
 
+def _edge_struct(y1: float, x1: float, y2: float, x2: float):
+    return F.struct(
+        F.lit(float(y1)).alias("y1"),
+        F.lit(float(x1)).alias("x1"),
+        F.lit(float(y2)).alias("y2"),
+        F.lit(float(x2)).alias("x2"),
+    )
+
+
+_EDGES_T = "array<array<struct<y1:double,x1:double,y2:double,x2:double>>>"
+
+
+def _rings_lit(ring_list):
+    """[(ys, xs), ...] -> literal array<array<edge struct>> Column."""
+    if not ring_list:
+        return F.array().cast(_EDGES_T)
+    return F.array(
+        *[
+            F.array(
+                *[
+                    _edge_struct(ys[k], xs[k], ys[k + 1], xs[k + 1])
+                    for k in range(len(ys) - 1)
+                ]
+            )
+            for ys, xs in ring_list
+        ]
+    )
+
+
+def _odd_crossings(ring, lat_c, lon_c):
+    """Even-odd ray cast as a pure HOF expression over one ring's
+    edge array; identical arithmetic (same op order) to
+    _ray_cast_batch so jvm and pandas refines agree bit-for-bit."""
+
+    def crossing(e):
+        return F.when(
+            ((e["y1"] > lat_c) != (e["y2"] > lat_c))
+            & (
+                lon_c
+                < (e["x2"] - e["x1"]) * (lat_c - e["y1"]) / (e["y2"] - e["y1"])
+                + e["x1"]
+            ),
+            1,
+        ).otherwise(0)
+
+    return F.aggregate(ring, F.lit(0), lambda acc, e: acc + crossing(e)) % 2 == 1
+
+
 def point_in_polygon(
     points: DataFrame,
     polygons: DataFrame,
@@ -73,6 +128,7 @@ def point_in_polygon(
     lat: str = "lat",
     lon: str = "lon",
     broadcast_polygons: bool = True,
+    refine: str = "jvm",
 ) -> DataFrame:
     """Rows of ``points`` (all columns preserved) paired with every
     ``polygon_id`` containing them."""
@@ -106,24 +162,67 @@ def point_in_polygon(
     spark = points.sparkSession
     pcells = F.broadcast(spark.createDataFrame(cell_rows, "cell long, __geom int"))
 
-    @F.pandas_udf(BooleanType())
-    def inside_udf(lat_s: pd.Series, lon_s: pd.Series, geom_s: pd.Series) -> pd.Series:
-        out = np.zeros(len(lat_s), dtype=bool)
-        py = lat_s.to_numpy(dtype=np.float64)
-        px = lon_s.to_numpy(dtype=np.float64)
-        gi = geom_s.to_numpy()
-        for g in np.unique(gi):
-            m = gi == g
-            rings = geoms[int(g)]
-            in_outer = np.zeros(int(m.sum()), dtype=bool)
-            for ys, xs in rings["outer"]:
-                in_outer |= _ray_cast_batch(py[m], px[m], ys, xs)
-            for ys, xs in rings["hole"]:
-                in_outer &= ~_ray_cast_batch(py[m], px[m], ys, xs)
-            out[m] = in_outer
-        return pd.Series(out)
+    lat_c, lon_c = F.col(lat), F.col(lon)
+    if refine == "jvm":
+        outer_by_geom = F.array(*[_rings_lit(g["outer"]) for g in geoms])
+        hole_by_geom = F.array(*[_rings_lit(g["hole"]) for g in geoms])
+        # bbox short-circuit: covering cells are coarser than the
+        # polygon, so most candidates fail four double compares and
+        # never reach the per-edge ray cast (And short-circuits)
+        bboxes = []
+        for g in geoms:
+            ys = np.concatenate([r[0] for r in g["outer"]])
+            xs = np.concatenate([r[1] for r in g["outer"]])
+            bboxes.append(
+                F.struct(
+                    F.lit(float(ys.min())).alias("ymin"),
+                    F.lit(float(ys.max())).alias("ymax"),
+                    F.lit(float(xs.min())).alias("xmin"),
+                    F.lit(float(xs.max())).alias("xmax"),
+                )
+            )
+        bb = F.element_at(F.array(*bboxes), F.col("__geom") + 1)
+        in_bbox = (
+            (lat_c >= bb["ymin"])
+            & (lat_c <= bb["ymax"])
+            & (lon_c >= bb["xmin"])
+            & (lon_c <= bb["xmax"])
+        )
+        inside_pred = (
+            in_bbox
+            & F.exists(
+                F.element_at(outer_by_geom, F.col("__geom") + 1),
+                lambda r: _odd_crossings(r, lat_c, lon_c),
+            )
+            & ~F.exists(
+                F.element_at(hole_by_geom, F.col("__geom") + 1),
+                lambda r: _odd_crossings(r, lat_c, lon_c),
+            )
+        )
+    elif refine == "pandas":
 
-    pts = points.withColumn("__cell", cells.cell_encode(F.col(lat), F.col(lon), res))
+        @F.pandas_udf(BooleanType())
+        def inside_udf(lat_s: pd.Series, lon_s: pd.Series, geom_s: pd.Series) -> pd.Series:
+            out = np.zeros(len(lat_s), dtype=bool)
+            py = lat_s.to_numpy(dtype=np.float64)
+            px = lon_s.to_numpy(dtype=np.float64)
+            gi = geom_s.to_numpy()
+            for g in np.unique(gi):
+                m = gi == g
+                rings = geoms[int(g)]
+                in_outer = np.zeros(int(m.sum()), dtype=bool)
+                for ys, xs in rings["outer"]:
+                    in_outer |= _ray_cast_batch(py[m], px[m], ys, xs)
+                for ys, xs in rings["hole"]:
+                    in_outer &= ~_ray_cast_batch(py[m], px[m], ys, xs)
+                out[m] = in_outer
+            return pd.Series(out)
+
+        inside_pred = inside_udf(lat_c, lon_c, F.col("__geom"))
+    else:
+        raise ValueError(f"unknown refine engine: {refine!r}")
+
+    pts = points.withColumn("__cell", cells.cell_encode(lat_c, lon_c, res))
     pid_arr = F.array(*[F.lit(p) for p in pids])
     passthrough = [c for c in points.columns if c != point_id]
     # a point lives in exactly one cell and (cell, geom) is distinct,
@@ -131,7 +230,7 @@ def point_in_polygon(
     # join IS the result — fully narrow, zero shuffles.
     return (
         pts.join(pcells, pts["__cell"] == pcells["cell"], "inner")
-        .where(inside_udf(F.col(lat), F.col(lon), F.col("__geom")))
+        .where(inside_pred)
         .select(
             point_id, *passthrough, F.element_at(pid_arr, F.col("__geom") + 1).alias("polygon_id")
         )
