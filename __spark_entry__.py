@@ -455,6 +455,33 @@ def q_opl_lines(spark, sf):
     return oplio.serialize_opl(els)
 
 
+def q_pbf_roundtrip(spark, sf):
+    """Encode the deterministic elements fixture to OSM PBF bytes and
+    read it back through the distributed blob decoder (rows-only:
+    byte-level format, not SQL-expressible)."""
+    import tempfile
+
+    from skyway_spark.sources import pbf as pbfio
+    from skyway_spark.sources.generate import generate_elements
+
+    els = []
+    for r in generate_elements(spark).collect():
+        e = {"type": r["type"], "id": r["id"], "tags": dict(r["tags"])}
+        if r["type"] == "node":
+            e["lat"], e["lon"] = r["lat"], r["lon"]
+        elif r["type"] == "way":
+            e["nodes"] = list(r["nodes"])
+        else:
+            e["members"] = [
+                {"type": m["type"] or "node", "ref": m["ref"], "role": m["role"] or ""}
+                for m in r["members"]
+            ]
+        els.append(e)
+    path = tempfile.mktemp(suffix=".osm.pbf")
+    pbfio.encode_pbf(path, els, block_size=64)
+    return pbfio.read_pbf(spark, path).select("type", "id", "lat", "lon", "tags")
+
+
 def q_media_features(spark, sf):
     from skyway_spark.operators import multimodal
 
@@ -505,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cel": q_cel,
         "q_extract_entities": q_extract_entities,
         "q_opl_lines": q_opl_lines,
+        "q_pbf_roundtrip": q_pbf_roundtrip,
         "q_media_features": q_media_features,
         "q_pages_pipeline": q_pages_pipeline,
     }
