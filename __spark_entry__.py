@@ -377,6 +377,39 @@ def q_embed_topk(spark, sf):
     return similarity.cosine_topk(emb, QUERY_VEC, k=10)
 
 
+def q_ann_topk(spark, sf):
+    """LSH-bucketed approximate top-k (the scale path): sign-bit
+    signatures against literal hyperplanes, band-bucket candidate
+    filter, exact cosine re-rank. The oracle replicates the identical
+    plane literals, so results match exactly."""
+    (emb,) = _tables(spark, sf, "embeddings")
+    return similarity.ann_topk(emb, QUERY_VEC, k=10, n_planes=12, bands=3)
+
+
+def q_vector_tiles(spark, sf):
+    pts = _event_points(spark, sf).withColumnRenamed("event_id", "id")
+    vt = tiles.vector_tiles(pts, z=5, feature_cols=["id"], max_features=3)
+    return vt.select(
+        "tile_x",
+        "tile_y",
+        "n_points",
+        F.size("features").alias("n_features"),
+        F.element_at("features", 1)["id"].alias("first_id"),
+    )
+
+
+def q_raster_tiles(spark, sf):
+    pts = _event_points(spark, sf).withColumnRenamed("event_id", "id")
+    rt = tiles.raster_tiles(pts, z=5, pixel_zoom_delta=4)
+    return rt.select(
+        "tile_x",
+        "tile_y",
+        "n_points",
+        F.size("pixels").alias("n_pixels"),
+        F.array_max(F.transform("pixels", lambda p: p["cnt"])).alias("max_pixel"),
+    )
+
+
 def q_embed_neardup(spark, sf):
     return dedup.embedding_near_dup_pairs(_emb_with_dups(spark, sf), threshold=0.95)
 
@@ -522,7 +555,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_lang_id": q_lang_id,
         "q_embed_topk": q_embed_topk,
+        "q_ann_topk": q_ann_topk,
         "q_embed_neardup": q_embed_neardup,
+        "q_vector_tiles": q_vector_tiles,
+        "q_raster_tiles": q_raster_tiles,
         "q_cell_assign": q_cell_assign,
         "q_tile_assign": q_tile_assign,
         "q_pip": q_pip,
@@ -752,6 +788,53 @@ _ELEMENTS_SQL = """
 """
 
 
+def _ann_topk_sql(k: int = 10, n_planes: int = 12, bands: int = 3) -> str:
+    """Exact oracle for the LSH ANN path: same hyperplane literals,
+    same left-fold dot products, same band buckets, same re-rank."""
+    import numpy as np
+
+    planes = similarity._hyperplanes(len(QUERY_VEC), n_planes, seed=42)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(plane, np.asarray(QUERY_VEC, dtype=float))) > 0:
+            qsig |= 1 << i
+
+    def dot_lit(vec: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {len(vec) + 1}), "
+            f"i -> embedding[i::INT]::DOUBLE * ({lit})[i::INT])), (a, b) -> a + b)"
+        )
+
+    sig_terms = " + ".join(
+        f"((CASE WHEN {dot_lit(planes[i].tolist())} > 0 THEN 1::BIGINT ELSE 0::BIGINT END) << {i})"
+        for i in range(n_planes)
+    )
+    band_conds = " OR ".join(
+        f"((sig >> {b * width}) & {mask}) = {(qsig >> (b * width)) & mask}"
+        for b in range(bands)
+    )
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, "
+        "x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b))"
+    )
+    return f"""
+        WITH s AS (
+            SELECT vec_id, embedding, ({sig_terms}) AS sig FROM embeddings),
+        cand AS (SELECT vec_id, embedding FROM s WHERE {band_conds}),
+        scored AS (
+            SELECT vec_id,
+                   round({dot_lit(QUERY_VEC)} / ({norm} * {_QNORM!r}), 6) AS cos_sim
+            FROM cand)
+        SELECT vec_id, cos_sim,
+               row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     langs = _sql_lang_scores()
     gmax = f"greatest({langs['en']}, {langs['de']}, {langs['fr']}, {langs['es']})"
@@ -922,6 +1005,31 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({pair_dot} / ({pair_norm('a')} * {pair_norm('b')}), 6) >= 0.95
         """,
+        "q_ann_topk": _ann_topk_sql(),
+        "q_vector_tiles": (
+            lambda tx5, ty5: f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT {tx5} AS tile_x, {ty5} AS tile_y,
+                   COUNT(*) AS n_points,
+                   least(COUNT(*), 3)::INT AS n_features,
+                   MIN(event_id) AS first_id
+            FROM pts GROUP BY 1, 2
+        """
+        )(*_tile_xy_sql("lat", "lon", 5)),
+        "q_raster_tiles": (
+            lambda tx5, ty5, sx9, sy9: f"""
+            WITH pts AS ({_POINTS_SQL}),
+            px AS (
+                SELECT {tx5} AS tile_x, {ty5} AS tile_y,
+                       ({sx9}) - ({tx5}) * 16 AS px,
+                       ({sy9}) - ({ty5}) * 16 AS py,
+                       COUNT(*) AS cnt
+                FROM pts GROUP BY 1, 2, 3, 4)
+            SELECT tile_x, tile_y, SUM(cnt) AS n_points,
+                   COUNT(*)::INT AS n_pixels, MAX(cnt) AS max_pixel
+            FROM px GROUP BY 1, 2
+        """
+        )(*_tile_xy_sql("lat", "lon", 5), *_tile_xy_sql("lat", "lon", 9)),
         "q_cell_assign": f"""
             WITH pts AS ({_POINTS_SQL})
             SELECT {_cell_sql('lat', 'lon', CELL_RES)} AS cell, COUNT(*) AS n_points
