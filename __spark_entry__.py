@@ -242,6 +242,43 @@ def q05_region_volume(spark, sf):
     )
 
 
+def q_cust_no_orders(spark, sf):
+    """Anti join: customers with no large (>400k) order."""
+    cust, orders = _tables(spark, sf, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_late_orders_semi(spark, sf):
+    """Semi join (TPC-H Q4 shape): orders with >=1 returned lineitem,
+    counted by priority."""
+    orders, li = _tables(spark, sf, "orders", "lineitem")
+    ret = li.where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(ret, orders["o_orderkey"] == ret["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_cust_order_left(spark, sf):
+    """Left outer join with null-aware aggregation: per-nation customer
+    count and order count (customers without orders contribute 0)."""
+    cust, orders = _tables(spark, sf, "customer", "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
 def q_orders_rollup(spark, sf):
     (orders,) = _tables(spark, sf, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -541,6 +578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
         "q05_region_volume": q05_region_volume,
+        "q_cust_no_orders": q_cust_no_orders,
+        "q_late_orders_semi": q_late_orders_semi,
+        "q_cust_order_left": q_cust_order_left,
         "q_orders_rollup": q_orders_rollup,
         "q_nation_setops": q_nation_setops,
         "q_events_hourly": q_events_hourly,
@@ -895,6 +935,29 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "q_cust_no_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 400000)
+            GROUP BY c_mktsegment
+        """,
+        "q_late_orders_semi": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q_cust_order_left": """
+            SELECT c_nationkey,
+                   COUNT(DISTINCT c_custkey) AS n_customers,
+                   COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_nationkey
         """,
         "q_orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,

@@ -1,0 +1,111 @@
+"""Physical-plan assertions: the properties that make the engine
+scale are pinned as tests, not just prose — filter pushdown into the
+parquet scan, broadcast (not shuffle) joins in the spatial hot path,
+and a narrow flagship pipeline with exactly one shuffle (the final
+kilobyte-scale rollup). SURVEY §4.2 / §7.3.4 evidence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skyway_spark.functions.filter import apply_cel, compile_osmfilter
+from skyway_spark.operators import tiles
+from skyway_spark.operators.extract import extract_geo_entities
+from skyway_spark.operators.pip import point_in_polygon
+from skyway_spark.sources.generate import (
+    generate_elements,
+    generate_pages,
+    generate_polygons,
+)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def elements_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "elements.parquet")
+    generate_elements(spark).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_osmfilter_type_predicate_pushed_to_scan(spark, elements_parquet):
+    """TYPE node -> col('type').isin(...) must reach the parquet scan
+    as a pushed filter (partition-pruning-grade at 100 TB)."""
+    els = spark.read.parquet(elements_parquet)
+    prog = 'OSMFilter v0.2.0\n\nTYPE node\n\tCOMMIT\nDROP\n'
+    out = compile_osmfilter(prog).apply(els)
+    plan = _executed_plan(out)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert any("type" in ln for ln in pushed), pushed[0]
+
+
+def test_cel_filter_no_shuffle_and_column_pruning(spark, elements_parquet):
+    """A CEL filter + projection is a single narrow stage and reads
+    only the needed columns from parquet."""
+    els = spark.read.parquet(elements_parquet)
+    out = apply_cel(els, 'type == "node"').select("id", "lat")
+    plan = _executed_plan(out)
+    assert "Exchange" not in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    # pruned scan: nodes/members/tags must not be read for id/lat
+    assert "members" not in read_schema[0]
+    assert "nodes" not in read_schema[0]
+
+
+def test_pip_broadcast_path_is_shuffle_free(spark):
+    """Broadcast PIP: cell join uses BroadcastHashJoin; the only
+    exchange in the plan is the broadcast itself (no shuffle of the
+    point side)."""
+    pts = extract_geo_entities(generate_pages(spark, 500, partitions=4)).select(
+        "id", "lat", "lon"
+    )
+    hits = point_in_polygon(pts, generate_polygons(spark), res=6)
+    plan = _executed_plan(hits)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "Broadcast" not in ln:
+            raise AssertionError(f"unexpected shuffle in broadcast PIP: {ln}")
+
+
+def test_flagship_single_shuffle(spark):
+    """scan -> extract -> filter -> PIP -> tile rollup: exactly one
+    non-broadcast exchange (the final groupBy) in the whole plan."""
+    pages = generate_pages(spark, 500, partitions=4)
+    ents = extract_geo_entities(pages)
+    kept = apply_cel(ents, 'tags["amenity"] != "bench"')
+    hits = point_in_polygon(
+        kept.select("id", "lat", "lon"), generate_polygons(spark), res=6
+    )
+    rolled = (
+        tiles.assign_tiles(hits, 10)
+        .groupBy("polygon_id", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _executed_plan(rolled)
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+    ]
+    assert len(shuffles) == 1, shuffles
+
+
+def test_pip_jvm_refine_has_no_python_eval(spark):
+    """Default PIP refine stays JVM-side: no BatchEvalPython /
+    ArrowEvalPython node in the plan (input_hint: no per-row Python;
+    hot path: no Python at all)."""
+    pts = extract_geo_entities(generate_pages(spark, 200, partitions=2)).select(
+        "id", "lat", "lon"
+    )
+    hits = point_in_polygon(pts, generate_polygons(spark), res=6)
+    plan = _executed_plan(hits)
+    assert "EvalPython" not in plan, plan
