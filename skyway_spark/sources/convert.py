@@ -45,21 +45,21 @@ def read_elements(
 
 
 def read_pbf(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
-    """PBF blob decode requires a protobuf OSM decoder (osmium /
-    osmpbf), which this container does not ship. The Spark-side plan
-    is real: binaryFile blob scan -> mapInArrow decode per blob —
-    mirroring the reference's blob-parallel rayon decode
+    """Distributed PBF decode (sources/pbf.py): blob-index scan on the
+    driver, per-blob pure-Python protobuf decode across executors —
+    the reference's blob-parallel rayon decode
     (src/readers/pbf.rs:129-160) with executors instead of a 6-thread
-    pool. Gated behind an import so environments with the decoder get
-    it for free."""
-    try:
-        import osmium  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "PBF decode needs the 'osmium' (or 'osmpbf') package; "
-            "not available in this environment"
-        ) from e
-    raise NotImplementedError("osmium available but decoder not wired yet")
+    pool, and no native dependency."""
+    from skyway_spark.sources import pbf as pbfio
+    from skyway_spark.sources.jsonio import empty_metadata
+
+    df = pbfio.read_pbf(spark, path)
+    hdr = pbfio.read_pbf_metadata(path)
+    md = empty_metadata()
+    md["generator"] = hdr.get("generator")
+    if any("OsmSchema-V0.6" in f for f in hdr.get("features", [])):
+        md["version"] = "0.6"
+    return df, md
 
 
 def serialize_string(
