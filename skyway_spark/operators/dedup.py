@@ -91,10 +91,13 @@ def jaccard(a: Column, b: Column) -> Column:
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(text groups with >1 member): keep_id = min id, n_dups.
 
-    groupBy on the 64-bit hash first (map-side combine on a fixed-width
+    groupBy on a 64-bit hash first (map-side combine on a fixed-width
     key), then confirms on full text inside the group — at 100 TB the
-    full text only shuffles for hash-colliding groups."""
-    h = text_hash(F.col(text_col)).alias("__th")
+    full text only shuffles for hash-colliding groups. The hash is an
+    internal shuffle key, never an output value, so it uses the
+    native xxhash64 (one JVM call per row) rather than the portable
+    per-char fold — results are identical either way."""
+    h = F.xxhash64(F.col(text_col)).alias("__th")
     return (
         docs.select(F.col(id_col), F.col(text_col), h)
         .groupBy("__th", text_col)
@@ -108,7 +111,7 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Keep exactly one row (min id) per distinct text."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(text_hash(F.col(text_col)), F.col(text_col)).orderBy(F.col(id_col))
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(F.col(id_col))
     return docs.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
