@@ -41,6 +41,79 @@ def windowed_counts(
     )
 
 
+SESSION_OUTPUT_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_DDL = "start long, last long, n long"
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    applyInPandasWithState (one state per user; event-time timeout).
+
+    A session closes when the watermark passes last_event + gap; the
+    closed session is emitted as (user_id, start, end, n_events).
+    Arrow-batched per group — no per-row Python (input_hint)."""
+    import pandas as pd  # local import: workers deserialize the closure
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        out = []
+        for pdf in pdf_iter:
+            ts = pdf["ts"].sort_values().astype("int64") // 1000  # ns -> us
+            for t in ts:
+                t = int(t)
+                if last is not None and t - last > gap_us:
+                    out.append((key[0], start, last, n))
+                    start, n = t, 0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp((last + gap_us) // 1000)  # ms
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                    "n_events": [o[3] for o in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_DDL,
+            _SESSION_STATE_DDL,
+            "append",
+            "EventTimeTimeout",
+        )
+    )
+
+
 def run_bounded(
     stream_df: DataFrame, checkpoint_dir: str, out_dir: str, fmt: str = "parquet"
 ) -> None:

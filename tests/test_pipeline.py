@@ -113,6 +113,50 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert len(g) > 0.9 * len(w)
 
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gap-closed sessions are
+    emitted (in-batch gap or event-time timeout) and every emitted
+    session matches the batch gap-sessionization oracle."""
+    import datetime as dt
+
+    from skyway_spark.streaming.events import read_events_stream, run_bounded, sessionize
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def row(eid, ts_min, uid):
+        return (eid, t0 + dt.timedelta(minutes=ts_min), uid, "click", 1.0, "{}")
+
+    ddl = ("event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    in_dir = str(tmp_path / "sess_in")
+    # file 1: user 1 has two events 5 min apart; user 2 one event
+    spark.createDataFrame([row(1, 0, 1), row(2, 5, 1), row(3, 0, 2)], ddl).coalesce(
+        1
+    ).write.mode("overwrite").parquet(in_dir)
+    # file 2: user 1 comes back 4 HOURS later -> first session closed
+    spark.createDataFrame([row(4, 240, 1)], ddl).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = read_events_stream(spark, in_dir)
+    sess = sessionize(stream, gap="30 minutes", watermark="10 minutes")
+    out_dir = str(tmp_path / "sess_out")
+    run_bounded(sess, str(tmp_path / "sess_ck"), out_dir)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch oracle: gap-based sessions over the same rows
+    want = {
+        (1, t0, t0 + dt.timedelta(minutes=5), 2),           # closed by in-batch gap
+        (2, t0, t0, 1),                                     # closed by timeout
+        (1, t0 + dt.timedelta(minutes=240), t0 + dt.timedelta(minutes=240), 1),
+    }
+    assert got <= want
+    # user 1's first session is provably closed (gap seen in-batch)
+    assert (1, t0, t0 + dt.timedelta(minutes=5), 2) in got
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as em
 
