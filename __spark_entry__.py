@@ -365,14 +365,31 @@ def q_dedup_ngram(spark, sf):
 
 
 def q_minhash_lsh(spark, sf):
-    return dedup.minhash_lsh_pairs(_docs_with_dups(spark, sf), threshold=0.9).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    """MinHash+LSH near-dup pairs over word shingles (char grams over
+    a small shared vocabulary defeat banding — see dedup module)."""
+    return dedup.minhash_lsh_pairs(
+        _docs_with_dups(spark, sf), threshold=0.8, unit="word"
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_pairs(spark, sf):
+    """SimHash banding pairs; 44 effective bits (token hashes are
+    mod 2^44), 11-bit bands."""
     return dedup.simhash_near_dup_pairs(
-        _docs_with_dups(spark, sf), bits=32, bands=4, max_hamming=1
+        _docs_with_dups(spark, sf), bits=44, bands=4, max_hamming=1
+    )
+
+
+def q_simhash_clusters(spark, sf):
+    """Scale path for simhash dedup: identical-signature clusters
+    (linear output) instead of materializing quadratic pairs — on a
+    self-similar corpus the pair set itself is O(n^2)."""
+    docs2 = _docs_with_dups(spark, sf)
+    return (
+        docs2.select("doc_id", dedup.simhash(F.col("text"), bits=44).alias("simhash44"))
+        .groupBy("simhash44")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
     )
 
 
@@ -591,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_simhash_clusters": q_simhash_clusters,
         "q_token_stats": q_token_stats,
         "q_quality": q_quality,
         "q_lang_id": q_lang_id,
@@ -705,7 +723,14 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
-def _simhash_pairs_sql(bits: int = 32, bands: int = 4, max_hamming: int = 1) -> str:
+_SQL_WORD_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len(th) - 2, 1) + 1), "
+    f"i -> ((th[i::INT] * 31 + coalesce(th[(i+1)::INT], 0)) % {_HM} * 31 "
+    f"+ coalesce(th[(i+2)::INT], 0)) % {_HM}))"
+)
+
+
+def _simhash_pairs_sql(bits: int = 44, bands: int = 4, max_hamming: int = 1) -> str:
     """Pairs sharing >=1 simhash band, verified hamming <= max_hamming
     — over the dup-augmented docs2 view."""
     width = bits // bands
@@ -732,10 +757,10 @@ def _simhash_pairs_sql(bits: int = 32, bands: int = 4, max_hamming: int = 1) -> 
     """
 
 
-def _minhash_lsh_sql(bands: int = 4, threshold: float = 0.9) -> str:
+def _minhash_lsh_sql(bands: int = 4, threshold: float = 0.8) -> str:
     """LSH banding over the full 16-perm signature (per-step mod fold
-    of each band, same arithmetic as dedup.minhash_lsh_pairs), then
-    exact n-gram Jaccard verification — over docs2."""
+    of each band, same arithmetic as dedup.minhash_lsh_pairs), word
+    shingles, then exact shingle Jaccard verification — over docs2."""
     rows_per_band = len(dedup.MINHASH_PERMS) // bands
     sig_elems = ", ".join(
         f"list_min(list_transform(g, x -> (x * {a} + {b}) % {_PR}))"
@@ -753,7 +778,8 @@ def _minhash_lsh_sql(bands: int = 4, threshold: float = 0.9) -> str:
     )
     return f"""
         WITH docs2 AS ({_DOCS2_SQL}),
-        t AS (SELECT doc_id, {_SQL_GRAMS} AS g FROM docs2),
+        tok AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS th FROM docs2),
+        t AS (SELECT doc_id, {_SQL_WORD_SHINGLES} AS g FROM tok),
         s AS (SELECT doc_id, [{sig_elems}] AS sig FROM t),
         bnd AS ({" UNION ALL ".join(band_exprs)}),
         cand AS (
@@ -1014,6 +1040,18 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": _minhash_lsh_sql(),
         "q_simhash": _simhash_sql(),
         "q_simhash_pairs": _simhash_pairs_sql(),
+        "q_simhash_clusters": f"""
+            WITH docs2 AS ({_DOCS2_SQL}),
+            t AS (
+                SELECT doc_id,
+                       {_SQL_TOKEN_HASHES} AS th,
+                       len(string_split(text, ' '))::BIGINT AS ntok
+                FROM docs2
+            ),
+            s AS (SELECT doc_id, ({_simhash_votes(44)}) AS simhash44 FROM t)
+            SELECT simhash44, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+            FROM s GROUP BY simhash44 HAVING COUNT(*) > 1
+        """,
         "q_token_stats": f"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,

@@ -39,11 +39,17 @@ BENCH_QUERIES = [
     "q_events_sessions",
     "q_dedup_exact",
     "q_minhash",
+    "q_minhash_lsh",
     "q_simhash",
+    "q_simhash_clusters",
     "q_token_stats",
     "q_embed_topk",
+    "q_ann_topk",
     "q_cell_assign",
     "q_tile_assign",
+    "q_raster_tiles",
+    "q_cust_no_orders",
+    "q_late_orders_semi",
     "q_pip",
     "q_knn",
     "q_salted_join",

@@ -77,6 +77,30 @@ def ngram_hashes(col: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle hashes (array<long>): tokens by
+    whitespace split, per-token portable hash, shingle = per-step-mod
+    fold of n consecutive token hashes. Word shingles are the standard
+    MinHash unit — char n-grams over a small shared vocabulary give
+    every document pair a high base Jaccard, which defeats LSH
+    banding (every bucket explodes); word shingles keep unrelated
+    pairs near zero while same-length edits stay ~1."""
+    tokens = F.split(col, " ")
+    th = F.transform(tokens, lambda t: _fold_hash(_char_codes(t)))
+    # zip_with over shifted slices, NOT transform(i -> slice(th, i)):
+    # interpreted HOF lambdas re-evaluate argument expressions per
+    # element, so indexing into `th` per shingle re-hashes every token
+    # per shingle (quadratic). With slices, `th` is evaluated O(1)
+    # times per row.  Shingle fold matches the portable per-step-mod
+    # arithmetic: ((h1*31 + h2) % M * 31 + h3) % M.
+    m = F.greatest(F.size(th) - (n - 1), F.lit(1))
+    shifted = [F.slice(th, i + 1, m) for i in range(n)]
+    acc = shifted[0]
+    for nxt in shifted[1:]:
+        acc = F.zip_with(acc, nxt, lambda a, b: (a * 31 + F.coalesce(b, F.lit(0))) % HASH_MOD)
+    return F.array_distinct(acc)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
@@ -120,15 +144,30 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(col: Column, n: int = 3, perms=MINHASH_PERMS) -> Column:
-    """array<long> of len(perms) minhash values over n-gram hashes —
-    pure Column expr, fully JVM-side."""
-    grams = ngram_hashes(col, n)
-    return F.array(
-        *[
-            F.array_min(F.transform(grams, lambda g: (g * a + b) % PRIME))
-            for (a, b) in perms
-        ]
+def minhash_signature(
+    col: Column, n: int = 3, perms=MINHASH_PERMS, unit: str = "char"
+) -> Column:
+    """array<long> of len(perms) minhash values over n-gram hashes
+    (char n-grams or word shingles) — pure Column expr, fully
+    JVM-side."""
+    grams = ngram_hashes(col, n) if unit == "char" else word_shingle_hashes(col, n)
+    return minhash_from_grams(grams, perms)
+
+
+def minhash_from_grams(grams: Column, perms=MINHASH_PERMS) -> Column:
+    """All permutation minima in ONE aggregate pass with an
+    array<long> accumulator (acc_i = min(acc_i, (g*a_i + b_i) % P)) —
+    one lambda invocation per gram instead of len(perms) transform
+    passes over the gram array."""
+    init = F.array(*[F.lit(PRIME).cast("long") for _ in perms])
+    return F.aggregate(
+        grams,
+        init,
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(*[(g * a + b) % PRIME for (a, b) in perms]),
+            lambda x, y: F.least(x, y),
+        ),
     )
 
 
@@ -140,20 +179,22 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    unit: str = "word",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding, verified with
-    exact n-gram Jaccard >= threshold. Output: (id_a, id_b, jaccard)
-    with id_a < id_b, distinct."""
+    exact shingle Jaccard >= threshold. Output: (id_a, id_b, jaccard)
+    with id_a < id_b, distinct. Default unit='word' (see
+    word_shingle_hashes for why char grams defeat banding)."""
+    from pyspark.sql import Window
+
     rows_per_band = len(MINHASH_PERMS) // bands
+    gramf = ngram_hashes if unit == "char" else word_shingle_hashes
     sig = docs.select(
         F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__text"),
-        minhash_signature(F.col(text_col), n).alias("__sig"),
-        ngram_hashes(F.col(text_col), n).alias("__grams"),
-    )
+        gramf(F.col(text_col), n).alias("__grams"),
+    ).withColumn("__sig", minhash_from_grams(F.col("__grams")))
     banded = sig.select(
         "__id",
-        "__text",
         "__grams",
         F.posexplode(
             F.array(
@@ -168,10 +209,13 @@ def minhash_lsh_pairs(
             )
         ).alias("__band", "__bh"),
     )
-    # bound pathological buckets (logged via count; avoids quadratic blowup)
-    bucket_sizes = banded.groupBy("__band", "__bh").agg(F.count(F.lit(1)).alias("__bn"))
-    banded = banded.join(
-        F.broadcast(bucket_sizes.where(F.col("__bn") <= max_bucket)), ["__band", "__bh"]
+    # bound pathological buckets with a window count over the SAME
+    # shuffle the pair join uses: the count adds no extra pass, and
+    # the self-join's two sides share one exchange (ReusedExchange),
+    # so signatures/grams are computed exactly once.
+    w = Window.partitionBy("__band", "__bh")
+    banded = banded.withColumn("__bn", F.count(F.lit(1)).over(w)).where(
+        F.col("__bn") <= max_bucket
     )
     left = banded.select(
         F.col("__band"), F.col("__bh"),
