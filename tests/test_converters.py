@@ -258,7 +258,7 @@ def test_overpass_roundtrip(spark, elements, tmp_path):
 
 
 def test_dispatch(spark, elements, tmp_path):
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FileNotFoundError):
         convert.read_pbf(spark, "whatever.pbf")
     with pytest.raises(ValueError):
         convert.serialize_string(elements, "o5m")
