@@ -242,6 +242,26 @@ def q05_region_volume(spark, sf):
     )
 
 
+def q06_discount_revenue(spark, sf):
+    """TPC-H Q6 shape: tight scan-side filter + global agg — the
+    whole query is one narrow pass (PushedFilters + partial agg)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_cust_no_orders(spark, sf):
     """Anti join: customers with no large (>400k) order."""
     cust, orders = _tables(spark, sf, "customer", "orders")
@@ -276,6 +296,128 @@ def q_cust_order_left(spark, sf):
             F.count_distinct("c_custkey").alias("n_customers"),
             F.count("o_orderkey").alias("n_orders"),
         )
+    )
+
+
+def q_orders_cube(spark, sf):
+    (orders,) = _tables(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("sum_total"),
+    )
+
+
+def q_percentiles(spark, sf):
+    """Exact interpolated percentiles (not approx — matches DuckDB
+    quantile_cont bit-for-bit on the integer-valued quantities)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("pct"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pct")[0].alias("p25"),
+            F.col("pct")[1].alias("p50"),
+            F.col("pct")[2].alias("p75"),
+            "min_qty",
+            "max_qty",
+        )
+    )
+
+
+def q_running_window(spark, sf):
+    """Window-function suite: running decimal sum, sequence number,
+    lag, rank, ntile — all per customer."""
+    from pyspark.sql import Window
+
+    (orders,) = _tables(spark, sf, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(run).cast("double").alias("run_total"),
+        F.row_number().over(seq).alias("order_seq"),
+        F.lag("o_orderkey").over(seq).alias("prev_orderkey"),
+        F.rank().over(by_price).alias("price_rank"),
+        F.ntile(4).over(seq).alias("quartile"),
+    )
+
+
+def q_string_funcs(spark, sf):
+    (part,) = _tables(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name8"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%gre%").alias("has_gre"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_pad"),
+    )
+
+
+def q_datetime_funcs(spark, sf):
+    (orders,) = _tables(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    return orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date")).alias(
+            "days_before_98"
+        ),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_trunc("month", d).alias("month_start"),
+    )
+
+
+def q_json_props(spark, sf):
+    """JSON functions over the events.props payload column."""
+    (ev,) = _tables(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_array_map_funcs(spark, sf):
+    """Array/map higher-order functions over way elements: size,
+    aggregate-fold, transform, reverse, sorted map keys."""
+    els = _part_elements(spark, sf).where(F.col("type") == "way")
+    return els.select(
+        "id",
+        F.size("nodes").alias("n_nodes"),
+        F.aggregate("nodes", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "node_sum"
+        ),
+        F.aggregate(
+            F.transform("nodes", lambda x: x * 2),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("double_sum"),
+        F.element_at(F.reverse("nodes"), 1).alias("last_node"),
+        F.concat_ws(",", F.sort_array(F.map_keys("tags"))).alias("tag_keys"),
+        F.size("tags").alias("n_tags"),
     )
 
 
@@ -440,6 +582,16 @@ def q_ann_topk(spark, sf):
     return similarity.ann_topk(emb, QUERY_VEC, k=10, n_planes=12, bands=3)
 
 
+def q_ann_ivf(spark, sf):
+    """IVF approximate top-k (the partition-pruned scale path):
+    deterministic coarse-quantizer centroids, argmin inverted-list
+    assignment in pure Column math, nprobe=2 probed lists, exact
+    cosine re-rank. The oracle replicates the centroid literals and
+    the same left-fold arithmetic, so results match exactly."""
+    (emb,) = _tables(spark, sf, "embeddings")
+    return similarity.ivf_topk(emb, QUERY_VEC, k=10, n_centroids=8, nprobe=2)
+
+
 def q_vector_tiles(spark, sf):
     pts = _event_points(spark, sf).withColumnRenamed("event_id", "id")
     vt = tiles.vector_tiles(pts, z=5, feature_cols=["id"], max_features=3)
@@ -595,10 +747,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
         "q05_region_volume": q05_region_volume,
+        "q06_discount_revenue": q06_discount_revenue,
         "q_cust_no_orders": q_cust_no_orders,
         "q_late_orders_semi": q_late_orders_semi,
         "q_cust_order_left": q_cust_order_left,
         "q_orders_rollup": q_orders_rollup,
+        "q_orders_cube": q_orders_cube,
+        "q_percentiles": q_percentiles,
+        "q_running_window": q_running_window,
+        "q_string_funcs": q_string_funcs,
+        "q_datetime_funcs": q_datetime_funcs,
+        "q_json_props": q_json_props,
+        "q_array_map_funcs": q_array_map_funcs,
         "q_nation_setops": q_nation_setops,
         "q_events_hourly": q_events_hourly,
         "q_events_sessions": q_events_sessions,
@@ -614,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_embed_topk": q_embed_topk,
         "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
         "q_embed_neardup": q_embed_neardup,
         "q_vector_tiles": q_vector_tiles,
         "q_raster_tiles": q_raster_tiles,
@@ -901,6 +1062,47 @@ def _ann_topk_sql(k: int = 10, n_planes: int = 12, bands: int = 3) -> str:
     """
 
 
+def _ivf_topk_sql(k: int = 10, n_centroids: int = 8, nprobe: int = 2, seed: int = 7) -> str:
+    """Exact oracle for the IVF ANN path: same centroid literals, same
+    left-fold dots, same first-occurrence argmin, same probe lists."""
+    import numpy as np
+
+    cents = similarity.ivf_centroids(len(QUERY_VEC), n_centroids, seed)
+    q = np.asarray(QUERY_VEC, dtype=float)
+    qdists = np.einsum("ij,ij->i", cents, cents) - 2.0 * cents @ q
+    probe = [int(i) + 1 for i in np.argsort(qdists, kind="stable")[:nprobe]]
+
+    def dot_lit(vec: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {len(vec) + 1}), "
+            f"i -> embedding[i::INT]::DOUBLE * ({lit})[i::INT])), (a, b) -> a + b)"
+        )
+
+    dist_exprs = ", ".join(
+        f"({float(np.dot(c, c))!r} - 2.0 * {dot_lit(c.tolist())})" for c in cents
+    )
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, "
+        "x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b))"
+    )
+    return f"""
+        WITH d AS (
+            SELECT vec_id, embedding, [{dist_exprs}]::DOUBLE[] AS dl FROM embeddings),
+        a AS (SELECT vec_id, embedding, list_position(dl, list_min(dl)) AS lst FROM d),
+        cand AS (SELECT vec_id, embedding FROM a
+                 WHERE lst IN ({", ".join(map(str, probe))})),
+        scored AS (
+            SELECT vec_id,
+                   round({dot_lit(QUERY_VEC)} / ({norm} * {_QNORM!r}), 6) AS cos_sim
+            FROM cand)
+        SELECT vec_id, cos_sim,
+               row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     langs = _sql_lang_scores()
     gmax = f"greatest({langs['en']}, {langs['de']}, {langs['fr']}, {langs['es']})"
@@ -961,6 +1163,92 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "q06_discount_revenue": """
+            SELECT CAST(SUM(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q_orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_total
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.25) AS p25,
+                   quantile_cont(l_quantity, 0.5) AS p50,
+                   quantile_cont(l_quantity, 0.75) AS p75,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "q_running_window": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(SUM(o_totalprice::DECIMAL(18,2)) OVER
+                        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+                   row_number() OVER w AS order_seq,
+                   lag(o_orderkey) OVER w AS prev_orderkey,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank,
+                   ntile(4) OVER w AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q_string_funcs": """
+            SELECT p_partkey,
+                   upper(substring(p_name, 1, 8)) AS name8,
+                   length(p_name) AS name_len,
+                   replace(p_brand, 'Brand#', 'B') AS brand_short,
+                   concat_ws('|', p_brand, p_type) AS brand_type,
+                   (p_name LIKE '%gre%') AS has_gre,
+                   string_split(p_type, ' ')[1] AS type_head,
+                   strpos(p_name, 'a') AS first_a,
+                   lpad(p_partkey::VARCHAR, 10, '0') AS key_pad
+            FROM part
+        """,
+        "q_datetime_funcs": """
+            SELECT o_orderkey,
+                   year(o_orderdate) AS y,
+                   quarter(o_orderdate) AS qtr,
+                   month(o_orderdate) AS m,
+                   dayofmonth(o_orderdate) AS dom,
+                   dayofweek(o_orderdate) + 1 AS dow,
+                   date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS days_before_98,
+                   strftime(o_orderdate, '%Y-%m') AS ym,
+                   strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+                   date_trunc('month', o_orderdate) AS month_start
+            FROM orders
+            WHERE o_orderkey % 7 = 0
+        """,
+        "q_json_props": """
+            SELECT event_type,
+                   CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                   MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q_array_map_funcs": """
+            SELECT p_partkey AS id,
+                   2 AS n_nodes,
+                   2 * p_partkey + 1 AS node_sum,
+                   4 * p_partkey + 2 AS double_sum,
+                   p_partkey + 1 AS last_node,
+                   CASE WHEN p_size > 40 THEN 'big,brand,ptype'
+                        ELSE 'brand,ptype' END AS tag_keys,
+                   CASE WHEN p_size > 40 THEN 3 ELSE 2 END AS n_tags
+            FROM part
+            WHERE p_partkey % 3 = 1
         """,
         "q_cust_no_orders": """
             SELECT c_mktsegment, COUNT(*) AS n_customers
@@ -1107,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round({pair_dot} / ({pair_norm('a')} * {pair_norm('b')}), 6) >= 0.95
         """,
         "q_ann_topk": _ann_topk_sql(),
+        "q_ann_ivf": _ivf_topk_sql(),
         "q_vector_tiles": (
             lambda tx5, ty5: f"""
             WITH pts AS ({_POINTS_SQL})

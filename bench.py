@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_top_orders",
     "q05_region_volume",
+    "q06_discount_revenue",
+    "q_running_window",
+    "q_json_props",
+    "q_ann_ivf",
     "q_events_hourly",
     "q_events_sessions",
     "q_dedup_exact",

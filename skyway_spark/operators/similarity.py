@@ -109,6 +109,62 @@ def ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids (seeded Gaussian).
+
+    A production deployment would fit these with k-means on a sample
+    and broadcast them; the assignment/probe machinery below is
+    identical either way, and seeded centroids keep the whole path
+    reproducible (and SQL-expressible for the oracle)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_centroids, dim))
+
+
+def ivf_assign(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Inverted-list id (1-based) = argmin_i ||v - c_i||^2, computed as
+    argmin_i (||c_i||^2 - 2*dot(v, c_i)) — the ||v||^2 term is constant
+    per row. Pure Column math: one literal-dot per centroid, then
+    array_position(array_min) for a first-occurrence argmin."""
+    dists = []
+    for c in centroids:
+        cn2 = float(np.dot(c, c))
+        dists.append(F.lit(cn2) - F.lit(2.0) * _dot_literal(vec_col, c.tolist()))
+    darr = F.array(*dists)
+    return F.array_position(darr, F.array_min(darr)).cast("int")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: rows are bucketed into inverted lists by
+    nearest centroid; only the query's `nprobe` closest lists are
+    scanned and exactly re-ranked by cosine. At 10^12 rows the table
+    is written partitioned by list id, so a probe is a partition-pruned
+    scan of nprobe/n_centroids of the data — no shuffle, no full pass."""
+    import math
+
+    cents = ivf_centroids(len(query), n_centroids, seed)
+    q = np.asarray(query, dtype=float)
+    qdists = np.einsum("ij,ij->i", cents, cents) - 2.0 * cents @ q
+    probe = [int(i) + 1 for i in np.argsort(qdists, kind="stable")[:nprobe]]
+
+    cand = emb.withColumn("__list", ivf_assign(F.col(vec_col), cents)).where(
+        F.col("__list").isin(probe)
+    )
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    sim = _dot_literal(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qn))
+    scored = cand.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def pairwise_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -145,6 +145,31 @@ def test_ann_topk_recall(emb):
     assert rows[3]["vec_id"] in approx
 
 
+def test_ivf_assign_matches_numpy(emb):
+    cents = similarity.ivf_centroids(64, 8, seed=7)
+    got = {
+        r["vec_id"]: r["lst"]
+        for r in emb.select(
+            "vec_id", similarity.ivf_assign(F.col("embedding"), cents).alias("lst")
+        ).collect()
+    }
+    for r in emb.collect():
+        v = np.array(r["embedding"], dtype=float)
+        d = np.einsum("ij,ij->i", cents, cents) - 2.0 * cents @ v
+        assert got[r["vec_id"]] == int(np.argmin(d)) + 1
+    # every inverted list is used (centroids spread over the data)
+    assert len(set(got.values())) >= 4
+
+
+def test_ivf_topk_recall(emb):
+    rows = emb.collect()
+    q = list(np.array(rows[5]["embedding"], dtype=float))
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in similarity.ivf_topk(emb, q, k=10, nprobe=3).collect()}
+    assert len(exact & approx) >= 5
+    assert rows[5]["vec_id"] in approx  # self's list is always probed
+
+
 def test_pairwise_topk(emb):
     queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.pairwise_topk(emb, queries, k=3).collect()
