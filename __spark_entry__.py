@@ -592,6 +592,31 @@ def q_ann_ivf(spark, sf):
     return similarity.ivf_topk(emb, QUERY_VEC, k=10, n_centroids=8, nprobe=2)
 
 
+def q_frame_sample(spark, sf):
+    """Video frame sampling plumbing: documents stand in for a video
+    table (duration = n_chars * 40 ms); the timestamp grid is a pure
+    JVM explode(sequence(...)), and each sampled frame carries a
+    16-char text chunk standing in for the frame bytes."""
+    from skyway_spark.operators import multimodal
+
+    (docs,) = _tables(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("text"),
+        (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ts",
+        F.substring(
+            F.col("text"), (F.col("frame_ts") / 40 + 1).cast("int"), 16
+        ).alias("chunk"),
+    )
+
+
 def q_vector_tiles(spark, sf):
     pts = _event_points(spark, sf).withColumnRenamed("event_id", "id")
     vt = tiles.vector_tiles(pts, z=5, feature_cols=["id"], max_features=3)
@@ -775,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk": q_embed_topk,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
+        "q_frame_sample": q_frame_sample,
         "q_embed_neardup": q_embed_neardup,
         "q_vector_tiles": q_vector_tiles,
         "q_raster_tiles": q_raster_tiles,
@@ -1396,6 +1422,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_ann_topk": _ann_topk_sql(),
         "q_ann_ivf": _ivf_topk_sql(),
+        "q_frame_sample": """
+            SELECT doc_id AS media_id,
+                   (ts / 1000)::INT AS frame_idx,
+                   ts AS frame_ts,
+                   substring(text, (ts / 40 + 1)::INT, 16) AS chunk
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, n_chars * 40, 1000)) AS ts
+                  FROM documents)
+        """,
         "q_vector_tiles": (
             lambda tx5, ty5: f"""
             WITH pts AS ({_POINTS_SQL})

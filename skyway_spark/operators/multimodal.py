@@ -106,6 +106,61 @@ def extract_media_features(
     return media.select("media_id", "payload").mapInPandas(extract, FEATURES_SCHEMA)
 
 
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video rows, Spark-first: the timestamp grid
+    is a JVM-side ``explode(sequence(...))`` — one output row per
+    sampled frame at 0, every_ms, 2*every_ms, ... < duration_ms — so
+    the expansion shuffles nothing and never touches Python. Decoding
+    the sampled frames is a separate (stubbed) mapInPandas step.
+
+    All input columns are preserved; adds frame_ts (ms) and frame_idx.
+    """
+    d = F.col("duration_ms")
+    grid = F.sequence(
+        F.lit(0).cast("long"), (d - 1).cast("long"), F.lit(every_ms).cast("long")
+    )
+    return (
+        media.where((F.col("kind") == "video") & (d > 0))
+        .select("*", F.explode(grid).alias("frame_ts"))
+        .withColumn("frame_idx", (F.col("frame_ts") / every_ms).cast("int"))
+    )
+
+
+def resize_media(
+    media: DataFrame, out_w: int = 4, out_h: int = 4, fake: bool = True
+) -> DataFrame:
+    """mapInPandas decode+resize: fake-decode each payload to a square
+    pseudo-pixel tensor, nearest-neighbor resample to (out_h, out_w),
+    emit the flattened floats. Deterministic — independent of
+    partitioning and batch boundaries — so repartition(N) never
+    changes results (asserted in tests)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("pixels", ArrayType(FloatType(), False), False),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    out.append([0.0] * (out_w * out_h))
+                    continue
+                if not fake:
+                    decode_image(p)  # raises NotImplementedError
+                arr = np.frombuffer(p, dtype=np.uint8).astype(np.float32) / 255.0
+                side = max(int(np.ceil(np.sqrt(arr.size))), 1)
+                img = np.pad(arr, (0, side * side - arr.size)).reshape(side, side)
+                ys = (np.arange(out_h) * side // out_h).astype(int)
+                xs = (np.arange(out_w) * side // out_w).astype(int)
+                out.append(img[np.ix_(ys, xs)].ravel().tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "pixels": out})
+
+    return media.select("media_id", "payload").mapInPandas(resize, out_schema)
+
+
 def pages_to_media(pages: DataFrame) -> DataFrame:
     """Adapter: treat page html bytes as an image-like payload table
     (exercises the binary plumbing on the pages fixture)."""

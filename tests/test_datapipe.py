@@ -237,6 +237,46 @@ def test_media_features(spark):
     assert a == b
 
 
+def test_sample_frames(spark, docs):
+    media = docs.limit(20).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    want = {}
+    for r in media.collect():
+        want[r["media_id"]] = [
+            (ts, ts // 1000) for ts in range(0, r["duration_ms"], 1000)
+        ]
+    got = {}
+    for r in frames:
+        got.setdefault(r["media_id"], []).append((r["frame_ts"], r["frame_idx"]))
+    for k in got:
+        got[k].sort()
+    assert got == want
+    # non-video rows are excluded
+    audio = media.withColumn("kind", F.lit("audio"))
+    assert multimodal.sample_frames(audio).count() == 0
+
+
+def test_resize_media(spark):
+    from skyway_spark.sources.generate import generate_pages
+
+    media = multimodal.pages_to_media(generate_pages(spark, 30, partitions=3))
+    out = multimodal.resize_media(media, out_w=4, out_h=4).collect()
+    assert len(out) == 30
+    for r in out:
+        assert len(r["pixels"]) == 16
+        assert all(0.0 <= v <= 1.0 for v in r["pixels"])
+    # determinism across partitionings (batch boundaries must not leak)
+    media2 = multimodal.pages_to_media(generate_pages(spark, 30, partitions=7))
+    out2 = multimodal.resize_media(media2, out_w=4, out_h=4).collect()
+    assert {r["media_id"]: tuple(r["pixels"]) for r in out} == {
+        r["media_id"]: tuple(r["pixels"]) for r in out2
+    }
+
+
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xxx", fake=False)
