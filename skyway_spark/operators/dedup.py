@@ -269,24 +269,31 @@ def ngram_jaccard_pairs(
 
 def simhash(col: Column, bits: int = 32) -> Column:
     """SimHash over whitespace tokens with the portable token hash:
-    bit b of the signature = majority vote of token-hash bit b."""
+    bit b of the signature = majority vote of token-hash bit b.
+
+    All ``bits`` votes are tallied in ONE aggregate pass with an
+    array<long> accumulator (acc_b += (h & 2^b != 0)) — one lambda
+    invocation per token instead of ``bits`` full passes over the
+    token array; the signature then reassembles from the counters
+    (count*2 > ntok -> add the bit's mask)."""
     tokens = F.split(col, " ")
     th = F.transform(tokens, lambda t: _fold_hash(_char_codes(t)))
-    ntok = F.size(tokens)
-
-    def vote(b: int):
-        def merge(acc, h):
-            return acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
-
-        return (
-            F.aggregate(th, F.lit(0).cast("long"), merge) * 2 > ntok.cast("long")
-        ).cast("long")
-
-    bit_votes = [vote(b) for b in range(bits)]
-    out = F.lit(0).cast("long")
-    for b, v in enumerate(bit_votes):
-        out = out + F.shiftleft(v, b)
-    return out
+    ntok = F.size(tokens).cast("long")
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    counts = F.aggregate(
+        th,
+        F.array(*[F.lit(0).cast("long") for _ in range(bits)]),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda a, m: a + (h.bitwiseAND(m) != 0).cast("long")
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts, masks, lambda c, m: F.when(c * 2 > ntok, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
 
 
 def simhash_near_dup_pairs(
