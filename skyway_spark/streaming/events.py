@@ -114,6 +114,26 @@ def sessionize(
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join. The static side is broadcast —
+    per micro-batch the stream stays narrow (no stateful join, no
+    shuffle of the stream side), which is the only join shape that
+    holds up when the stream is the 100 TB side."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def dedup_stream(
+    events: DataFrame, id_col: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup on event id: state is bounded by the
+    watermark (ids older than it are evicted), so at-least-once
+    sources (Kafka replays, file re-lists) become exactly-once
+    downstream without unbounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 def run_bounded(
     stream_df: DataFrame, checkpoint_dir: str, out_dir: str, fmt: str = "parquet"
 ) -> None:

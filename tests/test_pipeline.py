@@ -113,6 +113,35 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert len(g) > 0.9 * len(w)
 
 
+def test_streaming_dedup_and_enrich(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes replayed ids; the
+    stream-static enrich join is broadcast (no stream shuffle)."""
+    from skyway_spark.streaming.events import (
+        dedup_stream,
+        enrich_stream,
+        read_events_stream,
+        run_bounded,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(500)
+    in_dir = str(tmp_path / "dd_in")
+    # simulate an at-least-once source: every event delivered twice
+    ev.unionByName(ev).write.parquet(in_dir)
+    stream = read_events_stream(spark, in_dir)
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(200)], "user_id long, segment string"
+    )
+    enriched = enrich_stream(dedup_stream(stream), dim)
+    out_dir = str(tmp_path / "dd_out")
+    run_bounded(enriched, str(tmp_path / "dd_ck"), out_dir)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 500  # replays collapsed
+    assert got.select("event_id").distinct().count() == 500
+    seg = {r["user_id"]: r["segment"] for r in got.collect()}
+    for uid, s in seg.items():
+        assert s == (f"segment_{uid % 3}" if uid < 200 else None)
+
+
 def test_streaming_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState sessionizer: gap-closed sessions are
     emitted (in-batch gap or event-time timeout) and every emitted
