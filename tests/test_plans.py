@@ -109,3 +109,53 @@ def test_pip_jvm_refine_has_no_python_eval(spark):
     hits = point_in_polygon(pts, generate_polygons(spark), res=6)
     plan = _executed_plan(hits)
     assert "EvalPython" not in plan, plan
+
+
+def test_q06_filters_pushed_and_single_pass(spark):
+    """TPC-H Q6 shape: every predicate reaches the parquet scan as a
+    pushed filter; the whole query is scan -> partial agg -> single
+    exchange -> final agg."""
+    import __spark_entry__ as e
+
+    df = e.q06_discount_revenue(spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed[0], pushed[0]
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+    ]
+    assert len(shuffles) == 1, shuffles
+
+
+def test_frame_sample_no_shuffle_no_python(spark):
+    """Frame-grid expansion is a JVM explode: narrow, Python-free."""
+    import __spark_entry__ as e
+
+    df = e.q_frame_sample(spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_ann_ivf_narrow_until_topk(spark):
+    """IVF: centroid assignment + probe filter are narrow Column math,
+    and Catalyst rewrites the rank<=k window into a distributed
+    TakeOrderedAndProject (per-partition partial top-k, no shuffle at
+    all); no Python anywhere."""
+    import __spark_entry__ as e
+
+    df = e.q_ann_ivf(spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+    ]
+    assert len(shuffles) == 0, shuffles
