@@ -706,6 +706,74 @@ def q_cel(spark, sf):
     return out.select("type", "id")
 
 
+_GEO_KINDS = ("cafe", "bench", "station", "museum", "park")
+
+
+def _fmt_centideg(v):
+    """Signed centidegrees -> canonical '[-]D.DD' string, built from
+    integers (no double->string formatting, so the construction is
+    portable to the SQL oracle bit-for-bit)."""
+    s = F.when(v < 0, F.lit("-")).otherwise(F.lit(""))
+    av = F.abs(v)
+    return F.concat(
+        s,
+        F.floor(av / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((av % 100).cast("string"), 2, "0"),
+    )
+
+
+def _doc_mention(did, j: int):
+    vlat = (did * 37 + j * 791) % 17000 - 8500
+    vlon = (did * 101 + j * 613) % 36000 - 18000
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _GEO_KINDS]), ((did + j) % 5).cast("int") + 1
+    )
+    return F.concat(
+        F.lit(" @geo("),
+        _fmt_centideg(vlat),
+        F.lit(","),
+        _fmt_centideg(vlon),
+        F.lit(";name=place-"),
+        did.cast("string"),
+        F.lit(f"-{j}"),
+        F.lit(";amenity="),
+        kind,
+        F.lit(")"),
+    )
+
+
+def q_extract_mentions(spark, sf):
+    """The real extraction operator (one regex pass + byte-scan field
+    parse) over a pages table derived from `documents` with mentions
+    embedded by portable integer/string arithmetic — so an
+    independent closed-form DuckDB oracle checks the regex + parse
+    end-to-end exactly (lat/lon strings are integer-built, making the
+    parsed doubles bit-identical across engines)."""
+    (docs,) = _tables(spark, sf, "documents")
+    did = F.col("doc_id")
+    n = did % 3
+    text2 = F.concat(
+        F.col("text"),
+        *[F.when(n > j, _doc_mention(did, j)).otherwise(F.lit("")) for j in (0, 1)],
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), did.cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        text2.alias("text"),
+        F.col("lang"),
+    )
+    ents = extract_geo_entities(pages)
+    return ents.select(
+        "url",
+        "lat",
+        "lon",
+        F.col("tags")["name"].alias("name"),
+        F.col("tags")["amenity"].alias("amenity"),
+    )
+
+
 # ------------------------- rows-only (non-SQL) queries -------------------------
 
 
@@ -812,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_osmfilter": q_osmfilter,
         "q_cel": q_cel,
         "q_extract_entities": q_extract_entities,
+        "q_extract_mentions": q_extract_mentions,
         "q_opl_lines": q_opl_lines,
         "q_pbf_roundtrip": q_pbf_roundtrip,
         "q_media_features": q_media_features,
@@ -1422,6 +1491,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_ann_topk": _ann_topk_sql(),
         "q_ann_ivf": _ivf_topk_sql(),
+        "q_extract_mentions": """
+            WITH m AS (
+                SELECT doc_id, j
+                FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS j)
+                WHERE doc_id % 3 > j),
+            f AS (
+                SELECT doc_id, j,
+                       (doc_id * 37 + j * 791) % 17000 - 8500 AS vlat,
+                       (doc_id * 101 + j * 613) % 36000 - 18000 AS vlon
+                FROM m)
+            SELECT 'doc://' || doc_id AS url,
+                   CAST(CASE WHEN vlat < 0 THEN '-' ELSE '' END ||
+                        ((abs(vlat) // 100))::VARCHAR || '.' ||
+                        lpad((abs(vlat) % 100)::VARCHAR, 2, '0') AS DOUBLE) AS lat,
+                   CAST(CASE WHEN vlon < 0 THEN '-' ELSE '' END ||
+                        ((abs(vlon) // 100))::VARCHAR || '.' ||
+                        lpad((abs(vlon) % 100)::VARCHAR, 2, '0') AS DOUBLE) AS lon,
+                   'place-' || doc_id || '-' || j AS name,
+                   (['cafe', 'bench', 'station', 'museum', 'park'])[((doc_id + j) % 5 + 1)::INT] AS amenity
+            FROM f
+        """,
         "q_frame_sample": """
             SELECT doc_id AS media_id,
                    (ts / 1000)::INT AS frame_idx,
