@@ -1512,6 +1512,22 @@ def oracle_sql() -> dict[str, str]:
                    (['cafe', 'bench', 'station', 'museum', 'park'])[((doc_id + j) % 5 + 1)::INT] AS amenity
             FROM f
         """,
+        "q_opl_lines": """
+            WITH t AS (
+                SELECT p_partkey AS id, p_partkey % 3 AS m,
+                       CASE WHEN p_size > 40 THEN 'big=yes,' ELSE '' END ||
+                       'brand=' || p_brand || ',ptype=' || p_type AS tags
+                FROM part)
+            SELECT CASE
+                WHEN m = 0 THEN 'n' || id || ' T' || tags ||
+                     ' x' || ((id % 360) - 180)::VARCHAR || '.0' ||
+                     ' y' || ((id % 170) - 85)::VARCHAR || '.0'
+                WHEN m = 1 THEN 'w' || id || ' T' || tags ||
+                     ' Nn' || id || ',n' || (id + 1)
+                ELSE 'r' || id || ' T' || tags || ' Mn' || id || '@outer'
+                END AS value
+            FROM t
+        """,
         "q_frame_sample": """
             SELECT doc_id AS media_id,
                    (ts / 1000)::INT AS frame_idx,
