@@ -484,7 +484,9 @@ def _docs_with_dups(spark, sf):
         F.expr("concat('Z', substring(text, 2))").alias("text"),
         *cols[2:],
     )
-    return docs.select(*cols).unionByName(exact).unionByName(near)
+    from skyway_spark.plans.session import spread
+
+    return spread(docs.select(*cols).unionByName(exact).unionByName(near))
 
 
 def _emb_with_dups(spark, sf):

@@ -36,12 +36,13 @@ MINHASH_PERMS = [(2 * i + 1, 7919 * (i + 1) % PRIME) for i in range(16)]
 
 
 def _char_codes(col: Column) -> Column:
-    """array<int> of codepoints (1-indexed substring walk — portable
-    to the DuckDB oracle via ord(substring(...)))."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: F.ascii(F.substring(col, i, F.lit(1))),
-    )
+    """array<int> of codepoints — one split pass instead of a
+    substring(col, i, 1) walk (which re-scans the string's UTF-8 bytes
+    from the start per index, O(L^2)). Matches the DuckDB oracle's
+    ord(substring(...)) per char; the empty string becomes [''] ->
+    [ascii('')] = [0], which folds to hash 0 exactly like the oracle's
+    empty range."""
+    return F.transform(F.split(col, ""), lambda c: F.ascii(c))
 
 
 def _fold_hash(codes: Column) -> Column:

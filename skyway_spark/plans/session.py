@@ -39,6 +39,23 @@ _BASE_CONF = {
 }
 
 
+def spread(df, target: int | None = None):
+    """Rebalance a parallelism-starved scan before expression-heavy
+    narrow stages.
+
+    At the 100 TB design point a scan yields thousands of splits and
+    this is a no-op. Dev/bench inputs are often a single small parquet
+    file (1-3 row groups -> 1-3 tasks), which strands the other N-29
+    cores through every downstream narrow stage; one cheap round-robin
+    shuffle of the (small) input fixes that. Only fires when the scan
+    has fewer partitions than the session's parallelism."""
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "skyway_spark",
     cpus: int | None = None,

@@ -201,6 +201,6 @@ def test_entry_contract(spark):
     # every oracle-less query is intentionally rows-only
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "q_extract_entities", "q_opl_lines", "q_pbf_roundtrip",
+        "q_extract_entities", "q_pbf_roundtrip",
         "q_media_features", "q_pages_pipeline",
     }
