@@ -727,7 +727,10 @@ def _fmt_centideg(v):
 
 def _doc_mention(did, j: int):
     vlat = (did * 37 + j * 791) % 17000 - 8500
-    vlon = (did * 101 + j * 613) % 36000 - 18000
+    # lon multiplier 7919 (vs lat's 37) decorrelates the two grids:
+    # consecutive doc_ids wind across the plane instead of tracing a
+    # single lat/lon line that could miss every polygon
+    vlon = (did * 7919 + j * 613) % 36000 - 18000
     kind = F.element_at(
         F.array(*[F.lit(k) for k in _GEO_KINDS]), ((did + j) % 5).cast("int") + 1
     )
@@ -752,6 +755,19 @@ def q_extract_mentions(spark, sf):
     independent closed-form DuckDB oracle checks the regex + parse
     end-to-end exactly (lat/lon strings are integer-built, making the
     parsed doubles bit-identical across engines)."""
+    ents = extract_geo_entities(_portable_pages(spark, sf))
+    return ents.select(
+        "url",
+        "lat",
+        "lon",
+        F.col("tags")["name"].alias("name"),
+        F.col("tags")["amenity"].alias("amenity"),
+    )
+
+
+def _portable_pages(spark, sf):
+    """documents -> pages with portable integer-built geo mentions
+    (shared by q_extract_mentions and q_pipeline_exact)."""
     (docs,) = _tables(spark, sf, "documents")
     did = F.col("doc_id")
     n = did % 3
@@ -759,20 +775,32 @@ def q_extract_mentions(spark, sf):
         F.col("text"),
         *[F.when(n > j, _doc_mention(did, j)).otherwise(F.lit("")) for j in (0, 1)],
     )
-    pages = docs.select(
+    return docs.select(
         F.concat(F.lit("doc://"), did.cast("string")).alias("url"),
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
         F.encode(F.col("text"), "utf-8").alias("html"),
         text2.alias("text"),
         F.col("lang"),
     )
+
+
+def q_pipeline_exact(spark, sf):
+    """The whole north-rule pipeline — extract -> CEL filter -> PIP
+    (cell-bucketed broadcast ray-cast) -> slippy tile rollup — over
+    portable pages, verified against a closed-form DuckDB oracle that
+    re-derives the mentions, re-filters, re-ray-casts and re-tiles
+    independently. This is the flagship plan shape with an EXACT
+    cross-engine answer."""
+    pages = _portable_pages(spark, sf)
     ents = extract_geo_entities(pages)
-    return ents.select(
-        "url",
-        "lat",
-        "lon",
-        F.col("tags")["name"].alias("name"),
-        F.col("tags")["amenity"].alias("amenity"),
+    kept = compile_cel('tags["amenity"] != "bench"').apply(ents)
+    polys = _pip_polygons_df(spark)
+    hits = point_in_polygon(
+        kept.select("id", "lat", "lon"), polys, res=5, point_id="id"
+    )
+    tiled = tiles.assign_tiles(hits, 8)
+    return tiled.groupBy("polygon_id", "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_points")
     )
 
 
@@ -883,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cel": q_cel,
         "q_extract_entities": q_extract_entities,
         "q_extract_mentions": q_extract_mentions,
+        "q_pipeline_exact": q_pipeline_exact,
         "q_opl_lines": q_opl_lines,
         "q_pbf_roundtrip": q_pbf_roundtrip,
         "q_media_features": q_media_features,
@@ -1156,6 +1185,52 @@ def _ann_topk_sql(k: int = 10, n_planes: int = 12, bands: int = 3) -> str:
                row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
         FROM scored
         QUALIFY rank <= {k}
+    """
+
+
+def _centideg_sql(v: str) -> str:
+    """Signed centidegrees -> '[-]D.DD' string -> DOUBLE (mirrors
+    _fmt_centideg + the extraction parse, bit-for-bit)."""
+    return (
+        f"CAST(CASE WHEN {v} < 0 THEN '-' ELSE '' END || "
+        f"((abs({v}) // 100))::VARCHAR || '.' || "
+        f"lpad((abs({v}) % 100)::VARCHAR, 2, '0') AS DOUBLE)"
+    )
+
+
+_PORTABLE_MENTIONS_SQL = f"""
+            SELECT doc_id, j,
+                   {_centideg_sql("(doc_id * 37 + j * 791) % 17000 - 8500")} AS lat,
+                   {_centideg_sql("(doc_id * 7919 + j * 613) % 36000 - 18000")} AS lon,
+                   (['cafe', 'bench', 'station', 'museum', 'park'])[((doc_id + j) % 5 + 1)::INT] AS amenity
+            FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS j)
+            WHERE doc_id % 3 > j
+"""
+
+
+def _pipeline_exact_sql() -> str:
+    tx8, ty8 = _tile_xy_sql("k.lat", "k.lon", 8)
+    return f"""
+        WITH pts AS ({_PORTABLE_MENTIONS_SQL}),
+        kept AS (SELECT * FROM pts WHERE amenity <> 'bench'),
+        edges(polygon_id, role, y1, x1, y2, x2) AS (VALUES {_pip_edges_values()}),
+        ring_hits AS (
+            SELECT k.doc_id, k.j, e.polygon_id, e.role,
+                   SUM(CASE WHEN ((e.y1 > k.lat) != (e.y2 > k.lat))
+                             AND k.lon < (e.x2 - e.x1) * (k.lat - e.y1) / (e.y2 - e.y1) + e.x1
+                            THEN 1 ELSE 0 END) % 2 = 1 AS inside
+            FROM kept k CROSS JOIN edges e
+            GROUP BY k.doc_id, k.j, e.polygon_id, e.role),
+        pip AS (
+            SELECT doc_id, j, polygon_id
+            FROM ring_hits
+            GROUP BY doc_id, j, polygon_id
+            HAVING bool_or(role = 'outer' AND inside)
+               AND NOT bool_or(role = 'hole' AND inside))
+        SELECT p.polygon_id, {tx8} AS tile_x, {ty8} AS tile_y,
+               COUNT(*) AS n_points
+        FROM pip p JOIN kept k USING (doc_id, j)
+        GROUP BY 1, 2, 3
     """
 
 
@@ -1501,7 +1576,7 @@ def oracle_sql() -> dict[str, str]:
             f AS (
                 SELECT doc_id, j,
                        (doc_id * 37 + j * 791) % 17000 - 8500 AS vlat,
-                       (doc_id * 101 + j * 613) % 36000 - 18000 AS vlon
+                       (doc_id * 7919 + j * 613) % 36000 - 18000 AS vlon
                 FROM m)
             SELECT 'doc://' || doc_id AS url,
                    CAST(CASE WHEN vlat < 0 THEN '-' ELSE '' END ||
@@ -1514,6 +1589,7 @@ def oracle_sql() -> dict[str, str]:
                    (['cafe', 'bench', 'station', 'museum', 'park'])[((doc_id + j) % 5 + 1)::INT] AS amenity
             FROM f
         """,
+        "q_pipeline_exact": _pipeline_exact_sql(),
         "q_opl_lines": """
             WITH t AS (
                 SELECT p_partkey AS id, p_partkey % 3 AS m,
