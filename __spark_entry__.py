@@ -112,6 +112,8 @@ OSMFILTER_PROGRAM = (
     "TYPE node, way\n"
     '\tHAS "big"\n'
     '\t\tSET "class" "large"\n'
+    '\t\tRENAME "ptype" "kind"\n'
+    '\t\tDELETE "brand"\n'
     "\t\tCOMMIT\n"
     'EQUALS "brand" "Brand#13"\n'
     "\tDROP\n"
@@ -698,7 +700,9 @@ def q_osmfilter(spark, sf):
         "type",
         "id",
         F.col("tags")["class"].alias("class"),
+        F.col("tags")["kind"].alias("kind"),
         F.col("tags")["brand"].alias("brand"),
+        F.size("tags").alias("n_tags"),
     )
 
 
@@ -1136,7 +1140,7 @@ _ELEMENTS_SQL = """
     SELECT CASE WHEN p_partkey % 3 = 0 THEN 'node'
                 WHEN p_partkey % 3 = 1 THEN 'way'
                 ELSE 'relation' END AS type,
-           p_partkey AS id, p_brand AS brand, p_size
+           p_partkey AS id, p_brand AS brand, p_type AS ptype, p_size
     FROM part
 """
 
@@ -1688,7 +1692,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT type, id,
                    CASE WHEN type IN ('node', 'way') AND p_size > 40
                         THEN 'large' END AS class,
-                   brand
+                   CASE WHEN type IN ('node', 'way') AND p_size > 40
+                        THEN ptype END AS kind,
+                   CASE WHEN type IN ('node', 'way') AND p_size > 40
+                        THEN NULL ELSE brand END AS brand,
+                   CASE WHEN p_size > 40 THEN 3 ELSE 2 END AS n_tags
             FROM e
             WHERE (type IN ('node', 'way') AND p_size > 40)
                OR brand != 'Brand#13'

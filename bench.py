@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q_salted_join",
     "q_osmfilter",
     "q_cel",
+    "q_pipeline_exact",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
