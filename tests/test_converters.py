@@ -272,3 +272,62 @@ def test_distributed_opl_write_read(spark, elements, tmp_path):
     back = opl.parse_opl_lines(spark.read.text(out))
     assert back.count() == elements.count()
     assert set(back.columns) == set(elements.columns)
+
+
+# ------------------- property-based (hypothesis) -------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# any unicode except surrogates (not encodable to UTF-8)
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+)
+
+
+@given(_text)
+@settings(max_examples=300, deadline=None)
+def test_opl_escape_roundtrip_property(s):
+    """unescape(escape(s)) == s for arbitrary unicode, and the escaped
+    form never contains a char from the must-escape set."""
+    esc = opl.escape_opl(s)
+    assert opl.unescape_opl(esc) == s
+    for ch in esc:
+        if ch != "%":  # '%' delimits the escapes themselves
+            assert not opl.should_escape_char(ch) or ch in "0123456789abcdef"
+
+
+@given(_text)
+@settings(max_examples=300, deadline=None)
+def test_json_element_string_roundtrip_property(s):
+    """The hand-built JSON element serializer must parse back with a
+    standard JSON parser, preserving arbitrary unicode tag values."""
+    e = {"type": "node", "id": 1, "lat": 0.5, "lon": -0.5, "tags": {"k": s}}
+    doc = json.loads(jsonio.serialize_element_py(e))
+    assert doc["tags"]["k"] == s
+
+
+def _decode_uvarint(buf: bytes, off: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        b = buf[off]
+        off += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, off
+        shift += 7
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**63 - 1), max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip_property(vals):
+    """o5m unsigned varint encoding decodes back (7-bit groups,
+    continuation high bit) for any positive uint64 sequence. Zero is
+    excluded: the reference's BitVec loop emits NOTHING for 0
+    (src/writers/o5m.rs:31-64), which we replicate byte-for-byte —
+    an empty encoding cannot round-trip from a stream."""
+    buf = b"".join(varint.encode_unsigned_varint(v) for v in vals)
+    got, off = [], 0
+    while off < len(buf):
+        v, off = _decode_uvarint(buf, off)
+        got.append(v)
+    assert got == vals
