@@ -423,6 +423,38 @@ def q_array_map_funcs(spark, sf):
     )
 
 
+def q_grouping_sets(spark, sf):
+    """SQL-layer entry (spark.sql) with explicit GROUPING SETS."""
+    (orders,) = _tables(spark, sf, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_scalar_subquery(spark, sf):
+    """Correlated scalar subquery (Catalyst de-correlates it to an
+    aggregate + join): customers whose biggest order exceeds 350k."""
+    cust, orders = _tables(spark, sf, "customer", "orders")
+    cust.createOrReplaceTempView("customer_v")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer_v
+        WHERE (SELECT MAX(o_totalprice) FROM orders_v
+               WHERE o_custkey = c_custkey) > 350000
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 def q_orders_rollup(spark, sf):
     (orders,) = _tables(spark, sf, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -880,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cust_order_left": q_cust_order_left,
         "q_orders_rollup": q_orders_rollup,
         "q_orders_cube": q_orders_cube,
+        "q_grouping_sets": q_grouping_sets,
+        "q_scalar_subquery": q_scalar_subquery,
         "q_percentiles": q_percentiles,
         "q_running_window": q_running_window,
         "q_string_funcs": q_string_funcs,
@@ -1355,6 +1389,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_total
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "q_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "q_scalar_subquery": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE (SELECT MAX(o_totalprice) FROM orders
+                   WHERE o_custkey = c_custkey) > 350000
+            GROUP BY c_mktsegment
         """,
         "q_percentiles": """
             SELECT l_returnflag,
