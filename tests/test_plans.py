@@ -159,3 +159,18 @@ def test_ann_ivf_narrow_until_topk(spark):
         if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
     ]
     assert len(shuffles) == 0, shuffles
+
+
+def test_pages_scan_prunes_html(spark, tmp_path_factory):
+    """The pages scan must never read the html binary column (the
+    bulk of a 100 TB pages table) when the pipeline only needs
+    url/text — column pruning reaches the parquet FileScan."""
+    d = str(tmp_path_factory.mktemp("prune") / "pages")
+    generate_pages(spark, 200, partitions=2).write.parquet(d)
+    pages = spark.read.parquet(d)
+    ents = extract_geo_entities(pages).select("id", "lat", "lon")
+    plan = _executed_plan(ents)
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans, plan
+    assert "html" not in scans[0], scans[0]
+    assert "warc_ts" not in scans[0], scans[0]
