@@ -124,7 +124,7 @@ def main() -> None:
     rolled = flagship_plan(spark, pages)
     rolled.count()  # warm-up: codegen, parquet footers
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.monotonic()
         rolled.count()
         walls.append(time.monotonic() - t0)
