@@ -628,6 +628,29 @@ def q_ann_ivf(spark, sf):
     return similarity.ivf_topk(emb, QUERY_VEC, k=10, n_centroids=8, nprobe=2)
 
 
+def q_way_lengths(spark, sf):
+    """Distributed way-geometry assembly: synthetic ways (4 node refs
+    derived from part keys) equi-joined against a node table, per-way
+    ordered re-assembly, left-to-right haversine length fold. The
+    oracle resolves the same refs closed-form (node coords are pure
+    functions of node id), so lengths match bit-for-bit."""
+    from skyway_spark.operators.geometry import assemble_way_geometry
+
+    (part,) = _tables(spark, sf, "part")
+    mx = part.agg(F.max("p_partkey")).first()[0]
+    nodes = part.select(
+        F.col("p_partkey").alias("id"),
+        ((F.col("p_partkey") % 170) - 85.0).alias("lat"),
+        ((F.col("p_partkey") * 11 % 360) - 180.0).alias("lon"),
+    )
+    pk = F.col("p_partkey")
+    ways = part.where(pk % 5 == 0).select(
+        pk.alias("way_id"),
+        F.array(pk, pk * 7 % mx + 1, pk * 13 % mx + 1, pk * 3 % mx + 1).alias("refs"),
+    )
+    return assemble_way_geometry(ways, nodes)
+
+
 def q_frame_sample(spark, sf):
     """Video frame sampling plumbing: documents stand in for a video
     table (duration = n_chars * 40 ms); the timestamp grid is a pure
@@ -937,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
         "q_frame_sample": q_frame_sample,
+        "q_way_lengths": q_way_lengths,
         "q_embed_neardup": q_embed_neardup,
         "q_vector_tiles": q_vector_tiles,
         "q_raster_tiles": q_raster_tiles,
@@ -1313,6 +1337,24 @@ def _ivf_topk_sql(k: int = 10, n_centroids: int = 8, nprobe: int = 2, seed: int 
     """
 
 
+def _way_lengths_sql() -> str:
+    lat = lambda x: f"(({x}) % 170) - 85.0"  # noqa: E731
+    lon = lambda x: f"(({x}) * 11 % 360) - 180.0"  # noqa: E731
+    h = lambda a, b: _haversine_sql(lat(a), lon(a), lat(b), lon(b))  # noqa: E731
+    return f"""
+        WITH mxt AS (SELECT max(p_partkey) AS mx FROM part),
+        w AS (SELECT p_partkey AS way_id,
+                     p_partkey AS r1,
+                     p_partkey * 7 % mx + 1 AS r2,
+                     p_partkey * 13 % mx + 1 AS r3,
+                     p_partkey * 3 % mx + 1 AS r4
+              FROM part, mxt WHERE p_partkey % 5 = 0)
+        SELECT way_id, 4 AS n_points,
+               round(0.0 + {h("r1", "r2")} + {h("r2", "r3")} + {h("r3", "r4")}, 6) AS length_km
+        FROM w
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     langs = _sql_lang_scores()
     gmax = f"greatest({langs['en']}, {langs['de']}, {langs['fr']}, {langs['es']})"
@@ -1642,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "q_pipeline_exact": _pipeline_exact_sql(),
+        "q_way_lengths": _way_lengths_sql(),
         "q_opl_lines": """
             WITH t AS (
                 SELECT p_partkey AS id, p_partkey % 3 AS m,

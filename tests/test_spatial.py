@@ -225,3 +225,46 @@ def test_knn_high_latitude(spark):
     want_ids = {i for i, dd in enumerate(d) if dd <= 290.0}
     assert {r["id"] for r in got} == want_ids
     assert len(want_ids) >= 4  # the ±5 deg points are ~190 km away
+
+
+def test_assemble_way_geometry(spark):
+    """Geometry assembly vs a python oracle: ordered re-assembly,
+    left-fold length, missing refs drop out."""
+    import math
+
+    from skyway_spark.operators.geometry import assemble_way_geometry
+
+    nodes = spark.createDataFrame(
+        [(i, float(i % 7) * 10 - 30, float(i % 11) * 20 - 100) for i in range(20)],
+        "id long, lat double, lon double",
+    )
+    ways = spark.createDataFrame(
+        [
+            (1, [3, 1, 4, 1, 5]),      # repeated ref
+            (2, [9, 2]),               # minimal
+            (3, [7]),                  # single point -> length 0
+            (4, [6, 99, 8]),           # ref 99 missing -> 2 points
+        ],
+        "way_id long, refs array<long>",
+    )
+    got = {r["way_id"]: (r["n_points"], r["length_km"])
+           for r in assemble_way_geometry(ways, nodes).collect()}
+
+    def hav(a, b):
+        la1, lo1 = a
+        la2, lo2 = b
+        dlat = math.radians(la2 - la1) / 2
+        dlon = math.radians(lo2 - lo1) / 2
+        x = (math.sin(dlat) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(dlon) ** 2)
+        return 2 * 6371.0088 * math.asin(math.sqrt(x))
+
+    coords = {i: (float(i % 7) * 10 - 30, float(i % 11) * 20 - 100) for i in range(20)}
+    for wid, refs in [(1, [3, 1, 4, 1, 5]), (2, [9, 2]), (3, [7]), (4, [6, 8])]:
+        pts = [coords[r] for r in refs]
+        acc = 0.0
+        for a, b in zip(pts[:-1], pts[1:]):
+            acc += hav(a, b)
+        assert got[wid][0] == len(pts)
+        assert got[wid][1] == pytest.approx(round(acc, 6), abs=1e-6)
