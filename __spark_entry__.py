@@ -651,6 +651,41 @@ def q_way_lengths(spark, sf):
     return assemble_way_geometry(ways, nodes)
 
 
+def q_relation_rollup(spark, sf):
+    """Two-level geometry assembly: relation members -> way geometries
+    -> per-relation rollup with member-ordered perimeter fold. Oracle
+    resolves the same member/way/node formulas closed-form."""
+    from skyway_spark.operators.geometry import (
+        assemble_way_geometry,
+        relation_way_rollup,
+    )
+
+    (part,) = _tables(spark, sf, "part")
+    mx = part.agg(F.max("p_partkey")).first()[0]
+    pk = F.col("p_partkey")
+    nodes = part.select(
+        pk.alias("id"),
+        ((pk % 170) - 85.0).alias("lat"),
+        ((pk * 11 % 360) - 180.0).alias("lon"),
+    )
+    ways = part.where(pk % 5 == 0).select(
+        pk.alias("way_id"),
+        F.array(pk, pk * 7 % mx + 1, pk * 13 % mx + 1, pk * 3 % mx + 1).alias("refs"),
+    )
+    wg = assemble_way_geometry(ways, nodes)
+    w1 = (pk * 3 % mx) - (pk * 3 % mx) % 5
+    w2 = (pk * 7 % mx) - (pk * 7 % mx) % 5
+    rels = part.where(pk % 7 == 3).select(
+        pk.alias("rel_id"),
+        F.array(
+            F.struct(F.lit("way").alias("type"), w1.alias("ref"), F.lit("outer").alias("role")),
+            F.struct(F.lit("way").alias("type"), w2.alias("ref"), F.lit("inner").alias("role")),
+            F.struct(F.lit("node").alias("type"), pk.alias("ref"), F.lit("admin_centre").alias("role")),
+        ).alias("members"),
+    )
+    return relation_way_rollup(rels, wg)
+
+
 def q_frame_sample(spark, sf):
     """Video frame sampling plumbing: documents stand in for a video
     table (duration = n_chars * 40 ms); the timestamp grid is a pure
@@ -961,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_frame_sample": q_frame_sample,
         "q_way_lengths": q_way_lengths,
+        "q_relation_rollup": q_relation_rollup,
         "q_embed_neardup": q_embed_neardup,
         "q_vector_tiles": q_vector_tiles,
         "q_raster_tiles": q_raster_tiles,
@@ -1355,6 +1391,30 @@ def _way_lengths_sql() -> str:
     """
 
 
+def _relation_rollup_sql() -> str:
+    lat = lambda x: f"(({x}) % 170) - 85.0"  # noqa: E731
+    lon = lambda x: f"(({x}) * 11 % 360) - 180.0"  # noqa: E731
+    h = lambda a, b: _haversine_sql(lat(a), lon(a), lat(b), lon(b))  # noqa: E731
+
+    def rl(w: str) -> str:
+        r1 = f"({w})"
+        r2 = f"(({w}) * 7 % mx + 1)"
+        r3 = f"(({w}) * 13 % mx + 1)"
+        r4 = f"(({w}) * 3 % mx + 1)"
+        return f"round(0.0 + {h(r1, r2)} + {h(r2, r3)} + {h(r3, r4)}, 6)"
+
+    return f"""
+        WITH mxt AS (SELECT max(p_partkey) AS mx FROM part),
+        rel AS (SELECT p_partkey AS rel_id, mx,
+                       (p_partkey * 3 % mx) - (p_partkey * 3 % mx) % 5 AS w1,
+                       (p_partkey * 7 % mx) - (p_partkey * 7 % mx) % 5 AS w2
+                FROM part, mxt WHERE p_partkey % 7 = 3)
+        SELECT rel_id, 2 AS n_ways, 1 AS n_outer, 8::BIGINT AS total_points,
+               round(0.0 + {rl("w1")} + {rl("w2")}, 6) AS perimeter_km
+        FROM rel
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     langs = _sql_lang_scores()
     gmax = f"greatest({langs['en']}, {langs['de']}, {langs['fr']}, {langs['es']})"
@@ -1685,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pipeline_exact": _pipeline_exact_sql(),
         "q_way_lengths": _way_lengths_sql(),
+        "q_relation_rollup": _relation_rollup_sql(),
         "q_opl_lines": """
             WITH t AS (
                 SELECT p_partkey AS id, p_partkey % 3 AS m,

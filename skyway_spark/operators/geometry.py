@@ -26,6 +26,54 @@ from pyspark.sql import functions as F
 from skyway_spark.functions.geo import haversine_km
 
 
+def relation_way_rollup(
+    relations: DataFrame,
+    way_geoms: DataFrame,
+    rel_id: str = "rel_id",
+    members: str = "members",
+) -> DataFrame:
+    """Second level of geometry assembly: explode relation members,
+    keep way members, equi-join the assembled way geometries, roll up
+    per relation. The perimeter is folded left-to-right in member
+    order (array_sort by pos) — deterministic under any partitioning,
+    unlike a bare SUM over doubles.
+
+    members: array<struct<type:string, ref:long, role:string>> (the
+    canonical elements schema). Non-way members are ignored here, as a
+    rendering/multipolygon pass would route them elsewhere."""
+    m = relations.select(F.col(rel_id), F.posexplode(F.col(members)).alias("pos", "m"))
+    wm = m.where(F.col("m.type") == "way").select(
+        F.col(rel_id),
+        "pos",
+        F.col("m.ref").alias("way_id"),
+        F.col("m.role").alias("role"),
+    )
+    j = wm.join(way_geoms, "way_id")
+    g = j.groupBy(rel_id).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "length_km", "n_points", "role"))
+        ).alias("__ms")
+    )
+    perimeter = F.aggregate(
+        F.transform("__ms", lambda x: x["length_km"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n_outer = F.size(F.filter("__ms", lambda x: x["role"] == "outer"))
+    total_points = F.aggregate(
+        F.transform("__ms", lambda x: x["n_points"]),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return g.select(
+        F.col(rel_id),
+        F.size("__ms").alias("n_ways"),
+        n_outer.alias("n_outer"),
+        total_points.alias("total_points"),
+        F.round(perimeter, 6).alias("perimeter_km"),
+    )
+
+
 def assemble_way_geometry(
     ways: DataFrame,
     nodes: DataFrame,

@@ -268,3 +268,27 @@ def test_assemble_way_geometry(spark):
             acc += hav(a, b)
         assert got[wid][0] == len(pts)
         assert got[wid][1] == pytest.approx(round(acc, 6), abs=1e-6)
+
+
+def test_relation_way_rollup(spark):
+    from skyway_spark.operators.geometry import relation_way_rollup
+
+    wg = spark.createDataFrame(
+        [(10, 3, 5.5), (20, 4, 2.25), (30, 2, 1.125)],
+        "way_id long, n_points int, length_km double",
+    )
+    rels = spark.createDataFrame(
+        [
+            (1, [("way", 20, "outer"), ("node", 7, "label"), ("way", 10, "inner")]),
+            (2, [("way", 30, "outer"), ("way", 30, "outer")]),  # duplicate member
+            (3, [("node", 1, "x")]),                            # no ways -> no row
+        ],
+        "rel_id long, members array<struct<type:string,ref:long,role:string>>",
+    )
+    got = {r["rel_id"]: r.asDict() for r in relation_way_rollup(rels, wg).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_ways"] == 2 and got[1]["n_outer"] == 1
+    assert got[1]["total_points"] == 7
+    assert got[1]["perimeter_km"] == pytest.approx(7.75)
+    assert got[2]["n_ways"] == 2 and got[2]["n_outer"] == 2
+    assert got[2]["perimeter_km"] == pytest.approx(2.25)
