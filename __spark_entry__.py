@@ -29,6 +29,7 @@ from skyway_spark.operators import dedup, salt, similarity, textstats, tiles
 from skyway_spark.operators.extract import extract_geo_entities
 from skyway_spark.operators.knn import knn_join
 from skyway_spark.operators.pip import point_in_polygon
+from skyway_spark.operators.rangejoin import range_join
 from skyway_spark.schema import ELEMENTS_SCHEMA, POLYGONS_SCHEMA
 from skyway_spark.sources import opl as oplio
 from skyway_spark.sources.generate import generate_pages, generate_polygons
@@ -144,6 +145,8 @@ KNN_QUERIES = [(0, 5.01, 10.01), (1, -10.01, -60.01), (2, 0.01, 120.01),
                (3, 12.01, -120.01), (4, -5.01, 60.01)]
 KNN_K = 5
 KNN_RADIUS = 300.0
+RANGE_RADIUS = 500.0
+ROLLUP_RES = 3
 
 
 def _pip_polygons_df(spark: SparkSession) -> DataFrame:
@@ -771,6 +774,39 @@ def q_knn(spark, sf):
     )
 
 
+def q_range_join(spark, sf):
+    """Distance-band join: every (site, point) pair within RANGE_RADIUS
+    km, via cell-cover equi-join + haversine refine (never a cross
+    join). Oracle cross-joins and filters — tractable at sf0.01 only."""
+    pts = _event_points(spark, sf)
+    sites = spark.createDataFrame(KNN_QUERIES, "site_id long, lat double, lon double")
+    return range_join(
+        pts, sites, RANGE_RADIUS, point_id="event_id", site_id="site_id"
+    ).select("site_id", "event_id")
+
+
+def q_cell_rollup(spark, sf):
+    """Hierarchical cell rollup: fine-res counts re-aggregated to an
+    ancestor resolution with pure integer parent math (no rescan of
+    the raw points — the scale path for multi-res tile pyramids)."""
+    pts = _event_points(spark, sf)
+    fine = (
+        pts.groupBy(
+            cells.cell_encode(F.col("lat"), F.col("lon"), CELL_RES).alias("cell")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        fine.groupBy(
+            cells.cell_parent(F.col("cell"), CELL_RES, ROLLUP_RES).alias("parent_cell")
+        )
+        .agg(
+            F.sum("n").alias("n_points"),
+            F.count(F.lit(1)).alias("n_child_cells"),
+            F.max("n").alias("max_child"),
+        )
+    )
+
+
 def q_salted_join(spark, sf):
     pts = _event_points(spark, sf).withColumn(
         "cell", cells.cell_encode(F.col("lat"), F.col("lon"), CELL_RES)
@@ -1004,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_assign": q_tile_assign,
         "q_pip": q_pip,
         "q_knn": q_knn,
+        "q_range_join": q_range_join,
+        "q_cell_rollup": q_cell_rollup,
         "q_salted_join": q_salted_join,
         "q_osmfilter": q_osmfilter,
         "q_cel": q_cel,
@@ -1820,6 +1858,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_id, polygon_id
             HAVING bool_or(role = 'outer' AND inside)
                AND NOT bool_or(role = 'hole' AND inside)
+        """,
+        "q_range_join": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            q(site_id, qlat, qlon) AS (VALUES {", ".join(f"({i}, {a!r}, {b!r})" for i, a, b in KNN_QUERIES)})
+            SELECT q.site_id, p.event_id
+            FROM pts p CROSS JOIN q
+            WHERE {_haversine_sql('p.lat', 'p.lon', 'q.qlat', 'q.qlon')} <= {RANGE_RADIUS!r}
+        """,
+        "q_cell_rollup": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            fine AS (
+                SELECT {_cell_sql('lat', 'lon', CELL_RES)} AS cell, COUNT(*) AS n
+                FROM pts GROUP BY 1)
+            SELECT ({ROLLUP_RES}::BIGINT << 58)
+                   | ((((cell >> 29) & {(1 << 29) - 1}) >> {CELL_RES - ROLLUP_RES}) << 29)
+                   | ((cell & {(1 << 29) - 1}) >> {CELL_RES - ROLLUP_RES}) AS parent_cell,
+                   SUM(n)::BIGINT AS n_points,
+                   COUNT(*) AS n_child_cells,
+                   MAX(n) AS max_child
+            FROM fine GROUP BY 1
         """,
         "q_knn": f"""
             WITH pts AS ({_POINTS_SQL}),

@@ -21,23 +21,22 @@ from skyway_spark.functions import cells
 from skyway_spark.functions.geo import haversine_km
 
 
-def knn_join(
+def radius_candidates(
     points: DataFrame,
     queries: DataFrame,
-    k: int = 5,
-    radius_km: float = 50.0,
+    radius_km: float,
     ring: int = 1,
     point_id: str = "id",
     query_id: str = "query_id",
     broadcast_queries: bool = True,
 ) -> DataFrame:
-    """(query_id, point id, dist_km, rank<=k) for neighbors within the
-    ring-covered radius.
+    """Shared cell-cover candidate stage for kNN and range joins.
 
-    points needs (point_id, lat, lon); queries needs (query_id, lat,
-    lon). ``ring=1`` with res_for_radius guarantees full coverage of
-    ``radius_km`` around the query (cell height >= radius, so the 3x3
-    ring covers it).
+    Returns (query_id, __pid, __plat, __plon, dist_km) for every
+    point falling in a ring cell of the query; ``dist_km`` is exact
+    haversine but NOT yet filtered to ``radius_km`` (callers apply
+    their own bound). The join is an int64 cell equi-join: shuffle by
+    cell only, or shuffle-free when the query side broadcasts.
     """
     res = cells.res_for_radius_km(radius_km)
     # latitude rows are radius-safe by res choice (cell height >=
@@ -72,9 +71,32 @@ def knn_join(
         F.col("lon").alias("__plon"),
         cells.cell_encode(F.col("lat"), F.col("lon"), res).alias("__cell"),
     )
-    cand = p.join(q, "__cell").withColumn(
+    return p.join(q, "__cell").withColumn(
         "dist_km",
         haversine_km(F.col("__plat"), F.col("__plon"), F.col("__qlat"), F.col("__qlon")),
+    )
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    radius_km: float = 50.0,
+    ring: int = 1,
+    point_id: str = "id",
+    query_id: str = "query_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """(query_id, point id, dist_km, rank<=k) for neighbors within the
+    ring-covered radius.
+
+    points needs (point_id, lat, lon); queries needs (query_id, lat,
+    lon). ``ring=1`` with res_for_radius guarantees full coverage of
+    ``radius_km`` around the query (cell height >= radius, so the 3x3
+    ring covers it).
+    """
+    cand = radius_candidates(
+        points, queries, radius_km, ring, point_id, query_id, broadcast_queries
     )
     w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col("__pid").asc())
     return (

@@ -12,6 +12,7 @@ from skyway_spark.functions.geo import haversine_km_np
 from skyway_spark.operators import salt, tiles
 from skyway_spark.operators.extract import extract_geo_entities, pages_to_elements
 from skyway_spark.operators.knn import knn_join
+from skyway_spark.operators.rangejoin import range_join
 from skyway_spark.operators.pip import point_in_polygon, ray_cast_py
 from skyway_spark.schema import POLYGONS_SCHEMA
 from skyway_spark.sources.generate import generate_pages, generate_polygons
@@ -206,6 +207,53 @@ def test_hot_cells_found(entities):
     hot = salt.hot_cells(with_cell, "cell")
     # the 5 hot cities dominate -> at least a few hot cells
     assert hot.count() >= 3
+
+
+def test_range_join_matches_bruteforce(spark, entities):
+    """Every (site, point) pair within the band, exactly once, incl. a
+    high-latitude site (adaptive x-ring) and an antimeridian site."""
+    pts = entities.select("id", "lat", "lon").limit(4000).cache()
+    srows = [(i, r["lat"], r["lon"]) for i, r in enumerate(pts.limit(8).collect())]
+    srows += [(100, 72.0, 10.0), (101, 0.0, 179.9)]
+    sites = spark.createDataFrame(srows, "site_id long, lat double, lon double")
+    radius = 120.0
+    got = range_join(pts, sites, radius, point_id="id").collect()
+    assert len(got) == len({(r["site_id"], r["id"]) for r in got})  # no dup pairs
+
+    prows = pts.collect()
+    plat = np.array([r["lat"] for r in prows])
+    plon = np.array([r["lon"] for r in prows])
+    pid = np.array([r["id"] for r in prows])
+    want = set()
+    for sid, slat, slon in srows:
+        d = haversine_km_np(slat, slon, plat, plon)
+        want |= {(sid, int(p)) for p in pid[d <= radius]}
+    assert {(r["site_id"], r["id"]) for r in got} == want
+    for r in got:
+        assert r["dist_km"] <= radius
+
+
+def test_cell_rollup_consistency(spark, entities):
+    """parent-by-bit-math == direct encode at the coarser res, and the
+    rollup of fine counts equals a direct coarse aggregation."""
+    pts = entities.select("id", "lat", "lon").limit(3000)
+    res, pres = 7, 3
+    enc = pts.select(
+        cells.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell"),
+        cells.cell_encode(F.col("lat"), F.col("lon"), pres).alias("direct"),
+    ).withColumn("parent", cells.cell_parent(F.col("cell"), res, pres))
+    assert enc.where(F.col("parent") != F.col("direct")).count() == 0
+
+    fine = enc.groupBy("cell", "parent").count()
+    rolled = {
+        r["parent"]: r["n"]
+        for r in fine.groupBy("parent").agg(F.sum("count").alias("n")).collect()
+    }
+    direct = {
+        r["direct"]: r["n"]
+        for r in enc.groupBy("direct").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rolled == direct
 
 
 def test_knn_high_latitude(spark):
