@@ -947,6 +947,30 @@ def q_opl_lines(spark, sf):
     return oplio.serialize_opl(els)
 
 
+def q_json_lines(spark, sf):
+    """Byte-exact per-element OSM-JSON strings (writer hot path:
+    vectorized Arrow UDF, reference field order json.rs:74-188) vs a
+    string-built DuckDB oracle — exercises conditional-field rules and
+    shortest-roundtrip float formatting on integral coordinates."""
+    from skyway_spark.sources import jsonio
+
+    els = _part_elements(spark, sf)
+    return els.select(jsonio.element_json_col(els).alias("value"))
+
+
+def q_audio_windows(spark, sf):
+    """Audio framing over binary payloads (documents text bytes as
+    8-bit PCM): strided numpy windows in mapInPandas, integer energy/
+    peak per window, exact SQL oracle."""
+    from skyway_spark.operators import multimodal
+
+    (docs,) = _tables(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return multimodal.audio_windows(media, window=64, hop=32)
+
+
 def q_pbf_roundtrip(spark, sf):
     """Encode the deterministic elements fixture to OSM PBF bytes and
     read it back through the distributed blob decoder (rows-only:
@@ -1049,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_mentions": q_extract_mentions,
         "q_pipeline_exact": q_pipeline_exact,
         "q_opl_lines": q_opl_lines,
+        "q_json_lines": q_json_lines,
+        "q_audio_windows": q_audio_windows,
         "q_pbf_roundtrip": q_pbf_roundtrip,
         "q_media_features": q_media_features,
         "q_pages_pipeline": q_pages_pipeline,
@@ -1799,6 +1825,38 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'r' || id || ' T' || tags || ' Mn' || id || '@outer'
                 END AS value
             FROM t
+        """,
+        "q_json_lines": """
+            WITH t AS (
+                SELECT p_partkey AS id, p_partkey % 3 AS m,
+                       CASE WHEN p_size > 40 THEN '"big":"yes",' ELSE '' END ||
+                       '"brand":"' || p_brand || '","ptype":"' || p_type || '"' AS tags
+                FROM part)
+            SELECT '{"type":' || CASE
+                WHEN m = 0 THEN '"node","lat":' || ((id % 170) - 85)::VARCHAR || '.0' ||
+                     ',"lon":' || ((id % 360) - 180)::VARCHAR || '.0'
+                WHEN m = 1 THEN '"way","nodes":[' || id || ',' || (id + 1) || ']'
+                ELSE '"relation","members":[{"ref":' || id ||
+                     ',"type":"node","role":"outer"}]'
+                END || ',"id":' || id || ',"tags":{' || tags || '}}' AS value
+            FROM t
+        """,
+        "q_audio_windows": """
+            WITH d AS (
+                SELECT doc_id, text, length(text) AS n FROM documents
+                WHERE length(text) >= 64),
+            w AS (
+                SELECT doc_id, text,
+                       unnest(range(0, (n - 64) // 32 + 1)) AS win_idx
+                FROM d),
+            s AS (
+                SELECT doc_id, win_idx,
+                       unicode(substring(text, (win_idx * 32 + j + 1)::INT, 1)) AS v
+                FROM w, (SELECT unnest(range(0, 64)) AS j))
+            SELECT doc_id AS media_id, win_idx::BIGINT AS win_idx,
+                   (win_idx * 32)::BIGINT AS start,
+                   SUM(v)::BIGINT AS energy, MAX(v)::INT AS peak
+            FROM s GROUP BY 1, 2, 3
         """,
         "q_frame_sample": """
             SELECT doc_id AS media_id,

@@ -161,6 +161,58 @@ def resize_media(
     return media.select("media_id", "payload").mapInPandas(resize, out_schema)
 
 
+AUDIO_WINDOWS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("win_idx", LongType(), False),
+        StructField("start", LongType(), False),
+        StructField("energy", LongType(), False),
+        StructField("peak", IntegerType(), False),
+    ]
+)
+
+
+def audio_windows(media: DataFrame, window: int = 256, hop: int = 128) -> DataFrame:
+    """Audio framing: treat each payload as 8-bit PCM samples and emit
+    one row per full analysis window (length ``window``, stride
+    ``hop``) with integer energy (sum of sample values) and peak.
+
+    The decode step is the deterministic byte view (a real codec is
+    stubbed per the container constraints — see module docstring); the
+    Spark plumbing is the real contract: vectorized numpy strided
+    windows inside mapInPandas generator batches, one pass per
+    payload, no Python per sample and no shuffle. Integer-exact, so it
+    carries a closed-form SQL oracle (q_audio_windows).
+    """
+
+    def frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, starts, energy, peak = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) < window:
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8)
+                wins = np.lib.stride_tricks.sliding_window_view(arr, window)[::hop]
+                n = wins.shape[0]
+                ids.append(np.full(n, mid, dtype=np.int64))
+                widx.append(np.arange(n, dtype=np.int64))
+                starts.append(np.arange(n, dtype=np.int64) * hop)
+                energy.append(wins.sum(axis=1, dtype=np.int64))
+                peak.append(wins.max(axis=1).astype(np.int32))
+            cat = (lambda xs, dt: np.concatenate(xs) if xs else np.array([], dtype=dt))
+            yield pd.DataFrame(
+                {
+                    "media_id": cat(ids, np.int64),
+                    "win_idx": cat(widx, np.int64),
+                    "start": cat(starts, np.int64),
+                    "energy": cat(energy, np.int64),
+                    "peak": cat(peak, np.int32),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(frame, AUDIO_WINDOWS_SCHEMA)
+
+
 def pages_to_media(pages: DataFrame) -> DataFrame:
     """Adapter: treat page html bytes as an image-like payload table
     (exercises the binary plumbing on the pages fixture)."""

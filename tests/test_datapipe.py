@@ -280,3 +280,29 @@ def test_resize_media(spark):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xxx", fake=False)
+
+
+def test_audio_windows(spark, docs):
+    media = docs.limit(40).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    W, H = 32, 16
+    got = multimodal.audio_windows(media, window=W, hop=H).collect()
+    want = []
+    for r in media.collect():
+        b = bytes(r["payload"])
+        for i in range(0, (len(b) - W) // H + 1 if len(b) >= W else 0):
+            w = b[i * H : i * H + W]
+            want.append((r["media_id"], i, i * H, sum(w), max(w)))
+    assert sorted(
+        (r["media_id"], r["win_idx"], r["start"], r["energy"], r["peak"]) for r in got
+    ) == sorted(want)
+    # partition invariance: batch boundaries must not change framing
+    got2 = multimodal.audio_windows(media.repartition(7), window=W, hop=H).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+    # payloads shorter than one window emit nothing
+    tiny = spark.createDataFrame(
+        [(1, bytearray(b"abc"))], "media_id long, payload binary"
+    )
+    assert multimodal.audio_windows(tiny, window=8, hop=4).count() == 0
