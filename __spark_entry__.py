@@ -807,6 +807,30 @@ def q_cell_rollup(spark, sf):
     )
 
 
+def q_cell_users(spark, sf):
+    """Per-cell distinct-user + count aggregation (the two-shuffle
+    distinct-agg shape; partial aggregation map-side on both)."""
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "user_id",
+        ((F.col("user_id") * 7919) % 17000 / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+    return pts.groupBy(
+        cells.cell_encode(F.col("lat"), F.col("lon"), CELL_RES).alias("cell")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def q_top_ngrams(spark, sf):
+    """Corpus-wide top-50 word bigrams over documents (explode ->
+    partial-agg count -> sort of the aggregate only)."""
+    (docs,) = _tables(spark, sf, "documents")
+    return textstats.top_ngrams(docs, n=2, k=50)
+
+
 def q_salted_join(spark, sf):
     pts = _event_points(spark, sf).withColumn(
         "cell", cells.cell_encode(F.col("lat"), F.col("lon"), CELL_RES)
@@ -1066,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn": q_knn,
         "q_range_join": q_range_join,
         "q_cell_rollup": q_cell_rollup,
+        "q_cell_users": q_cell_users,
+        "q_top_ngrams": q_top_ngrams,
         "q_salted_join": q_salted_join,
         "q_osmfilter": q_osmfilter,
         "q_cel": q_cel,
@@ -1916,6 +1942,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_id, polygon_id
             HAVING bool_or(role = 'outer' AND inside)
                AND NOT bool_or(role = 'hole' AND inside)
+        """,
+        "q_cell_users": f"""
+            WITH pts AS (
+                SELECT user_id,
+                       ((user_id * 7919) % 17000) / 100.0 - 85.0  AS lat,
+                       ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+                FROM events)
+            SELECT {_cell_sql('lat', 'lon', CELL_RES)} AS cell,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_points
+            FROM pts GROUP BY 1
+        """,
+        "q_top_ngrams": """
+            WITH toks AS (
+                SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
+            g AS (
+                SELECT array_to_string(t[i:i+1], ' ') AS ngram
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u)
+            SELECT ngram, COUNT(*) AS n_occurrences
+            FROM g GROUP BY 1
+            ORDER BY n_occurrences DESC, ngram
+            LIMIT 50
         """,
         "q_range_join": f"""
             WITH pts AS ({_POINTS_SQL}),

@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "q_late_orders_semi",
     "q_pip",
     "q_knn",
+    "q_range_join",
+    "q_cell_rollup",
+    "q_cell_users",
+    "q_top_ngrams",
+    "q_audio_windows",
     "q_salted_join",
     "q_osmfilter",
     "q_cel",

@@ -99,6 +99,34 @@ def fingerprint(col: Column) -> Column:
     )
 
 
+def ngrams(col: Column, n: int) -> Column:
+    """array of word n-grams (space-joined) — pure Column exprs:
+    split, sequence, transform+slice+array_join. Empty when the doc
+    has fewer than n tokens."""
+    toks = F.split(F.trim(col), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: explode is JVM-side, the count
+    is a partial-aggregated groupBy (map-side combine), and top-k is a
+    global sort of only the distinct-ngram aggregate — never of the
+    exploded rows. Ties broken by ngram text for determinism."""
+    return (
+        docs.select(F.explode(ngrams(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return docs.select(

@@ -282,6 +282,26 @@ def test_real_decoder_is_stubbed():
         multimodal.decode_image(b"xxx", fake=False)
 
 
+def test_top_ngrams(spark, docs):
+    import collections
+
+    sub = docs.limit(60)
+    got = [
+        (r["ngram"], r["n_occurrences"])
+        for r in textstats.top_ngrams(sub, n=3, k=20).collect()
+    ]
+    c = collections.Counter()
+    for r in sub.collect():
+        toks = r["text"].strip().split()
+        for i in range(len(toks) - 2):
+            c[" ".join(toks[i : i + 3])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+    # fewer tokens than n -> no grams, no crash
+    tiny = spark.createDataFrame([("one two",), ("",)], "text string")
+    assert textstats.top_ngrams(tiny, n=3, k=5).count() == 0
+
+
 def test_audio_windows(spark, docs):
     media = docs.limit(40).select(
         F.col("doc_id").alias("media_id"),
