@@ -356,6 +356,66 @@ def q_running_window(spark, sf):
     )
 
 
+def q_pivot(spark, sf):
+    """Pivot (crosstab) with an explicit value list — no
+    value-discovery pass, so the plan is a single partial-aggregated
+    groupBy however wide the fact table is."""
+    (orders,) = _tables(spark, sf, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def q_window_range(spark, sf):
+    """RANGE-frame window: per-user trailing 600-second sum/count over
+    event time (value-based frame, peers included — distinct from the
+    ROWS frames in q_running_window). Money is floor-scaled to integer
+    cents so the frame sum is order-independent and cross-engine
+    exact."""
+    from pyspark.sql import Window
+
+    (ev,) = _tables(spark, sf, "events")
+    amt = F.floor(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+        )
+        .rangeBetween(-600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(amt).over(w).alias("trail_cents"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+
+
+def q_asof_join(spark, sf):
+    """As-of join: each order picks up the most recent event snapshot
+    (right.ts <= order date) for its key — one sort-shuffle of L+R,
+    never a range explosion. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from skyway_spark.operators.asof import asof_join
+
+    orders, ev = _tables(spark, sf, "orders", "events")
+    left = orders.select(
+        (F.col("o_custkey") % 50).alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    right = (
+        ev.select((F.col("user_id") % 50).alias("k"), "ts", "event_id")
+        .groupBy("k", "ts")
+        .agg(F.max("event_id").alias("ref_event"))
+    )
+    out = asof_join(left, right, key="k", value_cols=["ref_event"])
+    return out.select("o_orderkey", "k", "ref_event")
+
+
 def q_string_funcs(spark, sf):
     (part,) = _tables(spark, sf, "part")
     return part.select(
@@ -1058,6 +1118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_subquery": q_scalar_subquery,
         "q_percentiles": q_percentiles,
         "q_running_window": q_running_window,
+        "q_pivot": q_pivot,
+        "q_window_range": q_window_range,
+        "q_asof_join": q_asof_join,
         "q_string_funcs": q_string_funcs,
         "q_datetime_funcs": q_datetime_funcs,
         "q_json_props": q_json_props,
@@ -1605,6 +1668,33 @@ def oracle_sql() -> dict[str, str]:
                    MAX(l_quantity) AS max_qty
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "q_asof_join": """
+            WITH l AS (
+                SELECT o_custkey % 50 AS k, o_orderdate AS ts, o_orderkey
+                FROM orders),
+            r AS (
+                SELECT user_id % 50 AS k, ts, MAX(event_id) AS ref_event
+                FROM events GROUP BY 1, 2)
+            SELECT l.o_orderkey, l.k, r.ref_event
+            FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+        """,
+        "q_pivot": """
+            SELECT o_orderstatus,
+                   COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+                   COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+                   COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+                   COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+                   COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+            FROM orders GROUP BY 1
+        """,
+        "q_window_range": """
+            SELECT event_id, user_id,
+                   SUM(floor(value * 100)::BIGINT) OVER w AS trail_cents,
+                   COUNT(*) OVER w AS trail_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         """,
         "q_running_window": """
             SELECT o_orderkey, o_custkey,

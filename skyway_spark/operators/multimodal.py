@@ -186,27 +186,48 @@ def audio_windows(media: DataFrame, window: int = 256, hop: int = 128) -> DataFr
     """
 
     def frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "media_id": np.array([], dtype=np.int64),
+                "win_idx": np.array([], dtype=np.int64),
+                "start": np.array([], dtype=np.int64),
+                "energy": np.array([], dtype=np.int64),
+                "peak": np.array([], dtype=np.int32),
+            }
+        )
         for pdf in batches:
-            ids, widx, starts, energy, peak = [], [], [], [], []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if p is None or len(p) < window:
-                    continue
-                arr = np.frombuffer(p, dtype=np.uint8)
-                wins = np.lib.stride_tricks.sliding_window_view(arr, window)[::hop]
-                n = wins.shape[0]
-                ids.append(np.full(n, mid, dtype=np.int64))
-                widx.append(np.arange(n, dtype=np.int64))
-                starts.append(np.arange(n, dtype=np.int64) * hop)
-                energy.append(wins.sum(axis=1, dtype=np.int64))
-                peak.append(wins.max(axis=1).astype(np.int32))
-            cat = (lambda xs, dt: np.concatenate(xs) if xs else np.array([], dtype=dt))
+            # one pass, fully vectorized across the batch: concatenate
+            # all payloads, enumerate every window start with offset
+            # arithmetic, then slice a single sliding_window_view —
+            # no per-payload Python loop beyond the buffer concat
+            keep = [
+                (mid, p)
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+                if p is not None and len(p) >= window
+            ]
+            if not keep:
+                yield empty
+                continue
+            lens = np.array([len(p) for _, p in keep], dtype=np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            buf = np.frombuffer(b"".join(p for _, p in keep), dtype=np.uint8)
+            nwin = (lens - window) // hop + 1
+            ids = np.repeat(np.asarray([m for m, _ in keep], dtype=np.int64), nwin)
+            bounds = np.concatenate(([0], np.cumsum(nwin)))
+            widx = np.arange(bounds[-1], dtype=np.int64) - np.repeat(
+                bounds[:-1], nwin
+            )
+            starts = widx * hop
+            wins = np.lib.stride_tricks.sliding_window_view(buf, window)[
+                np.repeat(offs, nwin) + starts
+            ]
             yield pd.DataFrame(
                 {
-                    "media_id": cat(ids, np.int64),
-                    "win_idx": cat(widx, np.int64),
-                    "start": cat(starts, np.int64),
-                    "energy": cat(energy, np.int64),
-                    "peak": cat(peak, np.int32),
+                    "media_id": ids,
+                    "win_idx": widx,
+                    "start": starts,
+                    "energy": wins.sum(axis=1, dtype=np.int64),
+                    "peak": wins.max(axis=1).astype(np.int32),
                 }
             )
 

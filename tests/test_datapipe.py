@@ -282,6 +282,45 @@ def test_real_decoder_is_stubbed():
         multimodal.decode_image(b"xxx", fake=False)
 
 
+def test_asof_join_bruteforce(spark):
+    """Backward-inclusive as-of vs a python mirror: equal-ts match,
+    no-preceding-row nulls, interleaved keys, tolerance cutoff."""
+    import random
+
+    from skyway_spark.operators.asof import asof_join
+
+    rnd = random.Random(7)
+    lrows = [(i, rnd.randrange(4), rnd.randrange(100)) for i in range(200)]
+    rrows_raw = {(rnd.randrange(4), rnd.randrange(100)) for _ in range(80)}
+    rrows = [(k, t, k * 1000 + t) for k, t in rrows_raw]
+    left = spark.createDataFrame(lrows, "lid long, k long, ts long")
+    right = spark.createDataFrame(rrows, "k long, ts long, val long")
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(left, right, key="k", value_cols=["val"]).collect()
+    }
+
+    def mirror(tol=None):
+        want = {}
+        for lid, k, t in lrows:
+            cand = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
+            if tol is not None:
+                cand = [(rt, v) for rt, v in cand if rt >= t - tol]
+            want[lid] = max(cand)[1] if cand else None
+        return want
+
+    assert got == mirror()
+    got_tol = {
+        r["lid"]: r["val"]
+        for r in asof_join(
+            left, right, key="k", value_cols=["val"], tolerance=F.lit(10)
+        ).collect()
+    }
+    assert got_tol == mirror(10)
+    # row multiplicity: exactly one output row per left row
+    assert len(got) == len(lrows)
+
+
 def test_top_ngrams(spark, docs):
     import collections
 
