@@ -114,6 +114,38 @@ def sessionize(
     )
 
 
+def tile_window_counts(
+    points: DataFrame, z: int = 8, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming spatial rollup: tumbling event-time windows x slippy
+    tile, with late data bounded by the watermark. The tile key is the
+    same pure-Column math as the batch path (functions/cells.py), so
+    stream and batch rollups agree bit-for-bit; state per trigger is
+    one row per live (window, tile), which at planet scale is bounded
+    by the tile grid, not the input rate.
+
+    points needs (ts, lat, lon)."""
+    from skyway_spark.functions import cells
+
+    tx, ty = cells.tile_xy(F.col("lat"), F.col("lon"), z)
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            tx.alias("tile_x"),
+            ty.alias("tile_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.lit(z).alias("tile_z"),
+            "tile_x",
+            "tile_y",
+            "n_points",
+        )
+    )
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static enrichment join. The static side is broadcast —
     per micro-batch the stream stays narrow (no stateful join, no

@@ -186,6 +186,85 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert (1, t0, t0 + dt.timedelta(minutes=5), 2) in got
 
 
+def test_py_files_zip_imports(tmp_path):
+    """The --py-files artifact is self-contained: a clean interpreter
+    with ONLY the zip on sys.path imports the full package; and the
+    build is byte-reproducible."""
+    import subprocess
+    import sys as _sys
+
+    from tools.build_zip import build
+
+    z1 = build(tmp_path / "a.zip")
+    z2 = build(tmp_path / "b.zip")
+    assert z1.read_bytes() == z2.read_bytes()
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import skyway_spark.operators.asof, skyway_spark.functions.cells, "
+        "skyway_spark.streaming.events, skyway_spark.sources.opl; "
+        "print('zip-ok')"
+    )
+    r = subprocess.run(
+        [_sys.executable, "-c", code, str(z1)],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0 and "zip-ok" in r.stdout, r.stderr
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    """Streaming tile rollup == batch tile rollup on the same input
+    (closed windows only under append mode)."""
+    from skyway_spark.functions import cells
+    from skyway_spark.streaming.events import (
+        read_events_stream,
+        run_bounded,
+        tile_window_counts,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "tiles_in")
+    ev.write.parquet(in_dir)
+
+    def pts(df):
+        return df.select(
+            "ts",
+            ((F.col("user_id") * 7919) % 17000 / 100.0 - 85.0).alias("lat"),
+            ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+        )
+
+    stream = tile_window_counts(pts(read_events_stream(spark, in_dir)), z=6)
+    out_dir = str(tmp_path / "tiles_out")
+    run_bounded(stream, str(tmp_path / "tiles_ck"), out_dir)
+    got = {
+        (r["window_start"], r["tile_x"], r["tile_y"]): r["n_points"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got, "no closed windows emitted"
+    b = pts(ev)
+    tx, ty = cells.tile_xy(F.col("lat"), F.col("lon"), 6)
+    want = {
+        (r["ws"], r["tile_x"], r["tile_y"]): r["n"]
+        for r in b.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"),
+            tx.alias("tile_x"),
+            ty.alias("tile_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # append mode withholds windows still open at the final watermark
+    assert got.items() <= want.items()
+    # everything before the horizon must have been emitted
+    import datetime as dt
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - dt.timedelta(hours=3)
+    missing = {k for k in want if k not in got and k[0] < horizon}
+    assert not missing
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as em
 
