@@ -395,6 +395,18 @@ def q_window_range(spark, sf):
     )
 
 
+def q_gap_fill(spark, sf):
+    """Hourly resample per user with dense grid + zero fill + forward
+    fill — grid generated from aggregate rows, never rescanning raw
+    events. Oracle: generate_series + LAST_VALUE IGNORE NULLS."""
+    from skyway_spark.operators.timeseries import hourly_gap_fill
+
+    (ev,) = _tables(spark, sf, "events")
+    # keep the grid tractable: one key bucket spans the full window
+    sub = ev.select((F.col("user_id") % 100).alias("k"), "ts", "value")
+    return hourly_gap_fill(sub, key="k")
+
+
 def q_asof_join(spark, sf):
     """As-of join: each order picks up the most recent event snapshot
     (right.ts <= order date) for its key — one sort-shuffle of L+R,
@@ -1042,6 +1054,16 @@ def q_json_lines(spark, sf):
     return els.select(jsonio.element_json_col(els).alias("value"))
 
 
+def q_xml_lines(spark, sf):
+    """Byte-exact per-element OSM-XML strings (flattened attr order
+    xml.rs:43-58, visible default-true, nd/member/tag children) vs a
+    string-built DuckDB oracle."""
+    from skyway_spark.sources import xmlio
+
+    els = _part_elements(spark, sf)
+    return els.select(xmlio.element_xml_col(els).alias("value"))
+
+
 def q_audio_windows(spark, sf):
     """Audio framing over binary payloads (documents text bytes as
     8-bit PCM): strided numpy windows in mapInPandas, integer energy/
@@ -1121,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_window_range": q_window_range,
         "q_asof_join": q_asof_join,
+        "q_gap_fill": q_gap_fill,
         "q_string_funcs": q_string_funcs,
         "q_datetime_funcs": q_datetime_funcs,
         "q_json_props": q_json_props,
@@ -1163,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline_exact": q_pipeline_exact,
         "q_opl_lines": q_opl_lines,
         "q_json_lines": q_json_lines,
+        "q_xml_lines": q_xml_lines,
         "q_audio_windows": q_audio_windows,
         "q_pbf_roundtrip": q_pbf_roundtrip,
         "q_media_features": q_media_features,
@@ -1669,6 +1693,25 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
         """,
+        "q_gap_fill": """
+            WITH agg AS (
+                SELECT user_id % 100 AS k, date_trunc('hour', ts) AS hour,
+                       COUNT(*) AS n_events,
+                       SUM(floor(value * 100)::BIGINT) AS cents
+                FROM events GROUP BY 1, 2),
+            spans AS (
+                SELECT k, MIN(hour) AS h0, MAX(hour) AS h1 FROM agg GROUP BY 1),
+            grid AS (
+                SELECT k, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+                FROM spans)
+            SELECT g.k, g.hour,
+                   COALESCE(a.n_events, 0) AS n_events,
+                   LAST_VALUE(a.cents IGNORE NULLS) OVER (
+                       PARTITION BY g.k ORDER BY g.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS ffill_cents
+            FROM grid g LEFT JOIN agg a ON g.k = a.k AND g.hour = a.hour
+        """,
         "q_asof_join": """
             WITH l AS (
                 SELECT o_custkey % 50 AS k, o_orderdate AS ts, o_orderkey
@@ -1955,6 +1998,25 @@ def oracle_sql() -> dict[str, str]:
                 ELSE '"relation","members":[{"ref":' || id ||
                      ',"type":"node","role":"outer"}]'
                 END || ',"id":' || id || ',"tags":{' || tags || '}}' AS value
+            FROM t
+        """,
+        "q_xml_lines": """
+            WITH t AS (
+                SELECT p_partkey AS id, p_partkey % 3 AS m,
+                       CASE WHEN p_size > 40 THEN '<tag k="big" v="yes"/>' ELSE '' END ||
+                       '<tag k="brand" v="' || p_brand || '"/><tag k="ptype" v="' ||
+                       p_type || '"/>' AS tags
+                FROM part)
+            SELECT CASE
+                WHEN m = 0 THEN '<node lat="' || ((id % 170) - 85)::VARCHAR ||
+                     '.0" lon="' || ((id % 360) - 180)::VARCHAR || '.0" id="' || id ||
+                     '" visible="true">' || tags || '</node>'
+                WHEN m = 1 THEN '<way id="' || id || '" visible="true"><nd ref="' ||
+                     id || '"/><nd ref="' || (id + 1) || '"/>' || tags || '</way>'
+                ELSE '<relation id="' || id ||
+                     '" visible="true"><member type="node" ref="' || id ||
+                     '" role="outer"/>' || tags || '</relation>'
+                END AS value
             FROM t
         """,
         "q_audio_windows": """

@@ -282,6 +282,36 @@ def test_real_decoder_is_stubbed():
         multimodal.decode_image(b"xxx", fake=False)
 
 
+def test_hourly_gap_fill(spark):
+    """Dense grid, zero fill on gap hours, forward fill across gaps —
+    vs a python mirror."""
+    import datetime as dt
+
+    from skyway_spark.operators.timeseries import hourly_gap_fill
+
+    t0 = dt.datetime(2024, 3, 1, 10, 30)
+    rows = [
+        (1, t0, 100.0),
+        (1, t0 + dt.timedelta(minutes=10), 50.0),      # same hour
+        (1, t0 + dt.timedelta(hours=3), 20.0),          # 2-hour gap
+        (2, t0 + dt.timedelta(hours=1), 7.0),           # single event
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    got = {
+        (r["user_id"], r["hour"]): (r["n_events"], r["ffill_cents"])
+        for r in hourly_gap_fill(ev).collect()
+    }
+    h = dt.datetime(2024, 3, 1, 10)
+    want = {
+        (1, h): (2, 15000),
+        (1, h + dt.timedelta(hours=1)): (0, 15000),     # gap: ffill
+        (1, h + dt.timedelta(hours=2)): (0, 15000),
+        (1, h + dt.timedelta(hours=3)): (1, 2000),
+        (2, h + dt.timedelta(hours=1)): (1, 700),
+    }
+    assert got == want
+
+
 def test_asof_join_bruteforce(spark):
     """Backward-inclusive as-of vs a python mirror: equal-ts match,
     no-preceding-row nulls, interleaved keys, tolerance cutoff."""
