@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "q_knn",
     "q_range_join",
     "q_cell_rollup",
+    "q_asof_join",
+    "q_gap_fill",
+    "q_window_range",
+    "q_pivot",
     "q_cell_users",
     "q_top_ngrams",
     "q_audio_windows",

@@ -161,6 +161,47 @@ def test_ann_ivf_narrow_until_topk(spark):
     assert len(shuffles) == 0, shuffles
 
 
+def test_range_join_broadcast_no_shuffle(spark):
+    """The distance-band join must broadcast the (small) site side and
+    never shuffle or sort-merge the point side."""
+    from skyway_spark.operators.rangejoin import range_join
+
+    pts = spark.range(1000).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 170 - 85.0).alias("lat"),
+        ((F.col("id") * 73) % 360 - 180.0).alias("lon"),
+    )
+    sites = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, -20.0, 50.0)], "site_id long, lat double, lon double"
+    )
+    plan = _executed_plan(range_join(pts, sites, 300.0))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """As-of join = exactly one hash-partitioning exchange (the window
+    by key) over the unioned sides — no range-join explosion, no
+    per-key collect."""
+    from skyway_spark.operators.asof import asof_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"), (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("ts")
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 7).alias("ts"), F.col("id").alias("val")
+    )
+    plan = _executed_plan(asof_join(left, right, key="k", value_cols=["val"]))
+    n_exch = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    )
+    assert n_exch == 1, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
 def test_pages_scan_prunes_html(spark, tmp_path_factory):
     """The pages scan must never read the html binary column (the
     bulk of a 100 TB pages table) when the pipeline only needs
