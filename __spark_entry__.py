@@ -879,6 +879,27 @@ def q_cell_rollup(spark, sf):
     )
 
 
+def q_quadkey(spark, sf):
+    """Bing quadkey tile strings (prefix-hierarchical tile keys) —
+    per-quadkey counts at z=7, pure Column bit math."""
+    pts = _event_points(spark, sf)
+    return (
+        pts.groupBy(cells.quadkey(F.col("lat"), F.col("lon"), 7).alias("qk"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_compact_cells(spark, sf):
+    """H3-compact-style sibling compaction of the occupied res-6 cell
+    set, two levels: full 2x2 sibling groups promote to their parent.
+    Compaction runs over the distinct-cell aggregate only."""
+    pts = _event_points(spark, sf)
+    occupied = pts.select(
+        cells.cell_encode(F.col("lat"), F.col("lon"), CELL_RES).alias("cell")
+    ).distinct()
+    return cells.compact_cells(occupied, CELL_RES, levels=2)
+
+
 def q_cell_users(spark, sf):
     """Per-cell distinct-user + count aggregation (the two-shuffle
     distinct-agg shape; partial aggregation map-side on both)."""
@@ -1177,6 +1198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_cell_rollup": q_cell_rollup,
         "q_cell_users": q_cell_users,
+        "q_quadkey": q_quadkey,
+        "q_compact_cells": q_compact_cells,
         "q_top_ngrams": q_top_ngrams,
         "q_salted_join": q_salted_join,
         "q_osmfilter": q_osmfilter,
@@ -1372,6 +1395,15 @@ def _cell_sql(lat: str, lon: str, res: int) -> str:
     x = f"greatest(0, least({nx - 1}, floor((({lon}) + 180.0) / 360.0 * {float(nx)})::BIGINT))"
     y = f"greatest(0, least({ny - 1}, floor((90.0 - ({lat})) / 180.0 * {float(ny)})::BIGINT))"
     return f"(({res}::BIGINT << 58) | ({x} << 29) | {y})"
+
+
+def _parent_sql(cell: str, res: int) -> str:
+    """SQL mirror of cells.cell_parent({cell} at res) -> res-1."""
+    m = (1 << 29) - 1
+    return (
+        f"(({res - 1}::BIGINT << 58) | (((({cell} >> 29) & {m}) >> 1) << 29)"
+        f" | (({cell} & {m}) >> 1))"
+    )
 
 
 def _tile_xy_sql(lat: str, lon: str, z: int) -> tuple[str, str]:
@@ -2094,6 +2126,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_id, polygon_id
             HAVING bool_or(role = 'outer' AND inside)
                AND NOT bool_or(role = 'hole' AND inside)
+        """,
+        "q_quadkey": (
+            lambda tx7, ty7: f"""
+            WITH pts AS ({_POINTS_SQL}),
+            t AS (SELECT {tx7} AS x, {ty7} AS y FROM pts)
+            SELECT {" || ".join(f"(((x >> {7 - 1 - i}) & 1) + 2 * ((y >> {7 - 1 - i}) & 1))::VARCHAR" for i in range(7))} AS qk,
+                   COUNT(*) AS n_points
+            FROM t GROUP BY 1
+        """
+        )(*_tile_xy_sql("lat", "lon", 7)),
+        "q_compact_cells": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            c6 AS (SELECT DISTINCT {_cell_sql('lat', 'lon', CELL_RES)} AS cell FROM pts),
+            l1 AS (SELECT {_parent_sql('cell', CELL_RES)} AS p, COUNT(*) AS n,
+                          list(cell) AS kids
+                   FROM c6 GROUP BY 1),
+            p5 AS (SELECT p AS cell FROM l1 WHERE n = 4),
+            k6 AS (SELECT unnest(kids) AS cell FROM l1 WHERE n < 4),
+            l2 AS (SELECT {_parent_sql('cell', CELL_RES - 1)} AS p, COUNT(*) AS n,
+                          list(cell) AS kids
+                   FROM p5 GROUP BY 1),
+            p4 AS (SELECT p AS cell FROM l2 WHERE n = 4),
+            k5 AS (SELECT unnest(kids) AS cell FROM l2 WHERE n < 4)
+            SELECT cell, {CELL_RES}::INT AS res FROM k6
+            UNION ALL SELECT cell, {CELL_RES - 1}::INT FROM k5
+            UNION ALL SELECT cell, {CELL_RES - 2}::INT FROM p4
         """,
         "q_cell_users": f"""
             WITH pts AS (

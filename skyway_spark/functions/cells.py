@@ -46,6 +46,19 @@ def _as_col(v) -> Column:
     return v if isinstance(v, Column) else F.lit(v)
 
 
+def pack_cell_py(x: int, y: int, res: int) -> int:
+    """Driver-side mirror of pack_cell (tests, covering sets)."""
+    return (res << _R_SHIFT) | (x << _X_SHIFT) | y
+
+
+def cell_x_py(cell: int) -> int:
+    return (cell >> _X_SHIFT) & _XY_MASK
+
+
+def cell_y_py(cell: int) -> int:
+    return cell & _XY_MASK
+
+
 def cell_xy(lat: Column, lon: Column, res: int) -> tuple[Column, Column]:
     """Grid coordinates at resolution ``res`` (pure Column math)."""
     nx = 1 << (res + 1)
@@ -193,6 +206,53 @@ def tile_key(lat: Column, lon: Column, z: int) -> Column:
     """int64 tile key: (z << 58) | (x << 29) | y."""
     tx, ty = tile_xy(lat, lon, z)
     return pack_cell(tx, ty, z)
+
+
+def quadkey(lat: Column, lon: Column, z: int) -> Column:
+    """Bing-maps quadkey string of length ``z`` (digit i interleaves
+    bit z-1-i of tile x/y: 0|1|2|3 = NW|NE|SW|SE). Pure Column math —
+    the unrolled per-level concat stays inside whole-stage codegen.
+    Quadkeys make tile hierarchy a string-prefix relation, so a
+    coarser tile's contents are a LIKE 'prefix%' range scan when the
+    table is sorted/partitioned by quadkey."""
+    tx, ty = tile_xy(lat, lon, z)
+    digits = [
+        (
+            F.shiftrightunsigned(tx, z - 1 - i).bitwiseAND(F.lit(1))
+            + F.shiftrightunsigned(ty, z - 1 - i).bitwiseAND(F.lit(1)) * F.lit(2)
+        ).cast("string")
+        for i in range(z)
+    ]
+    return F.concat(*digits) if digits else F.lit("")
+
+
+def compact_cells(cells_df, res: int, levels: int = 1, cell_col: str = "cell"):
+    """H3-compact-style sibling compaction: any parent whose 4
+    children are ALL present replaces them; repeated ``levels`` times.
+    Input: DataFrame with distinct cells at ``res``. Output: (cell,
+    res) covering the same region with fewer cells.
+
+    Each level is one groupBy over the (already aggregate-sized) cell
+    set — compaction never touches the point data."""
+    from pyspark.sql import DataFrame  # local to avoid cycle at import
+
+    assert isinstance(cells_df, DataFrame)
+    out = cells_df.select(F.col(cell_col).alias("cell")).withColumn("res", F.lit(res))
+    for r in range(res, res - levels, -1):
+        cur = out.where(F.col("res") == r)
+        rest = out.where(F.col("res") != r)
+        parent = cell_parent(F.col("cell"), r, r - 1)
+        grouped = cur.groupBy(parent.alias("p")).agg(
+            F.count(F.lit(1)).alias("n"), F.collect_list("cell").alias("kids")
+        )
+        promoted = grouped.where(F.col("n") == 4).select(
+            F.col("p").alias("cell"), F.lit(r - 1).alias("res")
+        )
+        kept = grouped.where(F.col("n") < 4).select(
+            F.explode("kids").alias("cell"), F.lit(r).alias("res")
+        )
+        out = rest.unionByName(promoted).unionByName(kept)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -148,3 +148,61 @@ def test_res_for_radius():
     r = cells.res_for_radius_km(5.0)
     assert 180.0 / (1 << r) >= 5.0 / 111.32
     assert 180.0 / (1 << (r + 1)) < 5.0 / 111.32
+
+
+def test_quadkey_matches_bitmirror_and_prefix(points):
+    df, lat, lon = points
+    z = 7
+    got = (
+        df.select(
+            "id",
+            cells.quadkey(F.col("lat"), F.col("lon"), z).alias("qk"),
+            cells.quadkey(F.col("lat"), F.col("lon"), 4).alias("qk4"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    tx, ty = cells.tile_xy_np(lat, lon, z)
+    for r, x, y in zip(got, tx, ty):
+        want = "".join(
+            str(((int(x) >> (z - 1 - i)) & 1) + 2 * ((int(y) >> (z - 1 - i)) & 1))
+            for i in range(z)
+        )
+        assert r["qk"] == want
+    # zoom hierarchy is string-prefix containment vs independent z=4 math
+    tx4, ty4 = cells.tile_xy_np(lat, lon, 4)
+    for r, x, y in zip(got, tx4, ty4):
+        want4 = "".join(
+            str(((int(x) >> (3 - i)) & 1) + 2 * ((int(y) >> (3 - i)) & 1))
+            for i in range(4)
+        )
+        assert r["qk4"] == want4
+        assert r["qk"].startswith(want4)
+
+
+def test_compact_cells_coverage_preserved(spark):
+    """Compacting then re-expanding to the fine res reproduces the
+    original cell set exactly; a full 4x4 block compacts 2 levels to
+    ONE res-4 cell."""
+    res = 6
+    # a full 4x4 block of res-6 cells (16 cells -> one res-4 cell)
+    block = [cells.pack_cell_py(x, y, res) for x in range(8, 12) for y in range(4, 8)]
+    # plus a partial group that must stay at res 6
+    partial = [cells.pack_cell_py(20, 20, res), cells.pack_cell_py(21, 20, res)]
+    df = spark.createDataFrame([(c,) for c in block + partial], "cell long")
+    out = cells.compact_cells(df, res, levels=2).collect()
+    got = {(r["cell"], r["res"]) for r in out}
+    assert (cells.pack_cell_py(2, 1, 4), 4) in got
+    assert {(c, 6) for c in partial} <= got
+    assert len(got) == 3
+
+    # coverage: expand everything back to res 6
+    expanded = set()
+    for c, r in got:
+        xs = [cells.cell_x_py(c)]
+        ys = [cells.cell_y_py(c)]
+        for _ in range(6 - r):
+            xs = [v for x in xs for v in (2 * x, 2 * x + 1)]
+            ys = [v for y in ys for v in (2 * y, 2 * y + 1)]
+        expanded |= {cells.pack_cell_py(x, y, 6) for x in xs for y in ys}
+    assert expanded == set(block + partial)
