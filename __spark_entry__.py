@@ -625,6 +625,19 @@ def q_minhash_lsh(spark, sf):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTERS: connected components (min-label propagation)
+    over the MinHash-LSH pair graph — A~B, B~C collapse to one cluster
+    even when A~C was never emitted. Oracle: recursive-CTE transitive
+    closure over the same pair SQL."""
+    from skyway_spark.operators.graph import connected_components
+
+    pairs = dedup.minhash_lsh_pairs(
+        _docs_with_dups(spark, sf), threshold=0.8, unit="word"
+    )
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
 def q_simhash_pairs(spark, sf):
     """SimHash banding pairs; 44 effective bits (token hashes are
     mod 2^44), 11-bit bands."""
@@ -1176,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram": q_dedup_ngram,
         "q_minhash": q_minhash,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_simhash_clusters": q_simhash_clusters,
@@ -1907,6 +1921,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash": _minhash_sql(),
         "q_minhash_lsh": _minhash_lsh_sql(),
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE
+            p AS ({_minhash_lsh_sql()}),
+            e AS (SELECT id_a AS s, id_b AS t FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(s, t) AS (
+                SELECT s, t FROM e
+                UNION
+                SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+            )
+            SELECT s AS node, LEAST(s, MIN(t))::BIGINT AS component
+            FROM reach GROUP BY s
+        """,
         "q_simhash": _simhash_sql(),
         "q_simhash_pairs": _simhash_pairs_sql(),
         "q_simhash_clusters": f"""

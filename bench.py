@@ -110,6 +110,11 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     entrymod.q_pip(spark, sf_dir).count()
+    # spin up the Python worker pool (one per core) so the first
+    # mapInPandas query measures compute, not worker fork+import
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

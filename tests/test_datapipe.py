@@ -282,6 +282,41 @@ def test_real_decoder_is_stubbed():
         multimodal.decode_image(b"xxx", fake=False)
 
 
+def test_connected_components(spark):
+    """Label propagation vs a python union-find: long chains (many
+    propagation rounds), stars, singleton edges, two disjoint blobs."""
+    from skyway_spark.operators.graph import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(100, 110)]        # chain of 11
+        + [(0, j) for j in range(1, 6)]              # star at 0
+        + [(200, 201)]                               # pair
+        + [(300, 301), (301, 302), (300, 302)]       # triangle
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
 def test_hourly_gap_fill(spark):
     """Dense grid, zero fill on gap hours, forward fill across gaps —
     vs a python mirror."""
