@@ -913,6 +913,32 @@ def q_compact_cells(spark, sf):
     return cells.compact_cells(occupied, CELL_RES, levels=2)
 
 
+def q_polygon_area(spark, sf):
+    """Shoelace ring area (deg^2) per polygon ring — ordered
+    left-fold over vertices so the float sum is bit-identical
+    cross-engine (same trick as q_way_lengths)."""
+    polys = _pip_polygons_df(spark)
+    ring = F.col("ring")
+    n = F.size(ring)
+    term = lambda i: (  # noqa: E731
+        F.element_at(ring, i)["lon"] * F.element_at(ring, i + 1)["lat"]
+        - F.element_at(ring, i + 1)["lon"] * F.element_at(ring, i)["lat"]
+    )
+    area = F.abs(
+        F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.lit(0.0),
+            lambda acc, i: acc + term(i),
+        )
+    ) / F.lit(2.0)
+    return polys.select(
+        F.col("polygon_id"),
+        F.col("ring_role"),
+        area.alias("area_deg2"),
+        (n - 1).alias("n_edges"),
+    )
+
+
 def q_cell_users(spark, sf):
     """Per-cell distinct-user + count aggregation (the two-shuffle
     distinct-agg shape; partial aggregation map-side on both)."""
@@ -1212,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_cell_rollup": q_cell_rollup,
         "q_cell_users": q_cell_users,
+        "q_polygon_area": q_polygon_area,
         "q_quadkey": q_quadkey,
         "q_compact_cells": q_compact_cells,
         "q_top_ngrams": q_top_ngrams,
@@ -2154,6 +2181,31 @@ def oracle_sql() -> dict[str, str]:
             HAVING bool_or(role = 'outer' AND inside)
                AND NOT bool_or(role = 'hole' AND inside)
         """,
+        "q_polygon_area": (
+            lambda vals: f"""
+            WITH v(pid, role, i, lat, lon) AS (VALUES {vals}),
+            r AS (
+                SELECT pid, role,
+                       list(lat::DOUBLE ORDER BY i) AS lats,
+                       list(lon::DOUBLE ORDER BY i) AS lons
+                FROM v GROUP BY 1, 2)
+            SELECT pid AS polygon_id, role AS ring_role,
+                   abs(list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                           list_transform(range(1, len(lats)),
+                               j -> lons[j] * lats[j + 1] - lons[j + 1] * lats[j])),
+                       (a, b) -> a + b)) / 2.0 AS area_deg2,
+                   (len(lats) - 1)::INT AS n_edges
+            FROM r
+        """
+        )(
+            ", ".join(
+                f"({pid}, '{role}', {i}, {a!r}, {b!r})"
+                for pid, rings in PIP_POLYGONS.items()
+                for role, ring in rings
+                for i, (a, b) in enumerate(ring)
+            )
+        ),
         "q_quadkey": (
             lambda tx7, ty7: f"""
             WITH pts AS ({_POINTS_SQL}),
