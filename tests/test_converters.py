@@ -266,6 +266,44 @@ def test_dispatch(spark, elements, tmp_path):
     assert s.count("\n") == 3
 
 
+def test_convert_cli_end_to_end(spark, elements, tmp_path):
+    """jobs/convert.py: opl -> filter -> json, reference flag
+    semantics (extension inference, filter chain order)."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import convert as cli
+
+    src = str(tmp_path / "in.opl")
+    Path(src).write_text(convert.serialize_string(elements, "opl") + "")
+    flt = tmp_path / "keep.cel"
+    flt.write_text('type == "node"')
+    out = str(tmp_path / "out.json")
+    rc = cli.main(["--input", src, "--output", out, "--to", "json",
+                   "--filter", str(flt)])
+    assert rc == 0
+    import json as _json
+
+    if Path(out).is_file():
+        doc = _json.loads(Path(out).read_text())
+    else:
+        # distributed layout: _header.json + line-per-element parts
+        # (comma-joined) + _footer.json (see jsonio.write_json)
+        header = (Path(out) / "_header.json").read_text()
+        lines = [
+            ln
+            for p in sorted(Path(out).glob("part-*"))
+            for ln in p.read_text().splitlines()
+            if ln
+        ]
+        doc = _json.loads(header + ",".join(lines) + "]}")
+    types = {e["type"] for e in doc["elements"]}
+    assert types == {"node"}
+    n_nodes = elements.where(F.col("type") == "node").count()
+    assert len(doc["elements"]) == n_nodes
+
+
 def test_distributed_opl_write_read(spark, elements, tmp_path):
     out = str(tmp_path / "dist_opl")
     convert.write_elements(elements, out, fmt="opl")
