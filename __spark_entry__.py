@@ -892,6 +892,16 @@ def q_cell_rollup(spark, sf):
     )
 
 
+def q_zorder(spark, sf):
+    """Morton (Z-order) clustering key per event — the layout key a
+    100 TB table sorts by for 2-D file locality. Full bit-math check:
+    one key per event row."""
+    pts = _event_points(spark, sf)
+    return pts.select(
+        "event_id", cells.zorder_key(F.col("lat"), F.col("lon"), 16).alias("zkey")
+    )
+
+
 def q_quadkey(spark, sf):
     """Bing quadkey tile strings (prefix-hierarchical tile keys) —
     per-quadkey counts at z=7, pure Column bit math."""
@@ -1240,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cell_users": q_cell_users,
         "q_polygon_area": q_polygon_area,
         "q_quadkey": q_quadkey,
+        "q_zorder": q_zorder,
         "q_compact_cells": q_compact_cells,
         "q_top_ngrams": q_top_ngrams,
         "q_salted_join": q_salted_join,
@@ -2206,6 +2217,17 @@ def oracle_sql() -> dict[str, str]:
                 for i, (a, b) in enumerate(ring)
             )
         ),
+        "q_zorder": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            g AS (
+                SELECT event_id,
+                       greatest(0, least(65535, floor((lon + 180.0) / 360.0 * 65536.0)::BIGINT)) AS x,
+                       greatest(0, least(32767, floor((90.0 - lat) / 180.0 * 32768.0)::BIGINT)) AS y
+                FROM pts)
+            SELECT event_id,
+                   ({" | ".join(f"(((x >> {i}) & 1) << {2 * i}) | (((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))}) AS zkey
+            FROM g
+        """,
         "q_quadkey": (
             lambda tx7, ty7: f"""
             WITH pts AS ({_POINTS_SQL}),

@@ -208,6 +208,26 @@ def tile_key(lat: Column, lon: Column, z: int) -> Column:
     return pack_cell(tx, ty, z)
 
 
+def zorder_key(lat: Column, lon: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) key interleaving ``bits`` bits of the grid x/y
+    at res ``bits`` — the classic data-layout clustering key (Delta
+    Z-ORDER analog): sorting/range-partitioning a 100 TB table by this
+    key gives 2-D locality so tile/bbox queries touch few files.
+    Pure unrolled Column bit math, whole-stage codegen friendly.
+
+    Grid res is bits-1, so x (res+1 = ``bits`` bits, lon spans twice
+    the degrees) and y (res bits) both fit the interleave exactly."""
+    x, y = cell_xy(lat, lon, min(bits - 1, MAX_RES))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
 def quadkey(lat: Column, lon: Column, z: int) -> Column:
     """Bing-maps quadkey string of length ``z`` (digit i interleaves
     bit z-1-i of tile x/y: 0|1|2|3 = NW|NE|SW|SE). Pure Column math —

@@ -206,3 +206,26 @@ def test_compact_cells_coverage_preserved(spark):
             ys = [v for y in ys for v in (2 * y, 2 * y + 1)]
         expanded |= {cells.pack_cell_py(x, y, 6) for x in xs for y in ys}
     assert expanded == set(block + partial)
+
+
+def test_zorder_key_bit_mirror_and_locality(points):
+    df, lat, lon = points
+    got = (
+        df.select("id", cells.zorder_key(F.col("lat"), F.col("lon"), 16).alias("z"))
+        .orderBy("id")
+        .collect()
+    )
+    x, y = cells.cell_xy_np(lat, lon, 15)
+    for r, xi, yi in zip(got, x.astype(int), y.astype(int)):
+        want = 0
+        for i in range(16):
+            want |= ((xi >> i) & 1) << (2 * i)
+            want |= ((yi >> i) & 1) << (2 * i + 1)
+        assert r["z"] == want
+    # locality law: all points in the same res-7 cell share the top
+    # 16 interleaved bits (zkey >> 16 is a function of the coarse cell)
+    c7 = cells.cell_encode_np(lat, lon, 7)
+    by_cell: dict[int, set[int]] = {}
+    for r, c in zip(got, c7.tolist()):
+        by_cell.setdefault(c, set()).add(r["z"] >> 16)
+    assert all(len(v) == 1 for v in by_cell.values())
