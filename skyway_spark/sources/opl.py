@@ -286,12 +286,21 @@ def _field(fields: Column, prefix: str) -> Column:
     return F.substring(tok, len(prefix) + 1, 1 << 20)
 
 
-def parse_opl_lines(lines: DataFrame, column: str = "value") -> DataFrame:
+def parse_opl_lines(
+    lines: DataFrame, column: str = "value", corrupt_col: str | None = None
+) -> DataFrame:
     """DataFrame of raw OPL lines -> elements DataFrame.
 
     Scalar fields are extracted with pure Column ops over the token
     array; only tags/members/user go through Arrow UDFs for
     unescaping (src/readers/opl.rs:93-207 semantics).
+
+    The reference PANICS on malformed lines (src/readers/opl.rs:112,
+    204); we diverge by design (SURVEY §7.5): with ``corrupt_col``
+    set, unparseable lines (bad type char / non-numeric id) surface
+    PERMISSIVE-style — null element fields plus the raw line in the
+    corrupt column — so one bad row in 100 TB is quarantined, not a
+    job abort.
     """
     fields = F.split(F.col(column), " ")
     head = F.element_at(fields, 1)
@@ -301,30 +310,43 @@ def parse_opl_lines(lines: DataFrame, column: str = "value") -> DataFrame:
     )
     d_field = _field(fields, "d")
     nodes_raw = _field(fields, "N")
-    out = lines.select(
-        etype.alias("type"),
-        F.substring(head, 2, 1 << 20).cast("long").alias("id"),
-        _field(fields, "y").cast("double").alias("lat"),
-        _field(fields, "x").cast("double").alias("lon"),
-        F.when(
-            nodes_raw.isNotNull(),
-            F.transform(
-                F.split(nodes_raw, ","), lambda t: F.substring(t, 2, 1 << 20).cast("long")
+    cols = [
+        ("type", etype),
+        ("id", F.substring(head, 2, 1 << 20).try_cast("long")),
+        ("lat", _field(fields, "y").try_cast("double")),
+        ("lon", _field(fields, "x").try_cast("double")),
+        (
+            "nodes",
+            F.when(
+                nodes_raw.isNotNull(),
+                F.transform(
+                    F.split(nodes_raw, ","),
+                    lambda t: F.substring(t, 2, 1 << 20).try_cast("long"),
+                ),
             ),
-        ).alias("nodes"),
-        _opl_members_parse_udf(_field(fields, "M")).alias("members"),
-        F.coalesce(
-            _opl_tags_parse_udf(_field(fields, "T")),
-            F.from_json(F.lit("{}"), "map<string,string>"),
-        ).alias("tags"),
-        _field(fields, "c").cast("long").alias("changeset"),
-        _field(fields, "i").cast("int").alias("uid"),
-        _unescape_udf(_field(fields, "u")).alias("user"),
-        _field(fields, "v").cast("int").alias("version"),
-        _field(fields, "t").alias("timestamp"),
-        F.when(d_field == "V", True).when(d_field == "D", False).alias("visible"),
+        ),
+        ("members", _opl_members_parse_udf(_field(fields, "M"))),
+        (
+            "tags",
+            F.coalesce(
+                _opl_tags_parse_udf(_field(fields, "T")),
+                F.from_json(F.lit("{}"), "map<string,string>"),
+            ),
+        ),
+        ("changeset", _field(fields, "c").try_cast("long")),
+        ("uid", _field(fields, "i").try_cast("int")),
+        ("user", _unescape_udf(_field(fields, "u"))),
+        ("version", _field(fields, "v").try_cast("int")),
+        ("timestamp", _field(fields, "t")),
+        ("visible", F.when(d_field == "V", True).when(d_field == "D", False)),
+    ]
+    if corrupt_col is None:
+        return lines.select(*[c.alias(n) for n, c in cols])
+    bad = etype.isNull() | F.substring(head, 2, 1 << 20).try_cast("long").isNull()
+    return lines.select(
+        *[F.when(~bad, c).alias(n) for n, c in cols],
+        F.when(bad, F.col(column)).alias(corrupt_col),
     )
-    return out
 
 
 def read_opl(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:

@@ -266,6 +266,24 @@ def test_dispatch(spark, elements, tmp_path):
     assert s.count("\n") == 3
 
 
+def test_opl_permissive_corrupt_records(spark):
+    """Malformed OPL lines are quarantined per-row (PERMISSIVE-style),
+    not a job abort — reference panics instead (opl.rs:112,204)."""
+    lines = spark.createDataFrame(
+        [("n7 Ta=b x1.0 y2.0",), ("garbage line",), ("zzz9 T",), ("w8 T Nn1,n2",)],
+        "value string",
+    )
+    out = opl.parse_opl_lines(lines, corrupt_col="_corrupt").collect()
+    good = {r["id"]: r for r in out if r["_corrupt"] is None}
+    bad = [r for r in out if r["_corrupt"] is not None]
+    assert set(good) == {7, 8}
+    assert good[7]["type"] == "node" and good[7]["lat"] == 2.0
+    assert {r["_corrupt"] for r in bad} == {"garbage line", "zzz9 T"}
+    assert all(r["type"] is None and r["id"] is None for r in bad)
+    # default (no corrupt_col): schema unchanged, malformed -> nulls
+    assert "_corrupt" not in opl.parse_opl_lines(lines).columns
+
+
 def test_convert_cli_end_to_end(spark, elements, tmp_path):
     """jobs/convert.py: opl -> filter -> json, reference flag
     semantics (extension inference, filter chain order)."""
