@@ -966,6 +966,29 @@ def q_cell_users(spark, sf):
     )
 
 
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test assignment via portable content
+    hash (partitioning/engine independent, unlike randomSplit) —
+    counts per (lang, split)."""
+    from skyway_spark.operators import sampling
+
+    (docs,) = _tables(spark, sf, "documents")
+    out = sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_stratified_sample(spark, sf):
+    """Per-language deterministic downsampling (hash-threshold, not
+    seeded RNG) — the exact surviving row set."""
+    from skyway_spark.operators import sampling
+
+    (docs,) = _tables(spark, sf, "documents")
+    keep = sampling.stratified_sample(
+        docs, {"en": 0.5, "de": 1.0}, strata_col="lang", default=0.1
+    )
+    return keep.select("doc_id", "lang")
+
+
 def q_top_ngrams(spark, sf):
     """Corpus-wide top-50 word bigrams over documents (explode ->
     partial-agg count -> sort of the aggregate only)."""
@@ -1253,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder": q_zorder,
         "q_compact_cells": q_compact_cells,
         "q_top_ngrams": q_top_ngrams,
+        "q_hash_split": q_hash_split,
+        "q_stratified_sample": q_stratified_sample,
         "q_salted_join": q_salted_join,
         "q_osmfilter": q_osmfilter,
         "q_cel": q_cel,
@@ -2264,6 +2289,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_points
             FROM pts GROUP BY 1
+        """,
+        "q_hash_split": """
+            WITH b AS (
+                SELECT lang,
+                       ((doc_id * 1103515245 + 12345) % 2147483647) % 1000000 AS bkt
+                FROM documents)
+            SELECT lang,
+                   CASE WHEN bkt < 100000 THEN 'test'
+                        WHEN bkt < 900000 THEN 'train'
+                        ELSE 'val' END AS split,
+                   COUNT(*) AS n_docs
+            FROM b GROUP BY 1, 2
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id * 1103515245 + 12345) % 2147483647) % 1000000 <
+                  CASE WHEN lang = 'de' THEN 1000000
+                       WHEN lang = 'en' THEN 500000
+                       ELSE 100000 END
         """,
         "q_top_ngrams": """
             WITH toks AS (

@@ -1,0 +1,71 @@
+"""Deterministic sampling & dataset splitting (training-data ops).
+
+Spark's sample()/sampleBy()/randomSplit() are seeded but partitioning
+-dependent and engine-specific — rerunning on a repartitioned 100 TB
+table yields a DIFFERENT sample, which poisons dedup-then-sample
+pipelines and makes train/test splits unreproducible. These operators
+are content-deterministic instead: membership is a pure function of
+the row id via a portable integer hash (a*id+b mod 2^31-1, same
+arithmetic expressible in any engine), so results are independent of
+partitioning, cluster size, and engine — and carry exact SQL oracles.
+
+No reference counterpart (skyway has no sampling; SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne), same as the minhash perms
+_A = 1_103_515_245
+_B = 12_345
+BUCKETS = 1_000_000
+
+
+def hash_bucket(id_col: Column) -> Column:
+    """id -> uniform bucket in [0, BUCKETS): ((a*id + b) mod p) mod B.
+    Pure Column math; bucket < r*B <=> 'sampled at rate r'."""
+    return ((id_col.cast("long") * _A + _B) % PRIME) % BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~rate of rows, decided per-row by content hash — stable
+    under repartitioning, appends, and engine choice."""
+    return df.where(hash_bucket(F.col(id_col)) < int(rate * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, fractions: dict[str, float], strata_col: str = "lang",
+    id_col: str = "doc_id", default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample dominant
+    languages): strata not listed keep ``default``."""
+    thresh = F.lit(int(default * BUCKETS))
+    for k, v in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == k, int(v * BUCKETS)).otherwise(thresh)
+    return df.where(hash_bucket(F.col(id_col)) < thresh)
+
+
+def hash_split(
+    df: DataFrame, weights: dict[str, float], id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive train/val/test assignment: cumulative
+    bucket ranges in sorted-name order. Every row gets exactly one
+    split; assignment survives repartitioning and incremental loads."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(id_col))
+    expr = None
+    acc = 0.0
+    for name, w in sorted(weights.items()):
+        acc += w
+        cond = b < int(round(acc * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float-rounding guard: the last range always closes at BUCKETS
+    last = sorted(weights)[-1]
+    return df.withColumn(split_col, expr.otherwise(last))

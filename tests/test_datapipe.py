@@ -282,6 +282,30 @@ def test_real_decoder_is_stubbed():
         multimodal.decode_image(b"xxx", fake=False)
 
 
+def test_sampling_deterministic_and_exhaustive(spark, docs):
+    from skyway_spark.operators import sampling
+
+    sub = docs.limit(300).cache()
+    # split: disjoint + exhaustive + stable under repartitioning
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r["doc_id"]: r["split"] for r in sampling.hash_split(sub, w).collect()}
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(sub.repartition(7), w).collect()
+    }
+    assert s1 == s2 and len(s1) == sub.count()
+    assert set(s1.values()) == {"train", "val", "test"}
+    # roughly proportional (hash uniformity, loose bound)
+    n = len(s1)
+    assert sum(1 for v in s1.values() if v == "train") > 0.6 * n
+    # sample subset law: lower rate selects a subset of a higher rate
+    a = {r["doc_id"] for r in sampling.deterministic_sample(sub, 0.2).collect()}
+    b = {r["doc_id"] for r in sampling.deterministic_sample(sub, 0.6).collect()}
+    assert a <= b and len(a) < len(b) < n
+    with pytest.raises(ValueError):
+        sampling.hash_split(sub, {"a": 0.5, "b": 0.2})
+
+
 def test_connected_components(spark):
     """Label propagation vs a python union-find: long chains (many
     propagation rounds), stars, singleton edges, two disjoint blobs."""
