@@ -190,13 +190,20 @@ def minhash_lsh_pairs(
 
     rows_per_band = len(MINHASH_PERMS) // bands
     gramf = ngram_hashes if unit == "char" else word_shingle_hashes
-    sig = docs.select(
-        F.col(id_col).alias("__id"),
-        gramf(F.col(text_col), n).alias("__grams"),
-    ).withColumn("__sig", minhash_from_grams(F.col("__grams")))
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"), gramf(F.col(text_col), n).alias("__grams")
+        )
+
+    # band on (band, bucket-hash, id) ONLY — the gram arrays (the
+    # heavy payload, ~10^2 longs/doc) never enter the banding shuffle
+    # or the self-join. The max_bucket window count rides the same
+    # light exchange, and the two self-join sides share it
+    # (ReusedExchange).
+    sig = grams_of(docs).withColumn("__sig", minhash_from_grams(F.col("__grams")))
     banded = sig.select(
         "__id",
-        "__grams",
         F.posexplode(
             F.array(
                 *[
@@ -210,30 +217,35 @@ def minhash_lsh_pairs(
             )
         ).alias("__band", "__bh"),
     )
-    # bound pathological buckets with a window count over the SAME
-    # shuffle the pair join uses: the count adds no extra pass, and
-    # the self-join's two sides share one exchange (ReusedExchange),
-    # so signatures/grams are computed exactly once.
     w = Window.partitionBy("__band", "__bh")
     banded = banded.withColumn("__bn", F.count(F.lit(1)).over(w)).where(
         F.col("__bn") <= max_bucket
     )
-    left = banded.select(
-        F.col("__band"), F.col("__bh"),
-        F.col("__id").alias("id_a"), F.col("__grams").alias("__ga")
-    )
-    right = banded.select(
-        F.col("__band"), F.col("__bh"),
-        F.col("__id").alias("id_b"), F.col("__grams").alias("__gb")
-    )
-    pairs = (
-        left.join(right, ["__band", "__bh"])
+    cand = (
+        banded.select("__band", "__bh", F.col("__id").alias("id_a"))
+        .join(
+            banded.select("__band", "__bh", F.col("__id").alias("id_b")),
+            ["__band", "__bh"],
+        )
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jaccard(F.col("__ga"), F.col("__gb")).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
         .distinct()
     )
-    return pairs
+    # exact-verify: re-attach gram arrays via two NARROW doc scans,
+    # each broadcast-joined against the (small) candidate set — grams
+    # are never shuffled. LSH guarantees candidates << docs; if a
+    # corpus ever produced a candidate set too big to broadcast, AQE
+    # falls back to a shuffle join on the id key.
+    ga = grams_of(docs).select(
+        F.col("__id").alias("id_a"), F.col("__grams").alias("__ga")
+    )
+    gb = grams_of(docs).select(
+        F.col("__id").alias("id_b"), F.col("__grams").alias("__gb")
+    )
+    withg = gb.join(F.broadcast(ga.join(F.broadcast(cand), "id_a")), "id_b")
+    return withg.select(
+        "id_a", "id_b", jaccard(F.col("__ga"), F.col("__gb")).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
