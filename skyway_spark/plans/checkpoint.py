@@ -77,12 +77,19 @@ class CheckpointManager:
             self.results.append(
                 StageResult(name, fingerprint, m["row_count"], m["n_partitions"], 0, True)
             )
-            return spark.read.parquet(data_dir)
+            return spark.read.parquet(m.get("data_dir", data_dir))
 
         t0 = time.monotonic()
         df = fn()
-        df.write.mode("overwrite").parquet(data_dir)
-        out = spark.read.parquet(data_dir)
+        # Iceberg-style snapshot history: every (re)computation lands
+        # in a fresh snap-<id> directory and the manifest log grows;
+        # the old snapshots stay readable (read_snapshot) until
+        # expire_snapshots prunes them.
+        prior = (m or {}).get("snapshots", [])
+        snap_id = (prior[-1]["id"] + 1) if prior else 1
+        snap_dir = os.path.join(data_dir, f"snap-{snap_id:05d}")
+        df.write.mode("overwrite").parquet(snap_dir)
+        out = spark.read.parquet(snap_dir)
         lineage = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
             F.count(F.lit(1)).alias("rows")
         ).withColumn("stage", F.lit(name))
@@ -93,6 +100,17 @@ class CheckpointManager:
         manifest = {
             "stage": name,
             "fingerprint": fingerprint,
+            "data_dir": snap_dir,
+            "snapshots": prior
+            + [
+                {
+                    "id": snap_id,
+                    "fingerprint": fingerprint,
+                    "dir": snap_dir,
+                    "row_count": row_count,
+                    "created_unix": int(time.time()),
+                }
+            ],
             "row_count": row_count,
             "n_partitions": len(lrows),
             "partition_rows": {int(r["partition_id"]): int(r["rows"]) for r in lrows},
@@ -109,6 +127,41 @@ class CheckpointManager:
             StageResult(name, fingerprint, row_count, len(lrows), wall_ms, False)
         )
         return out
+
+    def snapshots(self, name: str) -> list[dict]:
+        """Snapshot log for a stage (oldest first), Iceberg-history
+        style."""
+        _, manifest_path, _ = self._paths(name)
+        m = self._load_manifest(manifest_path)
+        return list((m or {}).get("snapshots", []))
+
+    def read_snapshot(self, spark: SparkSession, name: str, snapshot_id: int) -> DataFrame:
+        """Time travel: read a stage AS OF a snapshot id."""
+        for snap in self.snapshots(name):
+            if snap["id"] == snapshot_id:
+                return spark.read.parquet(snap["dir"])
+        raise KeyError(f"stage {name!r} has no snapshot {snapshot_id}")
+
+    def expire_snapshots(self, name: str, keep: int = 1) -> list[int]:
+        """Drop all but the newest ``keep`` snapshots (never the
+        current one); returns expired ids."""
+        import shutil
+
+        data_dir, manifest_path, _ = self._paths(name)
+        m = self._load_manifest(manifest_path)
+        if not m:
+            return []
+        snaps = m.get("snapshots", [])
+        keep = max(keep, 1)
+        to_drop = [s_ for s_ in snaps[:-keep] if s_["dir"] != m.get("data_dir")]
+        for s_ in to_drop:
+            shutil.rmtree(s_["dir"], ignore_errors=True)
+        m["snapshots"] = [s_ for s_ in snaps if s_ not in to_drop]
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(m, f)
+        os.replace(tmp, manifest_path)
+        return [s_["id"] for s_ in to_drop]
 
     def invalidate(self, name: str) -> None:
         _, manifest_path, _ = self._paths(name)

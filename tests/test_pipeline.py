@@ -37,6 +37,37 @@ def test_checkpoint_resume_identical(spark, tmp_path):
     assert sum(m["partition_rows"].values()) == 100
 
 
+def test_checkpoint_snapshot_history_and_time_travel(spark, tmp_path):
+    """Every recompute appends an Iceberg-style snapshot; old ones
+    stay readable (time travel) until expired; current survives
+    expiry."""
+    root = str(tmp_path / "ckpt_snap")
+    cm = CheckpointManager(root)
+    cm.stage(spark, "s1", "fp1", lambda: spark.range(0, 10))
+    cm.stage(spark, "s1", "fp2", lambda: spark.range(0, 20))
+    cm.stage(spark, "s1", "fp3", lambda: spark.range(0, 30))
+    snaps = cm.snapshots("s1")
+    assert [s["id"] for s in snaps] == [1, 2, 3]
+    assert [s["row_count"] for s in snaps] == [10, 20, 30]
+    # time travel to snapshot 1
+    assert cm.read_snapshot(spark, "s1", 1).count() == 10
+    # expiry keeps the newest `keep` and never the current
+    dropped = cm.expire_snapshots("s1", keep=1)
+    assert dropped == [1, 2]
+    assert [s["id"] for s in cm.snapshots("s1")] == [3]
+    with pytest.raises(KeyError):
+        cm.read_snapshot(spark, "s1", 1)
+    # current read still resumes without recompute
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(30)
+
+    assert CheckpointManager(root).stage(spark, "s1", "fp3", compute).count() == 30
+    assert calls["n"] == 0
+
+
 def test_checkpoint_kill_between_data_and_manifest(spark, tmp_path):
     """A stage whose manifest is missing (crash window) recomputes."""
     root = str(tmp_path / "ckpt2")
