@@ -498,6 +498,21 @@ def q_array_map_funcs(spark, sf):
     )
 
 
+def q_tag_freq(spark, sf):
+    """OSM tag-key frequency: map explode over the tags column (the
+    canonical OSM analytics query — taginfo-style), counts + distinct
+    values per key."""
+    els = _part_elements(spark, sf)
+    return (
+        els.select(F.explode("tags").alias("tag_key", "tag_value"))
+        .groupBy("tag_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_elements"),
+            F.countDistinct("tag_value").alias("n_values"),
+        )
+    )
+
+
 def q_grouping_sets(spark, sf):
     """SQL-layer entry (spark.sql) with explicit GROUPING SETS."""
     (orders,) = _tables(spark, sf, "orders")
@@ -848,6 +863,19 @@ def q_pip(spark, sf):
     polys = _pip_polygons_df(spark)
     return point_in_polygon(pts, polys, res=5, point_id="event_id").select(
         "event_id", "polygon_id"
+    )
+
+
+def q_pip_agg(spark, sf):
+    """Spatial join fused with per-polygon aggregation — the rollup
+    happens on the join output without rematerializing pairs."""
+    pts = _event_points(spark, sf)
+    polys = _pip_polygons_df(spark)
+    hits = point_in_polygon(pts, polys, res=5, point_id="event_id")
+    return hits.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
     )
 
 
@@ -1241,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_datetime_funcs": q_datetime_funcs,
         "q_json_props": q_json_props,
         "q_array_map_funcs": q_array_map_funcs,
+        "q_tag_freq": q_tag_freq,
         "q_nation_setops": q_nation_setops,
         "q_events_hourly": q_events_hourly,
         "q_events_sessions": q_events_sessions,
@@ -1267,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cell_assign": q_cell_assign,
         "q_tile_assign": q_tile_assign,
         "q_pip": q_pip,
+        "q_pip_agg": q_pip_agg,
         "q_knn": q_knn,
         "q_range_join": q_range_join,
         "q_cell_rollup": q_cell_rollup,
@@ -1481,6 +1511,27 @@ def _parent_sql(cell: str, res: int) -> str:
         f"(({res - 1}::BIGINT << 58) | (((({cell} >> 29) & {m}) >> 1) << 29)"
         f" | (({cell} & {m}) >> 1))"
     )
+
+
+def _pip_pairs_sql() -> str:
+    """Ray-cast PIP pairs (event_id, polygon_id) — independent
+    closed-form oracle over the literal polygon edges."""
+    return f"""
+            WITH pts AS ({_POINTS_SQL}),
+            edges(polygon_id, role, y1, x1, y2, x2) AS (VALUES {_pip_edges_values()}),
+            ring_hits AS (
+                SELECT p.event_id, e.polygon_id, e.role,
+                       SUM(CASE WHEN ((e.y1 > p.lat) != (e.y2 > p.lat))
+                                 AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+                                THEN 1 ELSE 0 END) % 2 = 1 AS inside
+                FROM pts p CROSS JOIN edges e
+                GROUP BY p.event_id, e.polygon_id, e.role)
+            SELECT event_id, polygon_id
+            FROM ring_hits
+            GROUP BY event_id, polygon_id
+            HAVING bool_or(role = 'outer' AND inside)
+               AND NOT bool_or(role = 'hole' AND inside)
+        """
 
 
 def _tile_xy_sql(lat: str, lon: str, z: int) -> tuple[str, str]:
@@ -1896,6 +1947,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "q_tag_freq": """
+            SELECT 'brand' AS tag_key, COUNT(*) AS n_elements,
+                   COUNT(DISTINCT p_brand) AS n_values FROM part
+            UNION ALL
+            SELECT 'ptype', COUNT(*), COUNT(DISTINCT p_type) FROM part
+            UNION ALL
+            SELECT 'big', COUNT(*), 1 FROM part WHERE p_size > 40
+        """,
         "q_array_map_funcs": """
             SELECT p_partkey AS id,
                    2 AS n_nodes,
@@ -2201,21 +2260,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT {tx10} AS tile_x, {ty10} AS tile_y, COUNT(*) AS n_points
             FROM pts GROUP BY 1, 2
         """,
-        "q_pip": f"""
-            WITH pts AS ({_POINTS_SQL}),
-            edges(polygon_id, role, y1, x1, y2, x2) AS (VALUES {_pip_edges_values()}),
-            ring_hits AS (
-                SELECT p.event_id, e.polygon_id, e.role,
-                       SUM(CASE WHEN ((e.y1 > p.lat) != (e.y2 > p.lat))
-                                 AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
-                                THEN 1 ELSE 0 END) % 2 = 1 AS inside
-                FROM pts p CROSS JOIN edges e
-                GROUP BY p.event_id, e.polygon_id, e.role)
-            SELECT event_id, polygon_id
-            FROM ring_hits
-            GROUP BY event_id, polygon_id
-            HAVING bool_or(role = 'outer' AND inside)
-               AND NOT bool_or(role = 'hole' AND inside)
+        "q_pip": _pip_pairs_sql(),
+        "q_pip_agg": f"""
+            WITH hits AS ({_pip_pairs_sql()})
+            SELECT polygon_id, COUNT(*) AS n_points,
+                   MIN(event_id) AS min_event, MAX(event_id) AS max_event
+            FROM hits GROUP BY 1
         """,
         "q_polygon_area": (
             lambda vals: f"""
