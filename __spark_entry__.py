@@ -356,6 +356,52 @@ def q_running_window(spark, sf):
     )
 
 
+def q_funnel(spark, sf):
+    """Event funnel: per user, first 'view' then the first 'click'
+    AFTER it, conversion flag if within 1 hour — min-over-filter
+    aggregates, one shuffle by user."""
+    (ev,) = _tables(spark, sf, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    base = ev.select("user_id", "event_type", us.alias("us"))
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("us")))
+    agg = base.groupBy("user_id").agg(
+        first_view.alias("view_us"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("us"))
+        ).alias("_clicks"),
+    )
+    first_click_after = F.array_min(
+        F.filter(F.col("_clicks"), lambda c: c >= F.col("view_us"))
+    )
+    return agg.select(
+        "user_id",
+        F.col("view_us").isNotNull().alias("viewed"),
+        first_click_after.alias("click_us"),
+        (
+            F.col("view_us").isNotNull()
+            & (first_click_after - F.col("view_us") <= 3_600_000_000)
+        ).alias("converted_1h"),
+    )
+
+
+def q_retention(spark, sf):
+    """Cohort retention: users grouped by first-activity day, counted
+    per day-offset of later activity — two aggregations, the second
+    over (cohort, offset) aggregate rows only."""
+    (ev,) = _tables(spark, sf, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    acts = ev.select("user_id", day.alias("act_day")).distinct()
+    joined = acts.join(firsts, "user_id")
+    return (
+        joined.groupBy(
+            "cohort_day",
+            F.datediff(F.col("act_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_pivot(spark, sf):
     """Pivot (crosstab) with an explicit value list — no
     value-discovery pass, so the plan is a single partial-aggregated
@@ -1262,6 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": q_percentiles,
         "q_running_window": q_running_window,
         "q_pivot": q_pivot,
+        "q_funnel": q_funnel,
+        "q_retention": q_retention,
         "q_window_range": q_window_range,
         "q_asof_join": q_asof_join,
         "q_gap_fill": q_gap_fill,
@@ -1881,6 +1929,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY 1, 2)
             SELECT l.o_orderkey, l.k, r.ref_event
             FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+        """,
+        "q_funnel": """
+            WITH b AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+            a AS (
+                SELECT user_id,
+                       MIN(us) FILTER (event_type = 'view') AS view_us,
+                       list(us) FILTER (event_type = 'click') AS clicks
+                FROM b GROUP BY 1)
+            SELECT user_id,
+                   view_us IS NOT NULL AS viewed,
+                   list_min(list_filter(clicks, c -> c >= view_us)) AS click_us,
+                   (view_us IS NOT NULL AND
+                    (list_min(list_filter(clicks, c -> c >= view_us)) - view_us
+                     <= 3600000000)) AS converted_1h
+            FROM a
+        """,
+        "q_retention": """
+            WITH f AS (
+                SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+                FROM events GROUP BY 1),
+            a AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day
+                FROM events)
+            SELECT f.cohort_day,
+                   date_diff('day', f.cohort_day, a.act_day)::INT AS day_offset,
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "q_pivot": """
             SELECT o_orderstatus,

@@ -202,6 +202,23 @@ def test_asof_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
 
 
+def test_minhash_lsh_shuffles_ids_not_grams(spark):
+    """The LSH banding exchange must carry only (band, hash, id) —
+    never the gram arrays (the heavy payload); grams re-attach via
+    broadcast joins after candidate generation."""
+    from skyway_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _executed_plan(minhash_lsh_pairs(docs, threshold=0.5, unit="word"))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "__grams" not in ln and "__ga" not in ln and "__gb" not in ln, ln
+    assert "BroadcastHashJoin" in plan
+
+
 def test_tile_layout_partition_pruning(spark, tmp_path_factory):
     """Serving layout: tile rollups written partitionBy(tile_z) must
     answer a single-zoom query reading ONLY that zoom's directory —
