@@ -212,3 +212,63 @@ def test_string_escapes():
     s = p.statements[0]
     assert s.key == 'a"b'
     assert s.value == "cAd"
+
+
+def test_random_programs_match_oracle(spark):
+    """30 randomized programs (all statement kinds, nesting to depth
+    2, arbitrary COMMIT/DROP placement) — compiled cascade must agree
+    with the logic.rs transcription on keep/drop AND mutated tags for
+    every element."""
+    import random
+
+    from skyway_spark.functions.filter.ast import OsmFilterProgram
+
+    rnd = random.Random(20260817)
+    KEYS = ["footway", "surface", "name", "amenity", "type"]
+    VALS = ["sidewalk", "dirt", "x", "cafe", "route"]
+
+    def rand_selector():
+        c = rnd.randrange(3)
+        if c == 0:
+            flags = [rnd.random() < 0.5 for _ in range(3)]
+            if not any(flags):
+                flags[rnd.randrange(3)] = True
+            return TypeSelector(*flags)
+        if c == 1:
+            return HasSelector(rnd.choice(KEYS))
+        return EqualsSelector(rnd.choice(KEYS), rnd.choice(VALS))
+
+    def rand_statements(depth, n):
+        out = []
+        for _ in range(n):
+            c = rnd.randrange(10)
+            if c <= 2 and depth < 2:
+                out.append(
+                    SelectionBlock(
+                        rand_selector(), rand_statements(depth + 1, rnd.randint(1, 3))
+                    )
+                )
+            elif c == 3:
+                out.append(Commit())
+            elif c == 4:
+                out.append(Drop())
+            elif c == 5:
+                out.append(Delete(tuple(rnd.sample(KEYS, rnd.randint(1, 2)))))
+            elif c == 6:
+                out.append(Keep(tuple(rnd.sample(KEYS, rnd.randint(1, 2)))))
+            elif c == 7:
+                out.append(Rename(rnd.choice(KEYS), rnd.choice(KEYS)))
+            else:
+                out.append(Set(rnd.choice(KEYS), rnd.choice(VALS)))
+        return out
+
+    df, rows = make_elements(spark)
+    for trial in range(30):
+        prog = OsmFilterProgram("0.2.0", rand_statements(0, rnd.randint(1, 5)))
+        out = compile_osmfilter(prog).apply(df).collect()
+        got = {r["id"]: dict(r["tags"]) for r in out}
+        for etype, i, tags in rows:
+            keep, want = oracle(prog, etype, tags)
+            assert (i in got) == keep, f"trial {trial}: id {i} keep mismatch"
+            if keep:
+                assert got[i] == want, f"trial {trial}: id {i} tags mismatch"
