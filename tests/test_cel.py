@@ -64,3 +64,28 @@ def test_autodetect(spark, elements):
     assert cel.apply(elements).count() == 2
     with pytest.raises(ValueError):
         create_filter("not ]] a filter ((")
+
+
+CEL_ERROR_SEMANTICS_CASES = [
+    # CEL's logical operators are commutative over errors (cel-spec
+    # "logical operators" + absorbing elements): <error> || true ==
+    # true, <error> && false == false — exactly SQL three-valued
+    # logic, so the Column compilation preserves observable behavior.
+    ('tags["missing"] == "v" || type == "node"', {("node", 1), ("node", 2)}),
+    ('tags["missing"] == "v" && type == "node"', set()),
+    # unrecoverable error path: negation of an error is still an
+    # error -> element dropped (cel/mod.rs:51-54 drop-with-warning)
+    ('!(tags["missing"] == "v")', set()),
+    # ternary with error in the untaken branch is fine (lazy)
+    ('type == "node" ? id < 10 : tags["missing"].contains("x")',
+     {("node", 1), ("node", 2)}),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,want", CEL_ERROR_SEMANTICS_CASES,
+    ids=[c[0][:40] for c in CEL_ERROR_SEMANTICS_CASES],
+)
+def test_cel_error_absorption(spark, elements, expr, want):
+    got = {(r["type"], r["id"]) for r in apply_cel(elements, expr).collect()}
+    assert got == want
