@@ -62,6 +62,17 @@ BENCH_QUERIES = [
     "q_gap_fill",
     "q_window_range",
     "q_pivot",
+    "q_funnel",
+    "q_retention",
+    "q_quadkey",
+    "q_zorder",
+    "q_compact_cells",
+    "q_pip_agg",
+    "q_dedup_clusters",
+    "q_hash_split",
+    "q_tag_freq",
+    "q_json_lines",
+    "q_xml_lines",
     "q_cell_users",
     "q_top_ngrams",
     "q_audio_windows",
