@@ -976,6 +976,27 @@ def q_zorder(spark, sf):
     )
 
 
+def _interleave_py(x: int, y: int, bits: int) -> int:
+    k = 0
+    for i in range(bits):
+        k |= ((x >> i) & 1) << (2 * i)
+        k |= ((y >> i) & 1) << (2 * i + 1)
+    return k
+
+
+def q_zorder_range(spark, sf):
+    """Index-style bbox scan: points inside res-4 cell (x=5, y=3)
+    selected by a SINGLE CONTIGUOUS zkey range [K<<22, (K+1)<<22) —
+    the Z-order locality law that turns 2-D bbox queries into 1-D
+    file ranges on a zkey-sorted layout. Oracle selects the same cell
+    by direct coordinate math."""
+    k = _interleave_py(5, 3, 5)
+    lo, hi = k << 22, (k + 1) << 22
+    pts = _event_points(spark, sf)
+    z = cells.zorder_key(F.col("lat"), F.col("lon"), 16)
+    return pts.where((z >= lo) & (z < hi)).select("event_id")
+
+
 def q_quadkey(spark, sf):
     """Bing quadkey tile strings (prefix-hierarchical tile keys) —
     per-quadkey counts at z=7, pure Column bit math."""
@@ -1352,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_polygon_area": q_polygon_area,
         "q_quadkey": q_quadkey,
         "q_zorder": q_zorder,
+        "q_zorder_range": q_zorder_range,
         "q_compact_cells": q_compact_cells,
         "q_top_ngrams": q_top_ngrams,
         "q_hash_split": q_hash_split,
@@ -2379,6 +2401,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    ({" | ".join(f"(((x >> {i}) & 1) << {2 * i}) | (((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))}) AS zkey
             FROM g
+        """,
+        "q_zorder_range": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT event_id FROM pts
+            WHERE greatest(0, least(31, floor((lon + 180.0) / 360.0 * 32.0)::BIGINT)) = 5
+              AND greatest(0, least(15, floor((90.0 - lat) / 180.0 * 16.0)::BIGINT)) = 3
         """,
         "q_quadkey": (
             lambda tx7, ty7: f"""

@@ -130,10 +130,13 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        walls = []
+        for _ in range(2):  # min-of-2: codegen/JIT cold-start and
+            t0 = time.monotonic()  # neighbor noise land on run 1
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            walls.append(time.monotonic() - t0)
+        timings[name] = round(min(walls), 3)
         if n == 0 and name not in ("q_dedup_exact",):
             print(f"warning: {name} returned 0 rows", file=sys.stderr)
 
