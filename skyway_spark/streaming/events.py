@@ -146,6 +146,41 @@ def tile_window_counts(
     )
 
 
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: right events within
+    [left_ts, left_ts + within] for the same key. Both sides carry
+    watermarks and the join condition bounds event-time range, so
+    Spark can evict join state — the requirement for an unbounded
+    stream-stream join to run with finite memory. Output columns:
+    key, l_ts, l_id, r_ts, r_id."""
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("__rk"),
+        F.col(right_ts).alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("__k") == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("__k").alias(key), "l_ts", "l_id", "r_ts", "r_id"
+    )
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static enrichment join. The static side is broadcast —
     per micro-batch the stream stays narrow (no stateful join, no

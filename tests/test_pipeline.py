@@ -244,6 +244,46 @@ def test_py_files_zip_imports(tmp_path):
     assert r.returncode == 0 and "zip-ok" in r.stdout, r.stderr
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """view->click pairs within 1h, stream-stream with watermarked
+    state — equals the batch interval join on the same input."""
+    from skyway_spark.streaming.events import (
+        join_streams_interval,
+        read_events_stream,
+        run_bounded,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ssj_in")
+    ev.write.parquet(in_dir)
+    views_s = read_events_stream(spark, in_dir).where(F.col("event_type") == "view")
+    clicks_s = read_events_stream(spark, in_dir).where(F.col("event_type") == "click")
+    joined = join_streams_interval(views_s, clicks_s)
+    out_dir = str(tmp_path / "ssj_out")
+    run_bounded(joined, str(tmp_path / "ssj_ck"), out_dir)
+    got = {
+        (r["user_id"], r["l_id"], r["r_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    want = {
+        (r["user_id"], r["l_id"], r["r_id"])
+        for r in v.join(
+            c,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 1 hour")),
+        ).collect()
+    }
+    assert got == want and want  # nonempty and exactly equal
+
+
 def test_streaming_tile_counts(spark, tmp_path):
     """Streaming tile rollup == batch tile rollup on the same input
     (closed windows only under append mode)."""
