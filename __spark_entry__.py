@@ -1044,6 +1044,46 @@ def q_polygon_area(spark, sf):
     )
 
 
+BBOX_COVER = (12.0, 27.5, -71.0, -33.25)  # lat0, lat1, lon0, lon1
+
+
+def q_bbox_cover(spark, sf):
+    """Covering cell set of a bbox at res 6, generated DISTRIBUTEDLY
+    (sequence x sequence explode in the JVM — the polygon-side prep of
+    the cell-join PIP path, here as its own verified operator)."""
+    lat0, lat1, lon0, lon1 = BBOX_COVER
+    nx, ny = 1 << 7, 1 << 6
+    x0 = max(0, min(nx - 1, math.floor((lon0 + 180.0) / 360.0 * nx)))
+    x1 = max(0, min(nx - 1, math.floor((lon1 + 180.0) / 360.0 * nx)))
+    y0 = max(0, min(ny - 1, math.floor((90.0 - lat1) / 180.0 * ny)))
+    y1 = max(0, min(ny - 1, math.floor((90.0 - lat0) / 180.0 * ny)))
+    xs = spark.range(x0, x1 + 1).select(F.col("id").alias("x"))
+    ys = spark.range(y0, y1 + 1).select(F.col("id").alias("y"))
+    return xs.crossJoin(ys).select(
+        cells.pack_cell(F.col("x"), F.col("y"), 6).alias("cell")
+    )
+
+
+def q_rank_funcs(spark, sf):
+    """Remaining window-rank family: dense_rank / percent_rank /
+    cume_dist per return-flag over integral quantities (identical
+    closed-form arithmetic cross-engine)."""
+    from pyspark.sql import Window
+
+    (li,) = _tables(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
 def q_cell_users(spark, sf):
     """Per-cell distinct-user + count aggregation (the two-shuffle
     distinct-agg shape; partial aggregation map-side on both)."""
@@ -1370,6 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_cell_rollup": q_cell_rollup,
         "q_cell_users": q_cell_users,
+        "q_bbox_cover": q_bbox_cover,
+        "q_rank_funcs": q_rank_funcs,
         "q_polygon_area": q_polygon_area,
         "q_quadkey": q_quadkey,
         "q_zorder": q_zorder,
@@ -2433,6 +2475,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell, {CELL_RES}::INT AS res FROM k6
             UNION ALL SELECT cell, {CELL_RES - 1}::INT FROM k5
             UNION ALL SELECT cell, {CELL_RES - 2}::INT FROM p4
+        """,
+        "q_bbox_cover": """
+            SELECT ((6::BIGINT << 58) | (x << 29) | y) AS cell
+            FROM (SELECT unnest(range(38, 53)) AS x) a,
+                 (SELECT unnest(range(22, 28)) AS y) b
+        """,
+        "q_rank_funcs": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   dense_rank() OVER w AS drank,
+                   percent_rank() OVER w AS prank,
+                   cume_dist() OVER w AS cdist
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_quantity, l_orderkey, l_linenumber)
         """,
         "q_cell_users": f"""
             WITH pts AS (
