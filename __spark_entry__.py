@@ -1332,6 +1332,27 @@ def q_pbf_roundtrip(spark, sf):
     return pbfio.read_pbf(spark, path).select("type", "id", "lat", "lon", "tags")
 
 
+def q_simplify_ways(spark, sf):
+    """Visvalingam polyline simplification over deterministic ways
+    built from event points (rows-only: the iterative smallest-area
+    heap is not SQL-expressible; per-geometry python mirror is tested
+    in test_spatial.py)."""
+    from skyway_spark.operators.geometry import simplify_ways
+
+    pts = _event_points(spark, sf)
+    ways = (
+        pts.withColumn("way_id", F.col("event_id") % 500)
+        .groupBy("way_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "lat", "lon"))),
+                lambda s: F.struct(s["lat"].alias("lat"), s["lon"].alias("lon")),
+            ).alias("pts")
+        )
+    )
+    return simplify_ways(ways, keep=6).select("way_id", "n_in", "n_out")
+
+
 def q_media_features(spark, sf):
     from skyway_spark.operators import multimodal
 
@@ -1432,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_windows": q_audio_windows,
         "q_pbf_roundtrip": q_pbf_roundtrip,
         "q_media_features": q_media_features,
+        "q_simplify_ways": q_simplify_ways,
         "q_pages_pipeline": q_pages_pipeline,
     }
 

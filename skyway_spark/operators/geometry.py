@@ -104,3 +104,107 @@ def assemble_way_geometry(
         n.alias("n_points"),
         F.round(F.when(n > 1, length).otherwise(F.lit(0.0)), 6).alias("length_km"),
     )
+
+
+def simplify_polyline_py(pts: list[tuple[float, float]], keep: int) -> list[int]:
+    """Visvalingam–Whyatt: repeatedly remove the interior vertex with
+    the smallest triangle area until ``keep`` vertices remain; returns
+    the KEPT vertex indices in order. Endpoints always survive.
+    Deterministic tie-break: smallest (area, index) removed first.
+    Plain python/heap — executed per geometry inside the Arrow batch
+    (geometries are small; corpora are large — parallelism is across
+    ways, not within one)."""
+    import heapq
+
+    n = len(pts)
+    if keep >= n or n <= 2:
+        return list(range(n))
+    keep = max(keep, 2)
+
+    def area(i, j, k):
+        (y1, x1), (y2, x2), (y3, x3) = pts[i], pts[j], pts[k]
+        return abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) / 2.0
+
+    prev = list(range(-1, n - 1))
+    nxt = list(range(1, n + 1))
+    alive = [True] * n
+    heap = [(area(i - 1, i, i + 1), i) for i in range(1, n - 1)]
+    heapq.heapify(heap)
+    remaining = n
+    while remaining > keep and heap:
+        a, i = heapq.heappop(heap)
+        if not alive[i] or nxt[i] >= n or prev[i] < 0:
+            continue
+        cur = area(prev[i], i, nxt[i])
+        if cur > a + 1e-15:  # stale entry: neighbors changed
+            heapq.heappush(heap, (cur, i))
+            continue
+        alive[i] = False
+        remaining -= 1
+        p, q = prev[i], nxt[i]
+        nxt[p], prev[q] = q, p
+        for j in (p, q):
+            if 0 < j < n - 1 and alive[j]:
+                heapq.heappush(heap, (area(prev[j], j, nxt[j]), j))
+    return [i for i in range(n) if alive[i]]
+
+
+def simplify_ways(
+    geoms: DataFrame,
+    keep: int = 8,
+    way_id: str = "way_id",
+    pts_col: str = "pts",
+) -> DataFrame:
+    """Batch polyline simplification over (way_id, pts:
+    array<struct<lat,lon>>) — mapInPandas, one heap per geometry, no
+    shuffle; output (way_id, n_in, n_out, pts) with endpoints
+    preserved and vertex order retained."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("way_id", LongType(), False),
+            StructField("n_in", IntegerType(), False),
+            StructField("n_out", IntegerType(), False),
+            StructField(
+                "pts",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("lat", DoubleType(), False),
+                            StructField("lon", DoubleType(), False),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nin, nout, outpts = [], [], [], []
+            for wid, pts in zip(pdf[way_id], pdf[pts_col]):
+                pl = [(p["lat"], p["lon"]) for p in pts]
+                kept = simplify_polyline_py(pl, keep)
+                ids.append(wid)
+                nin.append(len(pl))
+                nout.append(len(kept))
+                outpts.append([{"lat": pl[i][0], "lon": pl[i][1]} for i in kept])
+            yield pd.DataFrame(
+                {"way_id": ids, "n_in": nin, "n_out": nout, "pts": outpts}
+            )
+
+    return geoms.select(F.col(way_id).alias("way_id"), F.col(pts_col).alias(pts_col)).mapInPandas(
+        run, out_schema
+    )

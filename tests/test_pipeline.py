@@ -352,5 +352,5 @@ def test_entry_contract(spark):
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "q_extract_entities", "q_pbf_roundtrip",
-        "q_media_features", "q_pages_pipeline",
+        "q_media_features", "q_pages_pipeline", "q_simplify_ways",
     }

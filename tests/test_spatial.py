@@ -287,6 +287,48 @@ def test_knn_high_latitude(spark):
     assert len(want_ids) >= 4  # the ±5 deg points are ~190 km away
 
 
+def test_simplify_ways(spark):
+    """Visvalingam simplification: endpoints survive, order kept,
+    smallest-area vertices removed first; distributed output equals
+    the per-geometry python mirror under any partitioning."""
+    import random
+
+    from skyway_spark.operators.geometry import simplify_polyline_py, simplify_ways
+
+    rnd = random.Random(5)
+    rows = []
+    for wid in range(30):
+        n = rnd.randint(2, 40)
+        pts = [
+            {"lat": rnd.uniform(-60, 60), "lon": rnd.uniform(-170, 170)}
+            for _ in range(n)
+        ]
+        rows.append((wid, pts))
+    df = spark.createDataFrame(
+        rows, "way_id long, pts array<struct<lat:double,lon:double>>"
+    )
+    got = {r["way_id"]: r for r in simplify_ways(df.repartition(5), keep=6).collect()}
+    assert len(got) == 30
+    for wid, pts in rows:
+        pl = [(p["lat"], p["lon"]) for p in pts]
+        kept = simplify_polyline_py(pl, 6)
+        g = got[wid]
+        assert g["n_in"] == len(pl) and g["n_out"] == len(kept)
+        assert [(p["lat"], p["lon"]) for p in g["pts"]] == [pl[i] for i in kept]
+        # endpoints always survive; order monotone
+        assert kept[0] == 0 and kept[-1] == len(pl) - 1
+        assert kept == sorted(kept)
+        assert len(kept) == min(len(pl), max(6, 2)) or len(pl) <= 6
+    # straight-line degenerate: interior points are zero-area, all
+    # removable down to `keep`
+    line = [{"lat": 0.0, "lon": float(i)} for i in range(20)]
+    ldf = spark.createDataFrame(
+        [(1, line)], "way_id long, pts array<struct<lat:double,lon:double>>"
+    )
+    out = simplify_ways(ldf, keep=2).first()
+    assert out["n_out"] == 2
+
+
 def test_assemble_way_geometry(spark):
     """Geometry assembly vs a python oracle: ordered re-assembly,
     left-fold length, missing refs drop out."""
