@@ -402,6 +402,18 @@ def q_retention(spark, sf):
     )
 
 
+def q_sliding_window(spark, sf):
+    """Sliding event-time windows (1 h width, 15 min slide): each
+    event lands in 4 overlapping windows — JVM window() explode;
+    oracle re-derives the 4 window starts per event."""
+    (ev,) = _tables(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def q_pivot(spark, sf):
     """Pivot (crosstab) with an explicit value list — no
     value-discovery pass, so the plan is a single partial-aggregated
@@ -1391,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_window": q_running_window,
         "q_pivot": q_pivot,
         "q_funnel": q_funnel,
+        "q_sliding_window": q_sliding_window,
         "q_retention": q_retention,
         "q_window_range": q_window_range,
         "q_asof_join": q_asof_join,
@@ -2015,6 +2028,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY 1, 2)
             SELECT l.o_orderkey, l.k, r.ref_event
             FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+        """,
+        "q_sliding_window": """
+            WITH e AS (
+                SELECT event_type,
+                       time_bucket(INTERVAL 15 MINUTE, ts)
+                         - unnest([0, 1, 2, 3]) * INTERVAL 15 MINUTE AS window_start,
+                       ts
+                FROM events)
+            SELECT window_start, event_type, COUNT(*) AS n_events
+            FROM e
+            WHERE ts >= window_start
+              AND ts < window_start + INTERVAL 1 HOUR
+            GROUP BY 1, 2
         """,
         "q_funnel": """
             WITH b AS (
