@@ -501,6 +501,27 @@ def q_string_funcs(spark, sf):
     )
 
 
+def q_null_funcs(spark, sf):
+    """Null-handling / conditional family: coalesce, nullif, nvl2,
+    greatest/least, CASE — over orders with injected nulls."""
+    (o,) = _tables(spark, sf, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_np"),
+        F.coalesce(status_or_null, F.lit("PENDING")).alias("status_filled"),
+        F.expr("nvl2(nullif(o_orderstatus, 'P'), 'known', 'pending')").alias(
+            "nvl2_class"
+        ),
+        F.greatest(F.col("o_custkey") % 97, F.col("o_orderkey") % 89).alias("g"),
+        F.least(F.col("o_custkey") % 97, F.col("o_orderkey") % 89).alias("l"),
+        F.when(F.col("o_totalprice") > 100000.0, "big")
+        .when(F.col("o_totalprice") > 10000.0, "mid")
+        .otherwise("small")
+        .alias("price_band"),
+    )
+
+
 def q_datetime_funcs(spark, sf):
     (orders,) = _tables(spark, sf, "orders")
     d = F.col("o_orderdate")
@@ -1410,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gap_fill": q_gap_fill,
         "q_string_funcs": q_string_funcs,
         "q_datetime_funcs": q_datetime_funcs,
+        "q_null_funcs": q_null_funcs,
         "q_json_props": q_json_props,
         "q_array_map_funcs": q_array_map_funcs,
         "q_tag_freq": q_tag_freq,
@@ -2135,6 +2157,19 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CAST(props->>'k' AS BIGINT)) AS max_k
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_null_funcs": """
+            SELECT o_orderkey,
+                   nullif(o_orderstatus, 'P') AS status_np,
+                   COALESCE(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+                   CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL
+                        THEN 'known' ELSE 'pending' END AS nvl2_class,
+                   greatest(o_custkey % 97, o_orderkey % 89) AS g,
+                   least(o_custkey % 97, o_orderkey % 89) AS l,
+                   CASE WHEN o_totalprice > 100000.0 THEN 'big'
+                        WHEN o_totalprice > 10000.0 THEN 'mid'
+                        ELSE 'small' END AS price_band
+            FROM orders
         """,
         "q_tag_freq": """
             SELECT 'brand' AS tag_key, COUNT(*) AS n_elements,
