@@ -202,6 +202,30 @@ def test_asof_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
 
 
+def test_zorder_layout_range_pushdown(spark, tmp_path_factory):
+    """A zkey-sorted parquet layout answers a bbox query through ONE
+    pushed key-range predicate — the filter must reach the scan
+    (PushedFilters), enabling row-group/file skipping via parquet
+    min/max stats on the sorted key."""
+    from skyway_spark.functions import cells as C
+
+    d = str(tmp_path_factory.mktemp("zlay") / "pts")
+    pts = spark.range(20000).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 170 - 85.0).alias("lat"),
+        ((F.col("id") * 73) % 360 - 180.0).alias("lon"),
+    )
+    pts.withColumn(
+        "zkey", C.zorder_key(F.col("lat"), F.col("lon"), 16)
+    ).repartitionByRange(8, "zkey").sortWithinPartitions("zkey").write.parquet(d)
+    lo, hi = 1 << 22, 40 << 22
+    q = spark.read.parquet(d).where((F.col("zkey") >= lo) & (F.col("zkey") < hi))
+    plan = _executed_plan(q)
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln or "PushedFilters" in ln)
+    assert "PushedFilters" in plan and "zkey" in plan.split("PushedFilters", 1)[1][:200], scan
+    assert q.count() > 0
+
+
 def test_minhash_lsh_shuffles_ids_not_grams(spark):
     """The LSH banding exchange must carry only (band, hash, id) —
     never the gram arrays (the heavy payload); grams re-attach via
