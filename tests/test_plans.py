@@ -202,6 +202,32 @@ def test_asof_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed+sorted on the join key join with ZERO
+    exchanges — the co-located join layout for repeated big-big joins
+    (e.g. points⋈points on cell across many queries). Auto-broadcast
+    is disabled so the bucketed SortMergeJoin path itself is proven."""
+    import uuid
+
+    a = spark.range(20000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("va"))
+    b = spark.range(20000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("vb"))
+    ta, tb = f"ta_{uuid.uuid4().hex[:8]}", f"tb_{uuid.uuid4().hex[:8]}"
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(ta)
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(tb)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(ta).join(spark.table(tb), "k")
+        plan = _executed_plan(j)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
 def test_zorder_layout_range_pushdown(spark, tmp_path_factory):
     """A zkey-sorted parquet layout answers a bbox query through ONE
     pushed key-range predicate — the filter must reach the scan
