@@ -592,6 +592,21 @@ def q_tag_freq(spark, sf):
     )
 
 
+def q_lateral_view(spark, sf):
+    """SQL-layer generator syntax (LATERAL VIEW explode + posexplode)
+    over way node refs — the spark.sql surface of the JVM Generate
+    operator."""
+    _part_elements(spark, sf).createOrReplaceTempView("els_lv")
+    return spark.sql(
+        """
+        SELECT id, pos, node_ref
+        FROM els_lv
+        LATERAL VIEW posexplode(nodes) t AS pos, node_ref
+        WHERE type = 'way'
+        """
+    )
+
+
 def q_grouping_sets(spark, sf):
     """SQL-layer entry (spark.sql) with explicit GROUPING SETS."""
     (orders,) = _tables(spark, sf, "orders")
@@ -1435,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": q_json_props,
         "q_array_map_funcs": q_array_map_funcs,
         "q_tag_freq": q_tag_freq,
+        "q_lateral_view": q_lateral_view,
         "q_nation_setops": q_nation_setops,
         "q_events_hourly": q_events_hourly,
         "q_events_sessions": q_events_sessions,
@@ -2157,6 +2173,13 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CAST(props->>'k' AS BIGINT)) AS max_k
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_lateral_view": """
+            SELECT p_partkey AS id, u.pos - 1 AS pos, u.node_ref
+            FROM part,
+                 LATERAL (SELECT unnest([p_partkey, p_partkey + 1]) AS node_ref,
+                                 generate_subscripts([p_partkey, p_partkey + 1], 1) AS pos) u
+            WHERE p_partkey % 3 = 1
         """,
         "q_null_funcs": """
             SELECT o_orderkey,
