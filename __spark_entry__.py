@@ -768,6 +768,14 @@ def q_simhash_clusters(spark, sf):
     )
 
 
+def q_dedup_keep(spark, sf):
+    """The dedup OUTPUT table: exactly one survivor (min doc_id) per
+    distinct text — dedup_exact's window path over the 64-bit-hash
+    pre-partitioning."""
+    keep = dedup.dedup_exact(_docs_with_dups(spark, sf))
+    return keep.select("doc_id", F.length("text").alias("text_len"))
+
+
 def q_minhash(spark, sf):
     (docs,) = _tables(spark, sf, "documents")
     sig = dedup.minhash_signature(F.col("text"))
@@ -1459,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash": q_minhash,
         "q_minhash_lsh": q_minhash_lsh,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_keep": q_dedup_keep,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_simhash_clusters": q_simhash_clusters,
@@ -2290,6 +2299,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash": _minhash_sql(),
         "q_minhash_lsh": _minhash_lsh_sql(),
+        "q_dedup_keep": f"""
+            WITH docs2 AS ({_DOCS2_SQL})
+            SELECT doc_id, length(text)::INT AS text_len
+            FROM docs2
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
         "q_dedup_clusters": f"""
             WITH RECURSIVE
             p AS ({_minhash_lsh_sql()}),
