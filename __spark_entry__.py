@@ -1180,6 +1180,31 @@ def q_stratified_sample(spark, sf):
     return keep.select("doc_id", "lang")
 
 
+def q_tfidf_topterms(spark, sf):
+    """TF-IDF-shaped retrieval pipeline: per-doc term frequencies,
+    corpus document frequencies (broadcast back), top-3 terms per doc.
+    Ranking is pure-integer (tf desc, df asc, term) so the result is
+    engine-exact — the float idf weight would only reorder within
+    these ties."""
+    from pyspark.sql import Window
+
+    (docs,) = _tables(spark, sf, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(F.broadcast(dfreq), "term")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
 def q_top_ngrams(spark, sf):
     """Corpus-wide top-50 word bigrams over documents (explode ->
     partial-agg count -> sort of the aggregate only)."""
@@ -1499,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_range": q_zorder_range,
         "q_compact_cells": q_compact_cells,
         "q_top_ngrams": q_top_ngrams,
+        "q_tfidf_topterms": q_tfidf_topterms,
         "q_hash_split": q_hash_split,
         "q_stratified_sample": q_stratified_sample,
         "q_salted_join": q_salted_join,
@@ -2640,6 +2666,22 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN lang = 'de' THEN 1000000
                        WHEN lang = 'en' THEN 500000
                        ELSE 100000 END
+        """,
+        "q_tfidf_topterms": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+            d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+            SELECT doc_id, term, tf, df, rank FROM (
+                SELECT tf.doc_id, tf.term, tf.tf, d.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, d.df ASC, tf.term ASC
+                       ) AS rank
+                FROM tf JOIN d USING (term))
+            WHERE rank <= 3
         """,
         "q_top_ngrams": """
             WITH toks AS (
