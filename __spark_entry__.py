@@ -1205,6 +1205,47 @@ def q_tfidf_topterms(spark, sf):
     )
 
 
+def q_inverted_index(spark, sf):
+    """Inverted-index materialization for the rarest terms (df within
+    16x of the corpus minimum — a relative threshold so the slice is
+    nonempty at every sf):
+    term -> sorted postings, emitted as a joined string so the value
+    comparison is byte-stable. The per-term groupBy IS the index
+    build; at 100 TB the postings write out partitioned by term
+    prefix."""
+    (docs,) = _tables(spark, sf, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("term")
+    )
+    idx = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
+    )
+    mind = idx.agg(F.min("df").alias("mindf"))
+    return (
+        idx.crossJoin(F.broadcast(mind))
+        .where(F.col("df") <= 16 * F.col("mindf"))
+        .select("term", "df", "postings")
+    )
+
+
+def q_term_search(spark, sf):
+    """Boolean retrieval over the term table: docs containing BOTH
+    'spark' and 'join' but NOT 'slow' — two semi joins + one anti
+    join on doc_id."""
+    (docs,) = _tables(spark, sf, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("term")
+    )
+    has = lambda t: terms.where(F.col("term") == t).select("doc_id")  # noqa: E731
+    return (
+        docs.select("doc_id", "lang")
+        .join(has("spark"), "doc_id", "left_semi")
+        .join(has("join"), "doc_id", "left_semi")
+        .join(has("slow"), "doc_id", "left_anti")
+    )
+
+
 def q_top_ngrams(spark, sf):
     """Corpus-wide top-50 word bigrams over documents (explode ->
     partial-agg count -> sort of the aggregate only)."""
@@ -1525,6 +1566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compact_cells": q_compact_cells,
         "q_top_ngrams": q_top_ngrams,
         "q_tfidf_topterms": q_tfidf_topterms,
+        "q_inverted_index": q_inverted_index,
+        "q_term_search": q_term_search,
         "q_hash_split": q_hash_split,
         "q_stratified_sample": q_stratified_sample,
         "q_salted_join": q_salted_join,
@@ -2666,6 +2709,28 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN lang = 'de' THEN 1000000
                        WHEN lang = 'en' THEN 500000
                        ELSE 100000 END
+        """,
+        "q_inverted_index": """
+            WITH t AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS term
+                FROM documents)
+            SELECT term, COUNT(*) AS df,
+                   array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+            FROM t GROUP BY 1
+            HAVING COUNT(*) <= 16 * (
+                SELECT MIN(cnt) FROM (
+                    SELECT COUNT(*) AS cnt FROM t GROUP BY term) m)
+        """,
+        "q_term_search": """
+            WITH t AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS term
+                FROM documents)
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id IN (SELECT doc_id FROM t WHERE term = 'spark')
+              AND d.doc_id IN (SELECT doc_id FROM t WHERE term = 'join')
+              AND d.doc_id NOT IN (SELECT doc_id FROM t WHERE term = 'slow')
         """,
         "q_tfidf_topterms": """
             WITH t AS (
