@@ -1246,6 +1246,26 @@ def q_term_search(spark, sf):
     )
 
 
+def q_phrase_search(spark, sf):
+    """Positional-index phrase search: occurrences of the exact
+    phrase 'the table' via pos+1 equi-self-join on (doc_id, pos) —
+    the retrieval-engine shape for phrase queries. Emits per-doc
+    match counts."""
+    (docs,) = _tables(spark, sf, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "term")
+    )
+    a = pos.where(F.col("term") == "the").select("doc_id", "pos")
+    b = pos.where(F.col("term") == "table").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
 def q_top_ngrams(spark, sf):
     """Corpus-wide top-50 word bigrams over documents (explode ->
     partial-agg count -> sort of the aggregate only)."""
@@ -1568,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topterms": q_tfidf_topterms,
         "q_inverted_index": q_inverted_index,
         "q_term_search": q_term_search,
+        "q_phrase_search": q_phrase_search,
         "q_hash_split": q_hash_split,
         "q_stratified_sample": q_stratified_sample,
         "q_salted_join": q_salted_join,
@@ -2709,6 +2730,18 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN lang = 'de' THEN 1000000
                        WHEN lang = 'en' THEN 500000
                        ELSE 100000 END
+        """,
+        "q_phrase_search": """
+            WITH p AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) - 1 AS pos,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS term
+                FROM documents)
+            SELECT a.doc_id, COUNT(*) AS n_matches
+            FROM p a JOIN p b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'the' AND b.term = 'table'
+            GROUP BY 1
         """,
         "q_inverted_index": """
             WITH t AS (
