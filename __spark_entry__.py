@@ -414,6 +414,45 @@ def q_sliding_window(spark, sf):
     )
 
 
+def q_overlap_join(spark, sf):
+    """Interval-overlap self-join scoped by order: each lineitem gets
+    a derived [ship, ship + (qty%10+1) days] window; overlapping pairs
+    within the same order (a.start <= b.end AND b.start <= a.end).
+    The equi-key (orderkey) bounds the candidate set — overlap joins
+    stay linear when scoped by a partition key."""
+    (li,) = _tables(spark, sf, "lineitem")
+    days = (F.col("l_quantity").cast("int") % 10 + 1).cast("int")
+    iv = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").alias("s"),
+        F.expr(
+            "l_shipdate + make_dt_interval(CAST(l_quantity AS INT) % 10 + 1)"
+        ).alias("e"),
+    )
+    a = iv.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = iv.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .where(
+            (F.col("ln_a") < F.col("ln_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select("l_orderkey", "ln_a", "ln_b")
+    )
+
+
 def q_pivot(spark, sf):
     """Pivot (crosstab) with an explicit value list — no
     value-discovery pass, so the plan is a single partial-aggregated
@@ -1534,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_funnel": q_funnel,
         "q_sliding_window": q_sliding_window,
+        "q_overlap_join": q_overlap_join,
         "q_retention": q_retention,
         "q_window_range": q_window_range,
         "q_asof_join": q_asof_join,
@@ -2165,6 +2205,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY 1, 2)
             SELECT l.o_orderkey, l.k, r.ref_event
             FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+        """,
+        "q_overlap_join": """
+            WITH iv AS (
+                SELECT l_orderkey, l_linenumber, l_shipdate AS s,
+                       l_shipdate + (CAST(l_quantity AS INT) % 10 + 1)
+                           * INTERVAL 1 DAY AS e
+                FROM lineitem)
+            SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b
+            FROM iv a JOIN iv b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_linenumber < b.l_linenumber
+              AND a.s <= b.e AND b.s <= a.e
         """,
         "q_sliding_window": """
             WITH e AS (
