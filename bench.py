@@ -73,6 +73,13 @@ BENCH_QUERIES = [
     "q_tag_freq",
     "q_json_lines",
     "q_xml_lines",
+    "q_tfidf_topterms",
+    "q_phrase_search",
+    "q_term_search",
+    "q_inverted_index",
+    "q_overlap_join",
+    "q_sliding_window",
+    "q_dedup_keep",
     "q_cell_users",
     "q_top_ngrams",
     "q_audio_windows",
