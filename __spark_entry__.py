@@ -2181,7 +2181,7 @@ def oracle_sql() -> dict[str, str]:
             WITH agg AS (
                 SELECT user_id % 100 AS k, date_trunc('hour', ts) AS hour,
                        COUNT(*) AS n_events,
-                       SUM(floor(value * 100)::BIGINT) AS cents
+                       (SUM(floor(value * 100)::BIGINT))::BIGINT AS cents
                 FROM events GROUP BY 1, 2),
             spans AS (
                 SELECT k, MIN(hour) AS h0, MAX(hour) AS h1 FROM agg GROUP BY 1),
@@ -2270,7 +2270,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_window_range": """
             SELECT event_id, user_id,
-                   SUM(floor(value * 100)::BIGINT) OVER w AS trail_cents,
+                   (SUM(floor(value * 100)::BIGINT) OVER w)::BIGINT AS trail_cents,
                    COUNT(*) OVER w AS trail_n
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -2319,7 +2319,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
                    COUNT(*) AS n_events,
-                   SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                   (SUM(CAST(props->>'k' AS BIGINT)))::BIGINT AS sum_k,
                    MAX(CAST(props->>'k' AS BIGINT)) AS max_k
             FROM events
             GROUP BY 1, 2
@@ -2419,7 +2419,7 @@ def oracle_sql() -> dict[str, str]:
                            (PARTITION BY user_id ORDER BY ts, event_id) AS gap
                 FROM events)
             SELECT user_id,
-                   SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+                   (SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END))::BIGINT AS n_sessions,
                    COUNT(*) AS n_events
             FROM g GROUP BY user_id
         """,
