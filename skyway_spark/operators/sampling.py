@@ -24,9 +24,16 @@ BUCKETS = 1_000_000
 
 
 def hash_bucket(id_col: Column) -> Column:
-    """id -> uniform bucket in [0, BUCKETS): ((a*id + b) mod p) mod B.
-    Pure Column math; bucket < r*B <=> 'sampled at rate r'."""
-    return ((id_col.cast("long") * _A + _B) % PRIME) % BUCKETS
+    """id -> uniform bucket in [0, BUCKETS): ((a*(id mod p) + b) mod p) mod B.
+    Pure Column math; bucket < r*B <=> 'sampled at rate r'.
+
+    The id is reduced mod p BEFORE the multiply: (p-1)*a < 2^62 so the
+    product can never overflow int64, and pmod keeps every intermediate
+    non-negative — ids beyond ~8.4e9 (inevitable at 10^12 rows) hash
+    identically on any engine that computes in 64- or 128-bit.
+    """
+    reduced = F.pmod(id_col.cast("long"), F.lit(PRIME))
+    return F.pmod(reduced * _A + _B, F.lit(PRIME)) % BUCKETS
 
 
 def deterministic_sample(

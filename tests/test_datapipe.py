@@ -87,6 +87,29 @@ def test_minhash_lsh_recall_vs_exact(docs):
     assert len(exact) > 0
 
 
+def test_minhash_lsh_join_degrades_to_shuffle(docs):
+    """The gram re-attach joins must carry NO broadcast hint: with
+    auto-broadcast disabled the plan must degrade to keyed shuffle
+    joins (SortMergeJoin/ShuffledHashJoin), never a forced
+    BroadcastHashJoin — a hinted broadcast would OOM on duplicate-heavy
+    corpora because AQE cannot override an explicit hint."""
+    spark = docs.sparkSession
+    sub = docs.limit(50)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            dedup.minhash_lsh_pairs(sub, threshold=0.8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_simhash_pairs_sound(docs):
     sub = docs.limit(300)
     pairs = dedup.simhash_near_dup_pairs(sub, max_hamming=2).collect()
@@ -304,6 +327,32 @@ def test_sampling_deterministic_and_exhaustive(spark, docs):
     assert a <= b and len(a) < len(b) < n
     with pytest.raises(ValueError):
         sampling.hash_split(sub, {"a": 0.5, "b": 0.2})
+
+
+def test_hash_bucket_large_ids_no_overflow(spark):
+    """ids past ~8.4e9 must hash without int64 wrap: non-negative bucket,
+    identical to an arbitrary-precision Python mirror (engine-independence
+    at 10^12-row id ranges)."""
+    from pyspark.sql import functions as F
+
+    from skyway_spark.operators import sampling
+
+    ids = [0, 1, 8_400_000_000, 2**40, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["bkt"]
+        for r in df.select(
+            "doc_id", sampling.hash_bucket(F.col("doc_id")).alias("bkt")
+        ).collect()
+    }
+    p, a, b, nb = sampling.PRIME, sampling._A, sampling._B, sampling.BUCKETS
+    for i in ids:
+        want = ((i % p) * a + b) % p % nb  # Python ints: no overflow
+        assert got[i] == want and 0 <= got[i] < nb, (i, got[i], want)
+    # splits over large ids stay exhaustive (no all-to-'test' collapse)
+    s = sampling.hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert s.where(F.col("split").isNull()).count() == 0
+    assert s.select("split").distinct().count() > 1
 
 
 def test_connected_components(spark):
