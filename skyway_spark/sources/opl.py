@@ -185,7 +185,16 @@ def _opl_members_parse_udf(s: pd.Series) -> pd.Series:
             t = tc.get(ref_part[:1])
             if t is None:
                 continue  # reference filter_maps unknown types away
-            out.append({"type": t, "ref": int(ref_part[1:]), "role": unescape_opl(role)})
+            try:
+                ref = int(ref_part[1:])
+            except ValueError:
+                # Non-numeric ref ('Mn@r', 'Mnx@r'): the whole M field is
+                # unparseable.  Python UDFs are evaluated eagerly regardless
+                # of surrounding F.when guards, so raising here would abort
+                # the job even in PERMISSIVE mode — return null instead and
+                # let parse_opl_lines' `bad` predicate quarantine the line.
+                return None
+            out.append({"type": t, "ref": ref, "role": unescape_opl(role)})
         return out
 
     return s.map(parse)
@@ -297,10 +306,12 @@ def parse_opl_lines(
 
     The reference PANICS on malformed lines (src/readers/opl.rs:112,
     204); we diverge by design (SURVEY §7.5): with ``corrupt_col``
-    set, unparseable lines (bad type char / non-numeric id) surface
-    PERMISSIVE-style — null element fields plus the raw line in the
-    corrupt column — so one bad row in 100 TB is quarantined, not a
-    job abort.
+    set, unparseable lines (bad type char / non-numeric id / malformed
+    member ref) surface PERMISSIVE-style — null element fields plus
+    the raw line in the corrupt column — so one bad row in 100 TB is
+    quarantined, not a job abort.  Without ``corrupt_col`` a malformed
+    member list yields null ``members`` (never an exception: Python
+    UDFs evaluate eagerly, so a raise could not be guarded anyway).
     """
     fields = F.split(F.col(column), " ")
     head = F.element_at(fields, 1)
@@ -342,7 +353,13 @@ def parse_opl_lines(
     ]
     if corrupt_col is None:
         return lines.select(*[c.alias(n) for n, c in cols])
-    bad = etype.isNull() | F.substring(head, 2, 1 << 20).try_cast("long").isNull()
+    m_raw = _field(fields, "M")
+    bad = (
+        etype.isNull()
+        | F.substring(head, 2, 1 << 20).try_cast("long").isNull()
+        # member-list parse failure: M field present but udf returned null
+        | (m_raw.isNotNull() & _opl_members_parse_udf(m_raw).isNull())
+    )
     return lines.select(
         *[F.when(~bad, c).alias(n) for n, c in cols],
         F.when(bad, F.col(column)).alias(corrupt_col),

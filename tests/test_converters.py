@@ -332,6 +332,29 @@ def test_opl_permissive_corrupt_records(spark):
     assert "_corrupt" not in opl.parse_opl_lines(lines).columns
 
 
+def test_opl_permissive_bad_member_ref(spark):
+    """Non-numeric member refs ('Mn@role', 'Mnx@role') must be quarantined,
+    not abort the job: pandas UDFs are evaluated eagerly, so the member
+    parser itself has to tolerate them (cannot hide behind F.when)."""
+    lines = spark.createDataFrame(
+        [
+            ("r5 v1 Mnx@outer Ta=b",),   # non-numeric ref -> corrupt
+            ("r6 v1 Mn@outer",),          # empty ref -> corrupt
+            ("r7 v1 Mn1@inner,w2@ Tk=v",),  # well-formed -> parsed
+        ],
+        "value string",
+    )
+    out = opl.parse_opl_lines(lines, corrupt_col="_corrupt").collect()
+    good = {r["id"]: r for r in out if r["_corrupt"] is None}
+    bad = {r["_corrupt"] for r in out if r["_corrupt"] is not None}
+    assert set(good) == {7}
+    assert [m["ref"] for m in good[7]["members"]] == [1, 2]
+    assert bad == {"r5 v1 Mnx@outer Ta=b", "r6 v1 Mn@outer"}
+    # strict mode: no exception either; members null, rest parsed
+    strict = {r["id"]: r for r in opl.parse_opl_lines(lines).collect()}
+    assert strict[5]["members"] is None and strict[5]["type"] == "relation"
+
+
 def test_convert_cli_end_to_end(spark, elements, tmp_path):
     """jobs/convert.py: opl -> filter -> json, reference flag
     semantics (extension inference, filter chain order)."""
