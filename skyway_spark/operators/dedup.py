@@ -231,18 +231,22 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact-verify: re-attach gram arrays via two NARROW doc scans,
-    # each broadcast-joined against the (small) candidate set — grams
-    # are never shuffled. LSH guarantees candidates << docs; if a
-    # corpus ever produced a candidate set too big to broadcast, AQE
-    # falls back to a shuffle join on the id key.
+    # exact-verify: re-attach gram arrays via two NARROW doc scans
+    # equi-joined against the candidate set on the id key.  Deliberately
+    # UN-hinted: an explicit F.broadcast is honored regardless of size
+    # (AQE never overrides a hint), and on a duplicate-heavy corpus —
+    # the normal case for web crawls — candidate rows carrying ~10^2
+    # longs of grams each would OOM the driver under a forced broadcast.
+    # Un-hinted, AQE picks broadcast when the runtime size is small and
+    # degrades to a keyed shuffle otherwise (pinned by
+    # tests/test_datapipe.py::test_minhash_lsh_join_degrades_to_shuffle).
     ga = grams_of(docs).select(
         F.col("__id").alias("id_a"), F.col("__grams").alias("__ga")
     )
     gb = grams_of(docs).select(
         F.col("__id").alias("id_b"), F.col("__grams").alias("__gb")
     )
-    withg = gb.join(F.broadcast(ga.join(F.broadcast(cand), "id_a")), "id_b")
+    withg = gb.join(ga.join(cand, "id_a"), "id_b")
     return withg.select(
         "id_a", "id_b", jaccard(F.col("__ga"), F.col("__gb")).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
