@@ -123,6 +123,18 @@ OSMFILTER_PROGRAM = (
 
 CEL_PROGRAM = 'has(tags.big) && id % 2 == 0 || type == "relation"'
 
+# exercises the round-2 CEL surface: comprehension macros
+# (exists/filter/map over map keys and list literals), method-style
+# size(), conversions int()/string(), ternary — all of which compile
+# to Spark higher-order functions (no interpreter fallback; pinned by
+# tests/test_cel.py::test_macros_compile_to_columns_not_fallback)
+CEL_MACROS_PROGRAM = (
+    '(tags.exists(k, k == "big")'
+    ' ? size(tags.filter(k, tags[k].contains("ECONOMY"))) == 1'
+    ' : int(string(id)) % 7 == 0)'
+    " && [1, 2, 3].map(x, x * id).exists(v, v % 4 == 0)"
+)
+
 # deterministic 64-d query vector for similarity search
 QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
 _QNORM = math.sqrt(sum(x * x for x in QUERY_VEC))
@@ -1349,6 +1361,15 @@ def q_cel(spark, sf):
     return out.select("type", "id")
 
 
+def q_cel_macros(spark, sf):
+    """Full-CEL surface (VERDICT r1 #4): macros + conversions compiled
+    to Catalyst higher-order functions; reference runs the same program
+    through cel-interpreter (src/filter/cel/mod.rs:59-67)."""
+    els = _part_elements(spark, sf)
+    out = compile_cel(CEL_MACROS_PROGRAM).apply(els)
+    return out.select("type", "id")
+
+
 _GEO_KINDS = ("cafe", "bench", "station", "museum", "park")
 
 
@@ -1616,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simplify_ways": q_simplify_ways,
         "q_pages_pipeline": q_pages_pipeline,
         # -- new in round 2 (keep inside the 50-entry driver window) ----
+        "q_cel_macros": q_cel_macros,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -2921,5 +2943,16 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS ({_ELEMENTS_SQL})
             SELECT type, id FROM e
             WHERE (p_size > 40 AND id % 2 = 0) OR type = 'relation'
+        """,
+        # CEL_MACROS_PROGRAM desugared: the 'big' tag exists iff
+        # p_size > 40; only the ptype tag value can contain 'ECONOMY';
+        # [1,2,3].map(x, x*id).exists(v, v%4==0) holds iff id is even
+        "q_cel_macros": f"""
+            WITH e AS ({_ELEMENTS_SQL})
+            SELECT type, id FROM e
+            WHERE (CASE WHEN p_size > 40
+                        THEN ptype LIKE '%ECONOMY%'
+                        ELSE id % 7 = 0 END)
+              AND id % 2 = 0
         """,
     }

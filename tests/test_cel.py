@@ -89,3 +89,139 @@ CEL_ERROR_SEMANTICS_CASES = [
 def test_cel_error_absorption(spark, elements, expr, want):
     got = {(r["type"], r["id"]) for r in apply_cel(elements, expr).collect()}
     assert got == want
+
+
+# --------------------------- macros + conversions ---------------------------
+# The reference embeds the full cel-interpreter, so arbitrary CEL
+# (macros, conversions, timestamp math) must run, not CelCompileError.
+
+MACRO_CASES = [
+    # comprehension macros over the tags map (iterates KEYS per CEL)
+    ('tags.exists(k, k == "amenity")', {("node", 1)}),
+    ('tags.exists(k, tags[k] == "tertiary")', {("node", 2), ("way", 1500)}),
+    ('tags.all(k, k.size() > 3)',  # method-style size() compiles too
+     {("node", 1), ("node", 2), ("way", 1500), ("way", 2000), ("relation", 3000)}),
+    ('tags.all(k, size(k) > 3)',
+     {("node", 1), ("node", 2), ("way", 1500), ("way", 2000), ("relation", 3000)}),
+    ('tags.exists_one(k, tags[k].contains("tert"))', {("node", 2), ("way", 1500)}),
+    ('size(tags.filter(k, k.startsWith("high"))) == 1', {("node", 2), ("way", 1500)}),
+    ('tags.map(k, tags[k]).exists(v, v == "cafe")', {("node", 1)}),
+    # 3-arg map: filter + transform
+    ('size(tags.map(k, k != "type", tags[k])) > 0',
+     {("node", 1), ("node", 2), ("way", 1500)}),
+    # list macros
+    ('[1, 2, 3].exists(x, x * 2 == id)', {("node", 2)}),
+    ('["node", "way"].all(t, t != type)', {("relation", 3000)}),
+    # conversions (try_cast path)
+    ('int("1500") == id', {("way", 1500)}),
+    ('string(id) == "2000"', {("way", 2000)}),
+    ('double(id) / 2.0 == 1000.0', {("way", 2000)}),
+    # int division truncates toward zero (CEL / cel-interpreter)
+    ("id / 7 == 214", {("way", 1500)}),
+    # conversion failure -> eval error -> drop (not a job abort)
+    ('int(tags["amenity"]) > 0', set()),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [c for c in MACRO_CASES if c[1] is not None],
+    ids=[c[0][:48] for c in MACRO_CASES if c[1] is not None],
+)
+def test_cel_macros(spark, elements, expr, want):
+    got = {(r["type"], r["id"]) for r in apply_cel(elements, expr).collect()}
+    assert got == want
+
+
+def test_macros_compile_to_columns_not_fallback(elements):
+    """The macro/conversion family stays JVM-side (Spark HOFs), only
+    genuinely dynamic programs pay the Arrow-batch interpreter."""
+    from skyway_spark.functions.filter.cel import (
+        CompiledCelFilter,
+        InterpretedCelFilter,
+    )
+
+    assert isinstance(compile_cel('tags.exists(k, k == "amenity")'), CompiledCelFilter)
+    assert isinstance(compile_cel('int("5") == id'), CompiledCelFilter)
+    assert isinstance(
+        compile_cel('timestamp(timestamp).getFullYear() == 2024'),
+        InterpretedCelFilter,
+    )
+
+
+FALLBACK_CASES = [
+    # timestamp()/duration() + accessors: outside the Column subset,
+    # exercised through the Arrow-batch interpreter
+    ("timestamp(timestamp).getFullYear() == 2024", {("node", 1)}),
+    ("timestamp(timestamp).getMonth() == 0", {("node", 1)}),  # zero-based
+    ('timestamp(timestamp) < timestamp("2025-06-01T00:00:00Z")', {("node", 1)}),
+    ('timestamp(timestamp) + duration("48h") > timestamp("2024-01-02T00:00:00Z")',
+     {("node", 1)}),
+    ('duration("1h30m").getMinutes() == 90', 5),  # true for every element
+    # macro whose body needs the interpreter (timestamp conversion):
+    # the whole program falls back, macro + absorption still must run
+    ('tags.exists(k, k == "amenity" && timestamp(timestamp).getFullYear() == 2024)',
+     {("node", 1)}),
+    # absorption holds in the interpreter too
+    ('timestamp(timestamp).getFullYear() == 2024 || type == "way"',
+     {("node", 1), ("way", 1500), ("way", 2000)}),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,want", FALLBACK_CASES, ids=[c[0][:48] for c in FALLBACK_CASES]
+)
+def test_cel_fallback_interpreter(spark, elements, expr, want):
+    from skyway_spark.functions.filter.cel import InterpretedCelFilter
+
+    filt = compile_cel(expr)
+    assert isinstance(filt, InterpretedCelFilter)
+    rows = filt.apply(elements).select("type", "id").collect()
+    got = {(r["type"], r["id"]) for r in rows}
+    if isinstance(want, int):
+        assert len(got) == want
+    else:
+        assert got == want
+
+
+def test_backends_agree_on_shared_subset(spark, elements):
+    """Every Column-compiled program must produce the same kept-row set
+    when forced through the interpreter (cross-backend parity)."""
+    from skyway_spark.functions.filter.cel import (
+        CompiledCelFilter,
+        InterpretedCelFilter,
+        _lex,
+        _Parser,
+    )
+
+    shared = [c[0] for c in CASES] + [
+        c[0] for c in MACRO_CASES if c[1] is not None
+    ] + [c[0] for c in CEL_ERROR_SEMANTICS_CASES]
+    for expr in shared:
+        filt = compile_cel(expr)
+        if not isinstance(filt, CompiledCelFilter):
+            continue
+        col_rows = {(r["type"], r["id"]) for r in filt.apply(elements).collect()}
+        interp = InterpretedCelFilter(_Parser(_lex(expr)).parse())
+        int_rows = {(r["type"], r["id"]) for r in interp.apply(elements).collect()}
+        assert col_rows == int_rows, expr
+
+
+def test_cel_fallback_nonboolean_raises(spark, elements):
+    """Interpreter path: non-boolean program output is a hard error at
+    runtime (reference panics, cel/mod.rs:9-14)."""
+    from py4j.protocol import Py4JJavaError
+
+    filt = compile_cel("timestamp(timestamp).getFullYear()")
+    with pytest.raises(Exception):
+        filt.apply(elements).collect()
+
+
+def test_macro_scope_check():
+    with pytest.raises(CelCompileError):
+        compile_cel("tags.exists(k, v == 1)")  # v unbound
+    with pytest.raises(CelCompileError):
+        compile_cel("nope == 1")
+    # bound var must not leak out of the macro
+    with pytest.raises(CelCompileError):
+        compile_cel('tags.exists(k, k == "a") && k == "b"')
