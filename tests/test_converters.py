@@ -5,6 +5,7 @@ verbatim, layout rules, and full write->read->equal round-trips on the
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -458,3 +459,71 @@ def test_varint_roundtrip_property(vals):
         v, off = _decode_uvarint(buf, off)
         got.append(v)
     assert got == vals
+
+
+# ------------------- reference example corpus (end-to-end) -------------------
+
+_EXAMPLE_JSON = "/root/reference/src/examples/example.json"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_EXAMPLE_JSON), reason="reference corpus not present"
+)
+def test_reference_example_json_end_to_end(spark, tmp_path):
+    """The reference's only real-data fixture: 1.5 MB of Overpass
+    output (1,551 ways) whose `bounds`/`geometry` fields the reader
+    must silently ignore (src/readers/json.rs:66-80 lenient structs).
+    Driver and distributed readers must agree; OPL and JSON round-trips
+    must be lossless and byte-stable."""
+    els, md = jsonio.read_json(spark, _EXAMPLE_JSON)
+    els = els.cache()
+    # Overpass header metadata (src/readers/json.rs:101-138)
+    assert md["version"] == "0.6"
+    assert md["generator"].startswith("Overpass API")
+    assert md["timestamp"] == "2023-12-21T17:59:38Z"
+    assert "openstreetmap.org" in md["copyright"]
+    # 1,551 ways, nothing else; bounds/geometry never become columns
+    assert els.count() == 1551
+    assert els.where(F.col("type") != "way").count() == 0
+    assert set(els.columns) == {
+        "type", "id", "lat", "lon", "nodes", "members", "tags",
+        "changeset", "uid", "user", "version", "timestamp", "visible",
+    }
+    by_id = {r["id"]: r for r in els.collect()}
+    # spot-check a sampled way against the raw document
+    import json as _json
+
+    with open(_EXAMPLE_JSON, encoding="utf-8") as f:
+        raw = _json.load(f)
+    first = raw["elements"][0]
+    got = by_id[first["id"]]
+    assert got["nodes"] == first["nodes"]
+    assert dict(got["tags"]) == first["tags"]
+    assert got["lat"] is None and got["lon"] is None  # ways carry no coords
+
+    # distributed reader parses the same file to the same canonical rows
+    dist = jsonio.read_json_distributed(spark, _EXAMPLE_JSON)
+    assert _canon(dist) == _canon(els)
+
+    # OPL round-trip: serialize -> parse -> identical elements
+    from skyway_spark.sources import opl as _opl
+
+    lines1 = [r["l"] for r in els.select(_opl.opl_line(els).alias("l")).collect()]
+    parsed = _opl.parse_opl_lines(
+        spark.createDataFrame([(l,) for l in lines1], "value string")
+    )
+    assert _canon(parsed) == _canon(els)
+    # byte-stability: serializing the re-parsed elements is identical
+    lines2 = [r["l"] for r in parsed.select(_opl.opl_line(parsed).alias("l")).collect()]
+    assert sorted(lines1) == sorted(lines2)
+
+    # JSON round-trip through the repo writer: re-read matches
+    p = str(tmp_path / "example_rt.json")
+    s1 = jsonio.serialize_json_string(els, md)
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(s1)
+    back, md2 = jsonio.read_json(spark, p)
+    assert _canon(back) == _canon(els)
+    assert md2["generator"] == md["generator"]
+    # idempotence: writer output is byte-stable across a round-trip
+    assert jsonio.serialize_json_string(back, md2) == s1
