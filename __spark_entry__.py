@@ -1513,38 +1513,58 @@ def q_audio_windows(spark, sf):
     return multimodal.audio_windows(media, window=64, hop=32)
 
 
+def _pbf_fixture_elements() -> list[dict]:
+    """Shared input of q_pbf_roundtrip and its oracle: the pure-Python
+    elements fixture (no Spark session needed)."""
+    from skyway_spark.sources.generate import element_rows
+
+    els = []
+    for (t, i, lat, lon, nodes, members, tags, *_meta) in element_rows():
+        e = {"type": t, "id": i, "tags": dict(tags)}
+        if t == "node":
+            e["lat"], e["lon"] = lat, lon
+        elif t == "way":
+            e["nodes"] = list(nodes)
+        else:
+            e["members"] = [
+                {"type": m[0] or "node", "ref": m[1], "role": m[2] or ""}
+                for m in members
+            ]
+        els.append(e)
+    return els
+
+
 def q_pbf_roundtrip(spark, sf):
     """Encode the deterministic elements fixture to OSM PBF bytes and
-    read it back through the distributed blob decoder (rows-only:
-    byte-level format, not SQL-expressible)."""
+    read it back through the distributed blob decoder. EXACT oracle
+    since round 2: the expected rows are re-derived in pure Python from
+    the same fixture (nanodegree quantization mirrored, tags serialized
+    independently) and emitted as a DuckDB VALUES table — any encode or
+    decode corruption of ids, coords or tag bytes mismatches."""
     import tempfile
 
     from skyway_spark.sources import pbf as pbfio
-    from skyway_spark.sources.generate import generate_elements
 
-    els = []
-    for r in generate_elements(spark).collect():
-        e = {"type": r["type"], "id": r["id"], "tags": dict(r["tags"])}
-        if r["type"] == "node":
-            e["lat"], e["lon"] = r["lat"], r["lon"]
-        elif r["type"] == "way":
-            e["nodes"] = list(r["nodes"])
-        else:
-            e["members"] = [
-                {"type": m["type"] or "node", "ref": m["ref"], "role": m["role"] or ""}
-                for m in r["members"]
-            ]
-        els.append(e)
     path = tempfile.mktemp(suffix=".osm.pbf")
-    pbfio.encode_pbf(path, els, block_size=64)
-    return pbfio.read_pbf(spark, path).select("type", "id", "lat", "lon", "tags")
+    pbfio.encode_pbf(path, _pbf_fixture_elements(), block_size=64)
+    df = pbfio.read_pbf(spark, path)
+    tags_ser = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries("tags")),
+            lambda e: F.concat(e["key"], F.lit("\x1f"), e["value"]),
+        ),
+        "\x1e",
+    )
+    return df.select("type", "id", "lat", "lon", tags_ser.alias("tags_ser"))
 
 
 def q_simplify_ways(spark, sf):
     """Visvalingam polyline simplification over deterministic ways
-    built from event points (rows-only: the iterative smallest-area
-    heap is not SQL-expressible; per-geometry python mirror is tested
-    in test_spatial.py)."""
+    built from event points. EXACT oracle since round 2: DuckDB
+    re-runs the same iterative argmin-(area, index) removal as a
+    recursive CTE over point lists, and the kept-vertex set is pinned
+    by ``chk`` — an ordered left-fold over the surviving points (same
+    IEEE add sequence both engines, see q_way_lengths)."""
     from skyway_spark.operators.geometry import simplify_ways
 
     pts = _event_points(spark, sf)
@@ -1558,7 +1578,13 @@ def q_simplify_ways(spark, sf):
             ).alias("pts")
         )
     )
-    return simplify_ways(ways, keep=6).select("way_id", "n_in", "n_out")
+    out = simplify_ways(ways, keep=6)
+    chk = F.aggregate(
+        F.col("pts"),
+        F.lit(0.0),
+        lambda acc, p: acc + (p["lat"] * 3.0 + p["lon"]),
+    )
+    return out.select("way_id", "n_in", "n_out", chk.alias("chk"))
 
 
 def q_media_features(spark, sf):
@@ -2072,6 +2098,40 @@ def _ivf_topk_sql(k: int = 10, n_centroids: int = 8, nprobe: int = 2, seed: int 
         FROM scored
         QUALIFY rank <= {k}
     """
+
+
+def _pbf_roundtrip_sql() -> str:
+    """Expected PBF read-back rows as a DuckDB VALUES table, re-derived
+    in pure Python from the shared fixture: coords go through the same
+    nanodegree quantization the format imposes (granularity 100,
+    src/readers/pbf semantics: value = 1e-9 * 100 * (round(x*1e9)//100))
+    and tags are serialized independently of the Spark-side expression."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def dec(x: float) -> float:
+        return 1e-9 * (100 * (int(round(x * 1e9)) // 100))
+
+    rows = []
+    for e in _pbf_fixture_elements():
+        tags_ser = "\x1e".join(
+            f"{k}\x1f{v}" for k, v in sorted(e["tags"].items())
+        )
+        # string-cast literals: bare float literals in VALUES default to
+        # DECIMAL and silently drop low-order double digits
+        lat = f"'{dec(e['lat'])!r}'::DOUBLE" if e["type"] == "node" else "NULL"
+        lon = f"'{dec(e['lon'])!r}'::DOUBLE" if e["type"] == "node" else "NULL"
+        rows.append(
+            f"({q(e['type'])}, {e['id']}, {lat}, {lon}, {q(tags_ser)})"
+        )
+    values = ",\n                   ".join(rows)
+    return f"""
+            SELECT v.type, v.id::BIGINT AS id, v.lat::DOUBLE AS lat,
+                   v.lon::DOUBLE AS lon, v.tags_ser
+            FROM (VALUES {values})
+                 AS v(type, id, lat, lon, tags_ser)
+        """
 
 
 def _way_lengths_sql() -> str:
@@ -2593,6 +2653,47 @@ def oracle_sql() -> dict[str, str]:
         "q_pipeline_exact": _pipeline_exact_sql(),
         "q_way_lengths": _way_lengths_sql(),
         "q_relation_rollup": _relation_rollup_sql(),
+        "q_pbf_roundtrip": _pbf_roundtrip_sql(),
+        # Visvalingam mirror: iterative argmin-(area, original-index)
+        # interior-vertex removal as a recursive CTE over point lists;
+        # chk pins the kept-vertex SET via an ordered left-fold (same
+        # IEEE add sequence as the Spark side). Verified equal to
+        # simplify_polyline_py on all 500 ways at sf0.01.
+        "q_simplify_ways": f"""
+            WITH RECURSIVE pts0 AS ({_POINTS_SQL}),
+            w0 AS (
+                SELECT event_id % 500 AS way_id,
+                       list(struct_pack(lat := lat, lon := lon)
+                            ORDER BY event_id) AS pts
+                FROM pts0 GROUP BY 1
+            ),
+            rec AS (
+                SELECT way_id, pts, generate_series(1, len(pts)) AS alive
+                FROM w0
+                UNION ALL
+                SELECT way_id, pts,
+                       list_filter(alive, (x, i) -> i != (
+                           list_sort(list_transform(
+                               generate_series(2, len(alive) - 1), j ->
+                               struct_pack(
+                                   a := abs(
+                                       (pts[alive[j]].lon - pts[alive[j-1]].lon)
+                                         * (pts[alive[j+1]].lat - pts[alive[j-1]].lat)
+                                     - (pts[alive[j+1]].lon - pts[alive[j-1]].lon)
+                                         * (pts[alive[j]].lat - pts[alive[j-1]].lat)
+                                   ) / 2.0,
+                                   idx := alive[j],
+                                   pos := j)))[1].pos
+                       )) AS alive
+                FROM rec WHERE len(alive) > 6
+            )
+            SELECT way_id, len(pts)::INT AS n_in, len(alive)::INT AS n_out,
+                   list_reduce(
+                       list_prepend(0.0, list_transform(
+                           alive, i -> pts[i].lat * 3.0 + pts[i].lon)),
+                       (a, b) -> a + b) AS chk
+            FROM rec WHERE len(alive) = least(len(pts), 6)
+        """,
         "q_opl_lines": """
             WITH t AS (
                 SELECT p_partkey AS id, p_partkey % 3 AS m,

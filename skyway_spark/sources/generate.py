@@ -31,7 +31,12 @@ _TAG_VALUES = (
 _USERS = ("alice", "bob w space", "émile", "😱user", None)
 
 
-def generate_elements(spark: SparkSession, n_nodes=150, n_ways=100, n_rels=50, seed=42) -> DataFrame:
+def element_rows(n_nodes=150, n_ways=100, n_rels=50, seed=42) -> list[tuple]:
+    """Pure-Python fixture rows (no Spark) — the same list backs
+    ``generate_elements`` and the DuckDB VALUES oracle of
+    q_pbf_roundtrip, so oracle construction never needs a session.
+    Python's Mersenne Twister is version-stable, so the fixture is
+    identical everywhere."""
     rng = random.Random(seed)
     rows = []
 
@@ -68,7 +73,13 @@ def generate_elements(spark: SparkSession, n_nodes=150, n_ways=100, n_rels=50, s
             for _ in range(rng.randrange(1, 8))
         ]
         rows.append(("relation", 9000 + i, None, None, None, members, tags(), *meta(i)))
-    return spark.createDataFrame(rows, ELEMENTS_SCHEMA)
+    return rows
+
+
+def generate_elements(spark: SparkSession, n_nodes=150, n_ways=100, n_rels=50, seed=42) -> DataFrame:
+    return spark.createDataFrame(
+        element_rows(n_nodes, n_ways, n_rels, seed), ELEMENTS_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
