@@ -1470,8 +1470,21 @@ def q_pipeline_exact(spark, sf):
 
 
 def q_extract_entities(spark, sf):
+    """Extraction over the DISTRIBUTED page generator (hash-of-id
+    corpus with hot-city skew). EXACT oracle since round 2: the
+    generator's integer-LCG/microdegree arithmetic is mirrored in SQL
+    (_page_mentions_sql); the output carries the portable mention
+    ordinal ``pos`` rather than the xxhash64 entity id, which stays
+    64-bit on purpose (collision-free at 10^12 rows, not worth
+    mirroring)."""
     pages = generate_pages(spark, 2000, partitions=8)
-    return extract_geo_entities(pages).select("url", "id", "lat", "lon")
+    return extract_geo_entities(pages).select(
+        "url",
+        "pos",
+        "lat",
+        "lon",
+        F.col("tags")["amenity"].alias("amenity"),
+    )
 
 
 def q_opl_lines(spark, sf):
@@ -1596,8 +1609,12 @@ def q_media_features(spark, sf):
 
 
 def q_pages_pipeline(spark, sf):
-    """End-to-end north-rule slice: pages -> extract -> filter -> PIP
-    vs generated polygons -> tile rollup."""
+    """End-to-end north-rule slice over the DISTRIBUTED generators:
+    pages -> extract -> filter -> PIP vs generated polygons -> tile
+    rollup. EXACT oracle since round 2: mentions re-derived via
+    _page_mentions_sql, polygons re-ray-cast in SQL from the shared
+    pure-Python fixture rows (id-free output, so nothing depends on
+    xxhash64)."""
     pages = generate_pages(spark, 2000, partitions=8)
     ents = extract_geo_entities(pages)
     kept = compile_cel('tags["amenity"] != "bench"').apply(ents)
@@ -2031,6 +2048,115 @@ _PORTABLE_MENTIONS_SQL = f"""
             FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS j)
             WHERE doc_id % 3 > j
 """
+
+
+def _ph_sql(i: str, salt: int) -> str:
+    """SQL mirror of generate._ph: affine + quadratic mix mod the
+    Mersenne prime, integer hash in [0, PAGE_PRIME)."""
+    from skyway_spark.sources import generate as g
+
+    P = g.PAGE_PRIME
+    x = f"((({i}) % {P}) * {g._PH_A1} + {(salt * g._PH_SALT) % P + 1}) % {P}"
+    return f"(({x}) * ({x}) + ({x}) * {g._PH_A2} + {salt}) % {P}"
+
+
+def _page_mentions_sql(n_rows: int) -> str:
+    """SQL mirror of generate_pages' mention stream for row ids
+    [0, n_rows): one row per emitted @geo mention with its portable
+    ordinal j, parsed lat/lon doubles, amenity kind and url."""
+    from skyway_spark.sources import generate as g
+
+    P = g.PAGE_PRIME
+    cities_lat = "[" + ", ".join(str(c[0]) for c in g.HOT_CITIES_U) + "]"
+    cities_lon = "[" + ", ".join(str(c[1]) for c in g.HOT_CITIES_U) + "]"
+    kinds = "['cafe', 'bench', 'station', 'museum', 'park']"
+
+    def md(u: str) -> str:
+        # signed integer microdegrees -> '[-]D.DDDDDD' -> DOUBLE
+        # (mirrors generate._fmt_microdeg + the extraction parse)
+        return (
+            f"CAST(CASE WHEN ({u}) < 0 THEN '-' ELSE '' END || "
+            f"((abs({u}) // 1000000))::VARCHAR || '.' || "
+            f"lpad((abs({u}) % 1000000)::VARCHAR, 6, '0') AS DOUBLE)"
+        )
+
+    # salts depend on j, so the hash terms are spelled with j inline
+    def phj(base: str) -> str:
+        salt = f"({base} + j)"
+        x = (
+            f"((i % {P}) * {g._PH_A1}"
+            f" + ({salt} * {g._PH_SALT}) % {P} + 1) % {P}"
+        )
+        return f"(({x}) * ({x}) + ({x}) * {g._PH_A2} + {salt}) % {P}"
+
+    hot = f"({phj('10')}) < {(P * 4) // 5}"
+    city = f"(({phj('20')}) % 5 + 1)::INT"
+    dlat = f"(({phj('30')}) % 200001 - 100000)"
+    dlon = f"(({phj('40')}) % 200001 - 100000)"
+    lat_u = (
+        f"CASE WHEN {hot} THEN ({cities_lat})[{city}] + {dlat}"
+        f" ELSE ({phj('50')}) % 170000001 - 85000000 END"
+    )
+    lon_u = (
+        f"CASE WHEN {hot} THEN ({cities_lon})[{city}] + {dlon}"
+        f" ELSE ({phj('60')}) % 360000001 - 180000000 END"
+    )
+    kind = f"({kinds})[(({phj('70')}) % 5 + 1)::INT]"
+    n_mentions = f"({_ph_sql('i', 1)}) % 6"
+    return f"""
+            SELECT i, j,
+                   {md(lat_u)} AS lat,
+                   {md(lon_u)} AS lon,
+                   {kind} AS amenity,
+                   'place-' || i || '-' || j AS name,
+                   'https://example.org/p/' || i AS url
+            FROM range(0, {n_rows}) t(i)
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j)
+            WHERE ({n_mentions}) > j
+"""
+
+
+def _gen_polygon_edges_values() -> str:
+    """Edge table literals for the generated polygon fixture (shared
+    pure-Python rows; string-cast doubles — bare VALUES literals are
+    DECIMAL-truncated)."""
+    from skyway_spark.sources.generate import polygon_rows
+
+    rows = []
+    for pid, _name, ring, role in polygon_rows():
+        for (y1, x1), (y2, x2) in zip(ring[:-1], ring[1:]):
+            rows.append(
+                f"({pid}, '{role}', '{y1!r}'::DOUBLE, '{x1!r}'::DOUBLE,"
+                f" '{y2!r}'::DOUBLE, '{x2!r}'::DOUBLE)"
+            )
+    return ", ".join(rows)
+
+
+def _pages_pipeline_sql(n_rows: int = 2000) -> str:
+    tx8, ty8 = _tile_xy_sql("k.lat", "k.lon", 8)
+    return f"""
+        WITH pts AS ({_page_mentions_sql(n_rows)}),
+        kept AS (SELECT * FROM pts WHERE amenity <> 'bench'),
+        edges(polygon_id, role, y1, x1, y2, x2) AS (
+            VALUES {_gen_polygon_edges_values()}),
+        ring_hits AS (
+            SELECT k.i, k.j, e.polygon_id, e.role,
+                   SUM(CASE WHEN ((e.y1 > k.lat) != (e.y2 > k.lat))
+                             AND k.lon < (e.x2 - e.x1) * (k.lat - e.y1) / (e.y2 - e.y1) + e.x1
+                            THEN 1 ELSE 0 END) % 2 = 1 AS inside
+            FROM kept k CROSS JOIN edges e
+            GROUP BY k.i, k.j, e.polygon_id, e.role),
+        pip AS (
+            SELECT i, j, polygon_id
+            FROM ring_hits
+            GROUP BY i, j, polygon_id
+            HAVING bool_or(role = 'outer' AND inside)
+               AND NOT bool_or(role = 'hole' AND inside))
+        SELECT p.polygon_id, {tx8} AS tile_x, {ty8} AS tile_y,
+               COUNT(*) AS n_points
+        FROM pip p JOIN kept k USING (i, j)
+        GROUP BY 1, 2, 3
+    """
 
 
 def _pipeline_exact_sql() -> str:
@@ -2651,6 +2777,11 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "q_pipeline_exact": _pipeline_exact_sql(),
+        "q_extract_entities": f"""
+            WITH m AS ({_page_mentions_sql(2000)})
+            SELECT url, j::INT AS pos, lat, lon, amenity FROM m
+        """,
+        "q_pages_pipeline": _pages_pipeline_sql(2000),
         "q_way_lengths": _way_lengths_sql(),
         "q_relation_rollup": _relation_rollup_sql(),
         "q_pbf_roundtrip": _pbf_roundtrip_sql(),

@@ -46,8 +46,12 @@ def extract_geo_entities(pages: DataFrame) -> DataFrame:
         "text",
         "lang",
         F.lit("node").alias("type"),
-        # deterministic, collision-resistant id per (url, position)
+        # deterministic, collision-resistant id per (url, position);
+        # xxhash64 deliberately (64-bit, no collisions at 10^12 rows) —
+        # 'pos' rides along as the portable mention ordinal so contract
+        # queries can be oracle-checked without mirroring xxhash64
         F.xxhash64("url", "pos").alias("id"),
+        F.col("pos").cast("int").alias("pos"),
         lat.alias("lat"),
         lon.alias("lon"),
         F.map_from_arrays(

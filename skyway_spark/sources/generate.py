@@ -98,41 +98,78 @@ HOT_CITIES = (
 _GEO_KINDS = ("cafe", "bench", "station", "museum", "park")
 
 
+# Portable page-generator arithmetic: every draw is integer math mod
+# the Mersenne prime 2^31-1 (an affine step then a QUADRATIC mixing
+# step — chained multiplications alone stay affine mod P, which made
+# same-row draws for different salts perfectly correlated; x^2 mod P
+# breaks the linearity and is overflow-safe since (P-1)^2 < 2^63), so
+# the SAME rows are derivable in plain SQL on any engine — that is
+# what gives q_extract_entities / q_pages_pipeline exact DuckDB
+# oracles. Coordinates are integer MICRODEGREES rendered to fixed
+# 6-decimal strings with integer ops only (double->string formatting
+# is not portable across engines).
+PAGE_PRIME = 2_147_483_647
+_PH_A1, _PH_A2, _PH_SALT = 16807, 69621, 2_654_435_761
+HOT_CITIES_U = tuple(
+    (int(round(lat * 1e6)), int(round(lon * 1e6))) for lat, lon in HOT_CITIES
+)
+
+
+def _ph(i, salt: int):
+    """Column: deterministic hash of (row id, salt) in [0, PAGE_PRIME).
+    Pair-decorrelation validated: disk-hit ratios ~1.0 across random
+    2-D windows (see the round-2 generator commit)."""
+    r = F.pmod(i, F.lit(PAGE_PRIME))
+    x = F.pmod(r * _PH_A1 + F.lit((salt * _PH_SALT) % PAGE_PRIME + 1), F.lit(PAGE_PRIME))
+    return F.pmod(x * x + x * _PH_A2 + F.lit(salt), F.lit(PAGE_PRIME))
+
+
+def _fmt_microdeg(u):
+    """Column: signed integer microdegrees -> '[-]D.DDDDDD' string,
+    integer-built (portable to SQL bit-for-bit)."""
+    a = F.abs(u)
+    return F.concat(
+        F.when(u < 0, F.lit("-")).otherwise(F.lit("")),
+        F.floor(a / 1_000_000).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad(F.pmod(a, 1_000_000).cast("string"), 6, "0"),
+    )
+
+
 def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
     """(url, warc_ts, html, text, lang) with 0-5 deterministic geo
     mentions ``@geo(<lat>,<lon>;name=<slug>;amenity=<kind>)`` embedded
     in text. Pure Column exprs over spark.range — scales linearly with
     executors; identical output for a given n_rows regardless of
-    parallelism (hash-of-id determinism, no RNG sequence)."""
+    parallelism (hash-of-id determinism, no RNG sequence), and exactly
+    reproducible in SQL (see _PAGE_MENTIONS_SQL in __spark_entry__)."""
     df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
 
-    def h(salt: int):
-        # deterministic per-(row, salt) pseudo-random in [0, 1)
-        return (F.abs(F.xxhash64(i, F.lit(salt))) % 1_000_000_007) / 1_000_000_007.0
-
     def mention(j: int):
-        hot = h(10 + j) < 0.8
-        city = (F.abs(F.xxhash64(i, F.lit(20 + j))) % len(HOT_CITIES)).cast("int")
+        hot = _ph(i, 10 + j) < (PAGE_PRIME * 4) // 5  # 80% hot
+        city = _ph(i, 20 + j) % len(HOT_CITIES_U)
+        dlat = _ph(i, 30 + j) % 200_001 - 100_000  # +-0.1 deg
+        dlon = _ph(i, 40 + j) % 200_001 - 100_000
         hot_lat = F.element_at(
-            F.array(*[F.lit(c[0]) for c in HOT_CITIES]), city + 1
-        ) + (h(30 + j) - 0.5) * 0.2
+            F.array(*[F.lit(c[0]) for c in HOT_CITIES_U]), city.cast("int") + 1
+        ) + dlat
         hot_lon = F.element_at(
-            F.array(*[F.lit(c[1]) for c in HOT_CITIES]), city + 1
-        ) + (h(40 + j) - 0.5) * 0.2
-        cold_lat = h(50 + j) * 170.0 - 85.0
-        cold_lon = h(60 + j) * 360.0 - 180.0
-        lat = F.round(F.when(hot, hot_lat).otherwise(cold_lat), 6)
-        lon = F.round(F.when(hot, hot_lon).otherwise(cold_lon), 6)
+            F.array(*[F.lit(c[1]) for c in HOT_CITIES_U]), city.cast("int") + 1
+        ) + dlon
+        cold_lat = _ph(i, 50 + j) % 170_000_001 - 85_000_000
+        cold_lon = _ph(i, 60 + j) % 360_000_001 - 180_000_000
+        lat_u = F.when(hot, hot_lat).otherwise(cold_lat)
+        lon_u = F.when(hot, hot_lon).otherwise(cold_lon)
         kind = F.element_at(
             F.array(*[F.lit(k) for k in _GEO_KINDS]),
-            (F.abs(F.xxhash64(i, F.lit(70 + j))) % len(_GEO_KINDS)).cast("int") + 1,
+            (_ph(i, 70 + j) % len(_GEO_KINDS)).cast("int") + 1,
         )
         return F.concat(
             F.lit(" @geo("),
-            lat.cast("string"),
+            _fmt_microdeg(lat_u),
             F.lit(","),
-            lon.cast("string"),
+            _fmt_microdeg(lon_u),
             F.lit(";name=place-"),
             i.cast("string"),
             F.lit("-" + str(j)),
@@ -141,7 +178,7 @@ def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = No
             F.lit(")"),
         )
 
-    n_mentions = (F.abs(F.xxhash64(i, F.lit(1))) % 6).cast("int")  # 0..5
+    n_mentions = (_ph(i, 1) % 6).cast("int")  # 0..5
     mentions = F.concat(
         *[F.when(n_mentions > j, mention(j)).otherwise(F.lit("")) for j in range(5)]
     )
@@ -152,8 +189,12 @@ def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = No
         mentions,
         F.lit(" The end."),
     )
+    lv = _ph(i, 2)
     lang = (
-        F.when(h(2) < 0.90, "en").when(h(2) < 0.94, "de").when(h(2) < 0.98, "fr").otherwise("und")
+        F.when(lv < (PAGE_PRIME * 90) // 100, "en")
+        .when(lv < (PAGE_PRIME * 94) // 100, "de")
+        .when(lv < (PAGE_PRIME * 98) // 100, "fr")
+        .otherwise("und")
     )
     ts0 = F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
     return df.select(
@@ -184,9 +225,10 @@ def _regular_ring(lat0, lon0, r_deg, n, rot=0.0, rng=None, jitter=0.0):
     return pts
 
 
-def generate_polygons(spark: SparkSession, n_scatter=35, seed=42) -> DataFrame:
-    """~40 polygons: 5 covering the hot-city disks (salting exercise),
-    the rest scattered; mix of convex / concave / one with a hole."""
+def polygon_rows(n_scatter=35, seed=42) -> list[tuple]:
+    """Pure-Python polygon fixture rows (no Spark) — shared by
+    generate_polygons and the DuckDB edge-table oracle of
+    q_pages_pipeline."""
     rng = random.Random(seed)
     rows = []
     pid = 0
@@ -221,4 +263,10 @@ def generate_polygons(spark: SparkSession, n_scatter=35, seed=42) -> DataFrame:
             continue
         rows.append((pid, f"poly-{pid}", ring, "outer"))
         pid += 1
-    return spark.createDataFrame(rows, POLYGONS_SCHEMA)
+    return rows
+
+
+def generate_polygons(spark: SparkSession, n_scatter=35, seed=42) -> DataFrame:
+    """~40 polygons: 5 covering the hot-city disks (salting exercise),
+    the rest scattered; mix of convex / concave / one with a hole."""
+    return spark.createDataFrame(polygon_rows(n_scatter, seed), POLYGONS_SCHEMA)

@@ -348,9 +348,8 @@ def test_entry_contract(spark):
     qs = em.queries()
     oracles = em.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every oracle-less query is intentionally rows-only
+    # every oracle-less query is intentionally rows-only; since round 2
+    # only the stubbed-decoder multimodal query remains (everything else
+    # carries an exact DuckDB oracle)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "q_extract_entities", "q_pbf_roundtrip",
-        "q_media_features", "q_pages_pipeline", "q_simplify_ways",
-    }
+    assert rows_only == {"q_media_features"}
