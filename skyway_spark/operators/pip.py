@@ -120,6 +120,15 @@ def _odd_crossings(ring, lat_c, lon_c):
     return F.aggregate(ring, F.lit(0), lambda acc, e: acc + crossing(e)) % 2 == 1
 
 
+# jvm-refine compiles every polygon edge into literal Column arrays:
+# plan size grows with polygons x vertices, and past a few tens of
+# thousands of literals Catalyst planning slows and whole-stage
+# codegen falls back to interpreted expressions (64KB method limit).
+# Above this edge budget the auto mode switches to the pandas refine,
+# whose cost is O(1) in plan size (geometry ships in the UDF closure).
+JVM_REFINE_MAX_EDGES = 10_000
+
+
 def point_in_polygon(
     points: DataFrame,
     polygons: DataFrame,
@@ -128,10 +137,16 @@ def point_in_polygon(
     lat: str = "lat",
     lon: str = "lon",
     broadcast_polygons: bool = True,
-    refine: str = "jvm",
+    refine: str = "auto",
 ) -> DataFrame:
     """Rows of ``points`` (all columns preserved) paired with every
-    ``polygon_id`` containing them."""
+    ``polygon_id`` containing them.
+
+    ``refine='auto'`` (default) picks the jvm HOF refine while the
+    total edge count fits JVM_REFINE_MAX_EDGES and the Arrow pandas
+    refine beyond it — both produce bit-identical verdicts (same op
+    order, pinned by the 3-path tests). Pass 'jvm'/'pandas' to force.
+    """
     if not broadcast_polygons:
         return _point_in_polygon_distributed(points, polygons, res, point_id, lat, lon)
 
@@ -163,6 +178,11 @@ def point_in_polygon(
     pcells = F.broadcast(spark.createDataFrame(cell_rows, "cell long, __geom int"))
 
     lat_c, lon_c = F.col(lat), F.col(lon)
+    if refine == "auto":
+        total_edges = sum(
+            len(ys) - 1 for g in geoms for ys, _xs in g["outer"] + g["hole"]
+        )
+        refine = "jvm" if total_edges <= JVM_REFINE_MAX_EDGES else "pandas"
     if refine == "jvm":
         outer_by_geom = F.array(*[_rings_lit(g["outer"]) for g in geoms])
         hole_by_geom = F.array(*[_rings_lit(g["hole"]) for g in geoms])

@@ -394,3 +394,52 @@ def test_relation_way_rollup(spark):
     assert got[1]["perimeter_km"] == pytest.approx(7.75)
     assert got[2]["n_ways"] == 2 and got[2]["n_outer"] == 2
     assert got[2]["perimeter_km"] == pytest.approx(2.25)
+
+
+def test_pip_auto_refine_guardrail(spark):
+    """refine='auto' must (a) stay on the jvm HOF path for
+    dimension-sized polygon tables and (b) switch to the pandas refine
+    when polygons x vertices would blow up the literal plan — 2,000
+    polygons x 200 vertices = 400k edges completes with a plan whose
+    size is independent of the geometry (no 64KB-codegen fallback)."""
+    import math
+
+    from skyway_spark.operators import pip as pip_mod
+
+    # (a) small table -> jvm path: no Python evaluation in the plan
+    small = generate_polygons(spark)
+    pts = spark.createDataFrame(
+        [(1, 40.7128, -74.0060), (2, 0.0, 0.0)], "id long, lat double, lon double"
+    )
+    plan_small = (
+        point_in_polygon(pts, small, res=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan_small and "BatchEvalPython" not in plan_small
+
+    # (b) 2,000 x 200-vertex rings -> auto switches to pandas refine
+    rows = []
+    for pid in range(2000):
+        lat0 = (pid % 50) * 0.5 - 12.0
+        lon0 = (pid // 50) * 0.5 - 10.0
+        ring = [
+            {
+                "lat": lat0 + 0.2 * math.sin(2 * math.pi * k / 200),
+                "lon": lon0 + 0.2 * math.cos(2 * math.pi * k / 200),
+            }
+            for k in range(200)
+        ]
+        ring.append(ring[0])
+        rows.append((pid, f"p{pid}", ring, "outer"))
+    big = spark.createDataFrame(rows, POLYGONS_SCHEMA)
+    probe = spark.createDataFrame(
+        [(1, -12.0, -10.0), (2, -11.75, -10.0), (3, 55.0, 120.0)],
+        "id long, lat double, lon double",
+    )
+    out = point_in_polygon(probe, big, res=4)
+    plan_big = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_big or "BatchEvalPython" in plan_big
+    got = {(r["id"], r["polygon_id"]) for r in out.collect()}
+    # point 1 sits at ring-0's center, point 2 between rings, point 3 far away
+    assert (1, 0) in got
+    assert all(i != 3 for i, _ in got)
