@@ -272,3 +272,65 @@ def test_random_programs_match_oracle(spark):
             assert (i in got) == keep, f"trial {trial}: id {i} keep mismatch"
             if keep:
                 assert got[i] == want, f"trial {trial}: id {i} tags mismatch"
+
+
+# ----------------- grammar edge cases (osmfilter.pest parity) -----------------
+
+
+def test_timestamp_selectors_rejected_like_reference():
+    """The pest grammar has NO timestamp/since/before/user/uid/id/version
+    selectors — they are a TODO (osmfilter.pest:44). A program using them
+    must fail to parse here exactly as it fails in the reference."""
+    for selector in (
+        'SINCE "2024-01-01"',
+        'BEFORE "2024-01-01"',
+        'TIMESTAMP "2024-01-01"',
+        'USER "alice"',
+        'UID "42"',
+        'VERSION "3"',
+    ):
+        with pytest.raises(OsmFilterParseError):
+            parse_osmfilter(f"OSMFilter v0.2.0\n\n{selector}\n\tCOMMIT\n")
+
+
+def test_comment_placement_variants():
+    """osmfilter.pest comment rules: '#' runs to end of line; comments may
+    trail a selector (before its block), trail a modifier, or stand alone
+    as a statement — and '#' INSIDE a quoted string is not a comment."""
+    p = parse_osmfilter(
+        "OSMFilter v0.2.0\n"
+        "\n"
+        "# leading standalone comment\n"
+        "TYPE node  # trailing selector comment\n"
+        "\t# standalone comment inside a block\n"
+        '\tSET "note" "a#b"  # hash inside string survives\n'
+        "COMMIT # trailing modifier comment\n"
+    )
+    assert len(p.statements) == 2
+    block = p.statements[0]
+    assert isinstance(block.selector, TypeSelector) and block.selector.node
+    (set_stmt,) = block.statements
+    assert isinstance(set_stmt, Set)
+    assert set_stmt.value == "a#b"  # not truncated at '#'
+    assert isinstance(p.statements[1], Commit)
+
+
+def test_comment_only_body_rejected():
+    """A body with only comments/blank lines has no statements — the pest
+    body rule needs at least one statement; match the failure."""
+    with pytest.raises(OsmFilterParseError):
+        parse_osmfilter("OSMFilter v0.2.0\n\n# nothing else\n")
+
+
+def test_header_version_optional_v_and_mismatch_warning():
+    """header = 'OSMFilter ' ~ 'v'? ~ version ~ NEWLINE{2}: the 'v' is
+    optional; a non-current version parses with a warning, never an error
+    (parse.rs:123-127)."""
+    import warnings as _w
+
+    p = parse_osmfilter("OSMFilter 0.2.0\n\nCOMMIT\n")
+    assert isinstance(p.statements[0], Commit)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        parse_osmfilter("OSMFilter v9.9.9\n\nCOMMIT\n")
+    assert any("version" in str(r.message).lower() for r in rec)
