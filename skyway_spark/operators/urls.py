@@ -1,0 +1,87 @@
+"""URL canonicalization for web-corpus dedup (training-data prep).
+
+Crawl corpora carry the same page under many spellings — scheme/host
+case, default ports, fragments, tracking parameters, parameter order,
+trailing slashes. Canonicalizing BEFORE exact/near dedup is the stage
+that actually collapses them (CCNet/CommonCrawl pipelines do this
+first). Everything here is pure Column expressions — string splits,
+regexes, and array higher-order functions (filter + sort on query
+params) — JVM-side with an exact DuckDB oracle.
+
+Canonical form (documented spec, applied in this order):
+1. fragment stripped;
+2. scheme and authority lowercased (path/query case preserved);
+3. ``www.`` prefix and the scheme's default port (``:80`` http,
+   ``:443`` https) stripped from the host;
+4. tracking params removed (``utm_*``, ``fbclid``, ``gclid``),
+   remaining params SORTED (order-insensitive equality);
+5. trailing ``/`` stripped from a non-root path; empty path -> ``/``.
+
+No reference counterpart (SURVEY.md §2.4 north-rule addition; the
+input_hint's `url` column is the natural key this feeds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid)="
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased authority without userinfo/port/www (grouping key
+    for per-site statistics)."""
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    no_port = F.regexp_replace(no_user, r":[0-9]+$", "")
+    return F.regexp_replace(no_port, r"^www\.", "")
+
+
+def canonicalize_url(url: Column) -> Column:
+    u = F.regexp_replace(url, r"#.*$", "")  # 1. fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))  # 2.
+    host = F.regexp_replace(
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth),
+        r"^www\.",
+        "",
+    )  # 3.
+    tail = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.substring_index(tail, "?", 1)
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_RE),
+        )
+    )  # 4.
+    qstr = F.array_join(kept, "&")
+    path2 = F.regexp_replace(path, r"/$", "")  # 5.
+    path3 = F.when(path2 == "", "/").otherwise(path2)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path3,
+        F.when(qstr == "", "").otherwise(F.concat(F.lit("?"), qstr)),
+    )
+
+
+def url_host_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host corpus stats over canonical urls: page count, distinct
+    canonical urls (dup collapse visible as n_docs > n_canonical), and
+    the lexicographic min canonical url as a stable exemplar."""
+    canon = docs.select(
+        host_of(F.col(url_col)).alias("host"),
+        canonicalize_url(F.col(url_col)).alias("canon"),
+    )
+    return canon.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canon").alias("n_canonical"),
+        F.min("canon").alias("first_url"),
+    )

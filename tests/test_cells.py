@@ -229,3 +229,43 @@ def test_zorder_key_bit_mirror_and_locality(points):
     for r, c in zip(got, c7.tolist()):
         by_cell.setdefault(c, set()).add(r["z"] >> 16)
     assert all(len(v) == 1 for v in by_cell.values())
+
+
+def test_geohash_known_vectors(spark):
+    """Public Niemeyer geohash vectors (encoding is a published
+    standard; values verifiable with any geohash tool)."""
+    vecs = [
+        (57.64911, 10.40744, "u4pruyd"),
+        (48.8566, 2.3522, "u09tvw0"),
+        (40.7128, -74.0060, "dr5regw"),
+        (-33.8688, 151.2093, "r3gx2f7"),
+        (0.0, 0.0, "s000000"),
+    ]
+    df = spark.createDataFrame([(a, b) for a, b, _ in vecs], "lat double, lon double")
+    got = [r[0] for r in df.select(cells.geohash(F.col("lat"), F.col("lon"), 7)).collect()]
+    assert got == [w for _, _, w in vecs]
+    # prefix-hierarchy law: precision-4 hash is a prefix of precision-7
+    g4 = [r[0] for r in df.select(cells.geohash(F.col("lat"), F.col("lon"), 4)).collect()]
+    assert all(full.startswith(p4) for full, p4 in zip(got, g4))
+
+
+def test_ewma_fold(spark):
+    """alpha=1/2 EWMA: ewma_t = (ewma_{t-1} + x_t)/2, seeded with x_0,
+    ordered by (ts, event_id); single-row groups return the value."""
+    from skyway_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 4.0),
+        (1, "2024-01-01 00:01:00", 2, 8.0),   # (4+8)/2 = 6
+        (1, "2024-01-01 00:02:00", 3, 2.0),   # (6+2)/2 = 4
+        (2, "2024-01-01 00:00:00", 4, 7.5),   # singleton
+        # same ts -> event_id breaks the tie deterministically
+        (3, "2024-01-01 00:00:00", 6, 1.0),
+        (3, "2024-01-01 00:00:00", 5, 3.0),   # order: id5 (3.0) then id6 (1.0)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_id long, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: (r["n_events"], r["ewma"]) for r in ewma(df).collect()}
+    assert got[1] == (3, 4.0)
+    assert got[2] == (1, 7.5)
+    assert got[3] == (2, (3.0 + 1.0) / 2)

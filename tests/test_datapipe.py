@@ -503,3 +503,42 @@ def test_audio_windows(spark, docs):
         [(1, bytearray(b"abc"))], "media_id long, payload binary"
     )
     assert multimodal.audio_windows(tiny, window=8, hop=4).count() == 0
+
+
+def test_url_canonicalization_cases(spark):
+    """Spec cases from operators/urls.py: fragment, case, ports, www,
+    tracking params, param sort, trailing slash."""
+    from skyway_spark.operators import urls as U
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b/?utm_source=x&z=1&a=2#f", "http://ex.com/A/b?a=2&z=1"),
+        ("https://Ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),  # non-default port kept
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com/p?fbclid=abc", "http://ex.com/p"),
+        ("http://ex.com/p?b=2&a=1", "http://ex.com/p?a=1&b=2"),
+        ("http://user@ex.com/p", "http://user@ex.com/p"),  # userinfo preserved in canon
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(U.canonicalize_url(F.col("url"))).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+    # host_of strips userinfo, port, www
+    hosts = [r[0] for r in df.select(U.host_of(F.col("url"))).collect()]
+    assert hosts == ["ex.com"] * 2 + ["ex.com"] * 5
+
+
+def test_bm25_ranking_sanity(docs):
+    """BM25: a doc containing the query terms more densely must not
+    rank below a doc with fewer matches at equal length; scores are
+    positive and deterministic under repartitioning."""
+    from skyway_spark.operators.retrieval import bm25_scores
+
+    sub = docs.limit(200).cache()
+    a = {r["doc_id"]: r["score"] for r in bm25_scores(sub, ("data", "join")).collect()}
+    b = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(sub.repartition(7), ("data", "join")).collect()
+    }
+    assert a == b  # bit-deterministic under partitioning
+    assert a and all(s > 0 for s in a.values())
