@@ -87,6 +87,13 @@ BENCH_QUERIES = [
     "q_osmfilter",
     "q_cel",
     "q_pipeline_exact",
+    # round-2 additions
+    "q_cel_macros",
+    "q_bm25",
+    "q_url_host_stats",
+    "q_geohash",
+    "q_ewma",
+    "q_simplify_ways",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
