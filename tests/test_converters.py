@@ -527,3 +527,54 @@ def test_reference_example_json_end_to_end(spark, tmp_path):
     assert md2["generator"] == md["generator"]
     # idempotence: writer output is byte-stable across a round-trip
     assert jsonio.serialize_json_string(back, md2) == s1
+
+
+# ----------------- Spark 4 Python DataSource formats -----------------
+
+
+def test_datasource_opl_matches_column_reader(spark, elements, tmp_path):
+    """spark.read.format('opl') must produce exactly the rows of the
+    Column-based parse_opl_lines on the same file (differential test
+    of the pure-Python line parser vs the Column expressions)."""
+    from skyway_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    p = str(tmp_path / "ds.opl")
+    with open(p, "w") as f:
+        f.write(opl.serialize_opl_string(elements))
+    via_ds = spark.read.format("opl").load(p)
+    via_col, _ = opl.read_opl(spark, p)
+    assert _canon(via_ds) == _canon(via_col)
+    assert via_ds.count() == 300
+
+
+def test_datasource_osmjson_reads_reference_example(spark):
+    from skyway_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    if not os.path.exists(_EXAMPLE_JSON):
+        pytest.skip("reference corpus not present")
+    df = spark.read.format("osmjson").load(_EXAMPLE_JSON)
+    assert df.count() == 1551
+    assert df.where(F.col("type") != "way").count() == 0
+    want, _ = jsonio.read_json(spark, _EXAMPLE_JSON)
+    assert _canon(df) == _canon(want)
+
+
+def test_datasource_osmpbf_matches_mapinpandas(spark, tmp_path):
+    from skyway_spark.sources import pbf as pbfio
+    from skyway_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("e", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    p = str(tmp_path / "ds.osm.pbf")
+    pbfio.encode_pbf(p, mod._pbf_fixture_elements(), block_size=64)
+    via_ds = spark.read.format("osmpbf").option("blobs_per_task", "2").load(p)
+    via_mp = pbfio.read_pbf(spark, p)
+    assert _canon(via_ds) == _canon(via_mp)
+    # blob-grouped partitioning: 300 elements / 64-el blocks -> >1 split
+    assert via_ds.rdd.getNumPartitions() > 1
