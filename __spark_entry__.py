@@ -1413,6 +1413,25 @@ def q_ewma(spark, sf):
     return ewma(ev, key_col="user_id", order_cols=("ts", "event_id"), value_col="value")
 
 
+def q_rep_quality(spark, sf):
+    """Gopher/MassiveText repetition rules per doc: duplicate-token
+    fraction + top-bigram coverage. Integer numerators until one final
+    division, so values are engine-exact."""
+    (docs,) = _tables(spark, sf, "documents")
+    return textstats.repetition_stats(docs)
+
+
+def q_boilerplate(spark, sf):
+    """CCNet-style corpus boilerplate: consecutive 8-token chunks
+    counted corpus-wide, per-doc count of chunks repeated >= 3 times.
+    Spark keys the shuffle by xxhash64(chunk); the oracle counts by
+    the chunk STRING itself — an independent derivation whose counts
+    agree unless the hash collides (it doesn't; a collision would
+    surface as a gate mismatch)."""
+    (docs,) = _tables(spark, sf, "documents")
+    return textstats.boilerplate_windows(docs, window=8, min_repeat=3)
+
+
 BM25_TERMS = ("data", "join", "window")
 
 
@@ -1759,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_host_stats": q_url_host_stats,
         "q_geohash": q_geohash,
         "q_ewma": q_ewma,
+        "q_rep_quality": q_rep_quality,
+        "q_boilerplate": q_boilerplate,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -3287,6 +3308,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_size > 40 AND id % 2 = 0) OR type = 'relation'
         """,
         "q_geohash": _geohash_oracle_sql(4),
+        "q_rep_quality": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents),
+            base AS (
+                SELECT doc_id, len(toks)::INT AS n_tokens,
+                       len(list_distinct(toks))::INT AS n_distinct, toks
+                FROM t),
+            bi AS (
+                SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+                FROM base, unnest(range(1, len(toks))) AS u(i)),
+            cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+            mx AS (SELECT doc_id, MAX(c) AS max_bigram FROM cnt GROUP BY 1)
+            SELECT b.doc_id, b.n_tokens,
+                   (b.n_tokens - b.n_distinct)::DOUBLE / b.n_tokens::DOUBLE
+                       AS dup_token_frac,
+                   COALESCE(m.max_bigram::DOUBLE * 2.0 / b.n_tokens::DOUBLE,
+                            0.0) AS top_bigram_frac
+            FROM base b LEFT JOIN mx m USING (doc_id)
+        """,
+        # chunk identity: the STRING itself (Spark uses xxhash64 —
+        # independent derivations, equal counts absent a collision)
+        "q_boilerplate": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents),
+            base AS (SELECT doc_id, (len(toks) // 8)::INT AS nc, toks FROM t),
+            ch AS (
+                SELECT doc_id,
+                       array_to_string(toks[i*8+1:i*8+8], ' ') AS chunk
+                FROM base, unnest(range(0, nc)) AS u(i)
+                WHERE nc > 0),
+            hot AS (SELECT chunk FROM ch GROUP BY 1 HAVING COUNT(*) >= 3),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_windows,
+                       (SUM(CASE WHEN chunk IN (SELECT chunk FROM hot)
+                                 THEN 1 ELSE 0 END))::BIGINT AS n_boiler
+                FROM ch GROUP BY 1)
+            SELECT b.doc_id,
+                   COALESCE(a.n_windows, 0) AS n_windows,
+                   COALESCE(a.n_boiler, 0) AS n_boiler
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
         "q_ewma": """
             SELECT user_id, COUNT(*) AS n_events,
                    list_reduce(list(value ORDER BY ts, event_id),

@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "q_geohash",
     "q_ewma",
     "q_simplify_ways",
+    "q_rep_quality",
+    "q_boilerplate",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

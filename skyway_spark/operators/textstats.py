@@ -140,3 +140,95 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (published
+    MassiveText filtering rules): duplicate-token fraction and the
+    fraction of the document covered by its most frequent bigram.
+
+    Scale shape: one doc-keyed shuffle (explode bigrams -> groupBy
+    (doc, bigram) with map-side combine -> per-doc max); the
+    token-level fractions are pure Column math on the scan side.
+    Integer numerators/denominators until one final division, so the
+    values are engine-exact.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        ngrams(F.col(text_col), 2).alias("__bi"),
+    )
+    top_bi = (
+        base.select("doc_id", F.explode("__bi").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"), F.count(F.lit(1)).alias("n_bigrams"))
+    )
+    j = base.drop("__bi").join(top_bi, "doc_id", "left")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_token_frac"),
+        F.coalesce(
+            F.col("max_bigram").cast("double") * 2.0
+            / F.col("n_tokens").cast("double"),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
+    )
+
+
+def boilerplate_windows(
+    docs: DataFrame,
+    window: int = 8,
+    min_repeat: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style cross-document boilerplate detection: chop each doc
+    into consecutive ``window``-token chunks, count each chunk across
+    the CORPUS, and report per doc how many of its chunks occur at
+    least ``min_repeat`` times corpus-wide (headers/footers/navboxes
+    in a real crawl).
+
+    Scale shape: chunks shuffle by chunk text once (map-side combined
+    counts), the heavy text never rides a join — the repeated-chunk
+    set joins back to the per-doc chunk list by chunk hash only.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.floor(F.size(toks) / window).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i * window + 1, window), " ")),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(n_chunks > 0, chunks).otherwise(F.array().cast("array<long>")).alias("__ch"),
+    )
+    exploded = base.select("doc_id", F.explode("__ch").alias("h"))
+    hot = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_repeat)
+        .select("h", F.lit(True).alias("__hot"))
+    )
+    flagged = (
+        exploded.join(hot, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("__hot"), 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    return base.select("doc_id").join(flagged, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+    )

@@ -542,3 +542,37 @@ def test_bm25_ranking_sanity(docs):
     }
     assert a == b  # bit-deterministic under partitioning
     assert a and all(s > 0 for s in a.values())
+
+
+def test_repetition_and_boilerplate_mirror_python(docs):
+    """Gopher repetition stats + CCNet boilerplate vs plain-Python
+    mirrors on a corpus slice (independent of the SQL oracles)."""
+    from collections import Counter
+
+    sub = docs.limit(120).cache()
+    rows = {r["doc_id"]: r["text"] for r in sub.collect()}
+
+    got_rep = {r["doc_id"]: r for r in textstats.repetition_stats(sub).collect()}
+    for did, text in rows.items():
+        toks = text.strip().split()
+        bis = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        top = max(Counter(bis).values()) if bis else 0
+        r = got_rep[did]
+        assert r["n_tokens"] == len(toks)
+        assert r["dup_token_frac"] == (len(toks) - len(set(toks))) / len(toks)
+        assert r["top_bigram_frac"] == (top * 2.0 / len(toks) if bis else 0.0)
+
+    got_bp = {
+        r["doc_id"]: (r["n_windows"], r["n_boiler"])
+        for r in textstats.boilerplate_windows(sub, window=8, min_repeat=3).collect()
+    }
+    corpus = Counter()
+    chunks_of = {}
+    for did, text in rows.items():
+        toks = text.strip().split()
+        cs = [" ".join(toks[i * 8 : i * 8 + 8]) for i in range(len(toks) // 8)]
+        chunks_of[did] = cs
+        corpus.update(cs)
+    for did, cs in chunks_of.items():
+        boiler = sum(1 for c in cs if corpus[c] >= 3)
+        assert got_bp[did] == (len(cs), boiler), did
