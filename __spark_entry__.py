@@ -1694,11 +1694,26 @@ def q_simplify_ways(spark, sf):
 
 
 def q_media_features(spark, sf):
+    """Batched binary feature extraction through the REAL mapInPandas
+    plumbing with the documented deterministic fake decoder (real codec
+    stubbed per driver instruction). EXACT oracle since round 2: the
+    fold-the-bytes decode is re-derived in SQL from the portable page
+    corpus (per-position ascii sums mod 256, float32 division verified
+    double-rounding-safe for all 256 values), the media id is the
+    portable page index, and the 8 feature floats are pinned by an
+    ordered fold checksum."""
     from skyway_spark.operators import multimodal
 
     pages = generate_pages(spark, 500, partitions=8)
-    media = multimodal.pages_to_media(pages)
-    return multimodal.extract_media_features(media, dim=8)
+    media = pages.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("media_id"),
+        F.col("html").alias("payload"),
+    )
+    feats = multimodal.extract_media_features(media, dim=8)
+    chk = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    return feats.select("media_id", "n_bytes", chk.alias("chk"))
 
 
 def q_pages_pipeline(spark, sf):
@@ -2150,13 +2165,14 @@ _PORTABLE_MENTIONS_SQL = f"""
 
 
 def _ph_sql(i: str, salt: int) -> str:
-    """SQL mirror of generate._ph: affine + quadratic mix mod the
-    Mersenne prime, integer hash in [0, PAGE_PRIME)."""
+    """SQL mirror of generate._ph: product of two distinct affine
+    forms mod the Mersenne prime, integer hash in [0, PAGE_PRIME)."""
     from skyway_spark.sources import generate as g
 
     P = g.PAGE_PRIME
-    x = f"((({i}) % {P}) * {g._PH_A1} + {(salt * g._PH_SALT) % P + 1}) % {P}"
-    return f"(({x}) * ({x}) + ({x}) * {g._PH_A2} + {salt}) % {P}"
+    f1 = f"((({i}) % {P}) * {g._PH_A1} + {(salt * g._PH_B1) % P + 1}) % {P}"
+    f2 = f"((({i}) % {P}) * {g._PH_A2} + {(salt * g._PH_B2) % P + 3}) % {P}"
+    return f"(({f1}) * ({f2})) % {P}"
 
 
 def _page_mentions_sql(n_rows: int) -> str:
@@ -2170,23 +2186,25 @@ def _page_mentions_sql(n_rows: int) -> str:
     cities_lon = "[" + ", ".join(str(c[1]) for c in g.HOT_CITIES_U) + "]"
     kinds = "['cafe', 'bench', 'station', 'museum', 'park']"
 
-    def md(u: str) -> str:
-        # signed integer microdegrees -> '[-]D.DDDDDD' -> DOUBLE
-        # (mirrors generate._fmt_microdeg + the extraction parse)
+    def mds(u: str) -> str:
+        # signed integer microdegrees -> '[-]D.DDDDDD' string
+        # (mirrors generate._fmt_microdeg)
         return (
-            f"CAST(CASE WHEN ({u}) < 0 THEN '-' ELSE '' END || "
+            f"CASE WHEN ({u}) < 0 THEN '-' ELSE '' END || "
             f"((abs({u}) // 1000000))::VARCHAR || '.' || "
-            f"lpad((abs({u}) % 1000000)::VARCHAR, 6, '0') AS DOUBLE)"
+            f"lpad((abs({u}) % 1000000)::VARCHAR, 6, '0')"
         )
+
+    def md(u: str) -> str:
+        # ... -> DOUBLE (mirrors the extraction parse)
+        return f"CAST({mds(u)} AS DOUBLE)"
 
     # salts depend on j, so the hash terms are spelled with j inline
     def phj(base: str) -> str:
-        salt = f"({base} + j)"
-        x = (
-            f"((i % {P}) * {g._PH_A1}"
-            f" + ({salt} * {g._PH_SALT}) % {P} + 1) % {P}"
-        )
-        return f"(({x}) * ({x}) + ({x}) * {g._PH_A2} + {salt}) % {P}"
+        salt = f"(({base} + j)::BIGINT)"  # INT32 * the B constants overflows
+        f1 = f"((i % {P}) * {g._PH_A1} + ({salt} * {g._PH_B1}) % {P} + 1) % {P}"
+        f2 = f"((i % {P}) * {g._PH_A2} + ({salt} * {g._PH_B2}) % {P} + 3) % {P}"
+        return f"(({f1}) * ({f2})) % {P}"
 
     hot = f"({phj('10')}) < {(P * 4) // 5}"
     city = f"(({phj('20')}) % 5 + 1)::INT"
@@ -2208,7 +2226,10 @@ def _page_mentions_sql(n_rows: int) -> str:
                    {md(lon_u)} AS lon,
                    {kind} AS amenity,
                    'place-' || i || '-' || j AS name,
-                   'https://example.org/p/' || i AS url
+                   'https://example.org/p/' || i AS url,
+                   ' @geo(' || {mds(lat_u)} || ',' || {mds(lon_u)} ||
+                   ';name=place-' || i || '-' || j || ';amenity=' ||
+                   {kind} || ')' AS mention
             FROM range(0, {n_rows}) t(i)
             CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j)
             WHERE ({n_mentions}) > j
@@ -3308,6 +3329,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_size > 40 AND id % 2 = 0) OR type = 'relation'
         """,
         "q_geohash": _geohash_oracle_sql(4),
+        # fake-decoder mirror: per-position ascii sums mod 256 over the
+        # reconstructed html, float32 division (verified exact for all
+        # 256 inputs), ordered fold checksum over the 8 features
+        "q_media_features": f"""
+            WITH m AS ({_page_mentions_sql(500)}),
+            prose AS (
+                SELECT t.i,
+                       'Page ' || t.i || ' tells a story about travel and places.' ||
+                       COALESCE(string_agg(m.mention, '' ORDER BY m.j), '') ||
+                       ' The end.' AS p
+                FROM range(0, 500) t(i) LEFT JOIN m ON m.i = t.i
+                GROUP BY t.i),
+            html AS (SELECT i, '<html><body>' || p || '</body></html>' AS h
+                     FROM prose),
+            sums AS (
+                SELECT i, (pp - 1) % 8 AS k,
+                       SUM(ascii(substr(h, pp::INT, 1))) AS sm
+                FROM html, unnest(range(1, strlen(h) + 1)) AS u(pp)
+                GROUP BY 1, 2),
+            feat AS (SELECT i, k, ((sm % 256)::FLOAT / 255.0::FLOAT) AS f
+                     FROM sums),
+            chk AS (
+                SELECT i, list_reduce(
+                           list_prepend(0.0, list(f::DOUBLE ORDER BY k)),
+                           (a, b) -> a + b) AS chk
+                FROM feat GROUP BY i)
+            SELECT h.i AS media_id, strlen(h.h)::BIGINT AS n_bytes, c.chk
+            FROM html h JOIN chk c USING (i)
+        """,
         "q_rep_quality": """
             WITH t AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

@@ -99,29 +99,34 @@ _GEO_KINDS = ("cafe", "bench", "station", "museum", "park")
 
 
 # Portable page-generator arithmetic: every draw is integer math mod
-# the Mersenne prime 2^31-1 (an affine step then a QUADRATIC mixing
-# step — chained multiplications alone stay affine mod P, which made
-# same-row draws for different salts perfectly correlated; x^2 mod P
-# breaks the linearity and is overflow-safe since (P-1)^2 < 2^63), so
-# the SAME rows are derivable in plain SQL on any engine — that is
-# what gives q_extract_entities / q_pages_pipeline exact DuckDB
-# oracles. Coordinates are integer MICRODEGREES rendered to fixed
-# 6-decimal strings with integer ops only (double->string formatting
-# is not portable across engines).
+# the Mersenne prime 2^31-1. Chained multiplications alone stay AFFINE
+# mod P, which made same-row draws for different salts perfectly
+# correlated (all cold points on one wrapped line); the hash is
+# therefore the PRODUCT OF TWO DISTINCT AFFINE FORMS — quadratic in
+# the row id (kills the correlation; disk-hit ratios ~1.0 across
+# random 2-D windows), overflow-safe ((P-1)^2 has 62 bits), and each
+# subexpression appears exactly ONCE so whole-stage codegen never
+# blows the 64KB method limit (an x*x formulation triples a large
+# expression tree textually and forced interpreted fallback). The
+# SAME rows are derivable in plain SQL on any engine — that is what
+# gives q_extract_entities / q_pages_pipeline / q_media_features
+# exact DuckDB oracles. Coordinates are integer MICRODEGREES rendered
+# to fixed 6-decimal strings with integer ops only (double->string
+# formatting is not portable across engines).
 PAGE_PRIME = 2_147_483_647
-_PH_A1, _PH_A2, _PH_SALT = 16807, 69621, 2_654_435_761
+_PH_A1, _PH_A2 = 16807, 48271
+_PH_B1, _PH_B2 = 2_654_435_761, 1_103_515_245
 HOT_CITIES_U = tuple(
     (int(round(lat * 1e6)), int(round(lon * 1e6))) for lat, lon in HOT_CITIES
 )
 
 
 def _ph(i, salt: int):
-    """Column: deterministic hash of (row id, salt) in [0, PAGE_PRIME).
-    Pair-decorrelation validated: disk-hit ratios ~1.0 across random
-    2-D windows (see the round-2 generator commit)."""
+    """Column: deterministic hash of (row id, salt) in [0, PAGE_PRIME)."""
     r = F.pmod(i, F.lit(PAGE_PRIME))
-    x = F.pmod(r * _PH_A1 + F.lit((salt * _PH_SALT) % PAGE_PRIME + 1), F.lit(PAGE_PRIME))
-    return F.pmod(x * x + x * _PH_A2 + F.lit(salt), F.lit(PAGE_PRIME))
+    f1 = F.pmod(r * _PH_A1 + F.lit((salt * _PH_B1) % PAGE_PRIME + 1), F.lit(PAGE_PRIME))
+    f2 = F.pmod(r * _PH_A2 + F.lit((salt * _PH_B2) % PAGE_PRIME + 3), F.lit(PAGE_PRIME))
+    return F.pmod(f1 * f2, F.lit(PAGE_PRIME))
 
 
 def _fmt_microdeg(u):
@@ -142,7 +147,15 @@ def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = No
     in text. Pure Column exprs over spark.range — scales linearly with
     executors; identical output for a given n_rows regardless of
     parallelism (hash-of-id determinism, no RNG sequence), and exactly
-    reproducible in SQL (see _PAGE_MENTIONS_SQL in __spark_entry__)."""
+    reproducible in SQL (see _page_mentions_sql in __spark_entry__).
+
+    Note on codegen: this projection alone compiles inside the 64KB
+    whole-stage limit, but FUSING it with the extraction regex in one
+    stage (as the small fixture-scale contract queries do) inlines the
+    text expression per use and falls back to interpreted execution —
+    harmless at fixture scale; the scale path (bench, scaling harness,
+    jobs/run_pipeline) always materializes pages to parquet first, so
+    production plans never hit it."""
     df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
 

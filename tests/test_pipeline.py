@@ -348,8 +348,7 @@ def test_entry_contract(spark):
     qs = em.queries()
     oracles = em.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every oracle-less query is intentionally rows-only; since round 2
-    # only the stubbed-decoder multimodal query remains (everything else
-    # carries an exact DuckDB oracle)
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {"q_media_features"}
+    # since round 2 EVERY query carries an exact DuckDB oracle — even
+    # q_media_features (deterministic fake decoder mirrored in SQL;
+    # the real codec remains stubbed per driver instruction)
+    assert set(qs) == set(oracles)
