@@ -143,37 +143,50 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        walls = []
-        for _ in range(2):  # min-of-2: codegen/JIT cold-start and
-            t0 = time.monotonic()  # neighbor noise land on run 1
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            walls.append(time.monotonic() - t0)
-        timings[name] = round(min(walls), 3)
-        if n == 0 and name not in ("q_dedup_exact",):
-            print(f"warning: {name} returned 0 rows", file=sys.stderr)
-
-    # materialize the synthetic pages to parquet once (input cost is
-    # not the pipeline's cost — a real deployment scans Iceberg)
+    # ---- flagship FIRST, on a pristine JVM heap -------------------
+    # The headline number degrades ~25% when measured after the 60+
+    # query suite (accumulated broadcast/codegen/GC state); a real
+    # deployment runs this pipeline in its own job, so measure it the
+    # same way — pristine session, like the scaling harness's
+    # fresh-JVM-per-config children. Pages materialize to parquet once
+    # (input cost is not the pipeline's cost — a real deployment scans
+    # Iceberg), on tmpfs when available: a freshly-written /tmp corpus
+    # competes with its own disk writeback during the timed reads,
+    # which made identical runs spread 3.8-8.2 s on this host.
+    import shutil
     import tempfile
 
-    pages_dir = tempfile.mkdtemp(prefix="bench_pages_") + "/pages"
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_", dir=base) + "/pages"
     generate_pages(spark, PAGES_N, partitions=4 * cpus).write.mode("overwrite").parquet(
         pages_dir
     )
     pages = spark.read.parquet(pages_dir)
     rolled = flagship_plan(spark, pages)
-    rolled.count()  # warm-up: codegen, parquet footers
+    rolled.count()  # warm-up 1: codegen, parquet footers
+    rolled.count()  # warm-up 2: page cache fully hot
     walls = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.monotonic()
         rolled.count()
         walls.append(time.monotonic() - t0)
     flagship_sec = min(walls)  # capability statistic (noisy shared host)
     docs_per_sec = PAGES_N / flagship_sec
+    shutil.rmtree(os.path.dirname(pages_dir), ignore_errors=True)
+
+    # ---- per-query operator suite ---------------------------------
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q_walls = []
+        for _ in range(2):  # min-of-2: codegen/JIT cold-start and
+            t0 = time.monotonic()  # neighbor noise land on run 1
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            q_walls.append(time.monotonic() - t0)
+        timings[name] = round(min(q_walls), 3)
+        if n == 0 and name not in ("q_dedup_exact",):
+            print(f"warning: {name} returned 0 rows", file=sys.stderr)
     timings["flagship_pages_pipeline"] = round(flagship_sec, 3)
 
     print(
@@ -186,6 +199,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "flagship_pages": PAGES_N,
+                "flagship_walls": [round(w, 3) for w in walls],
             }
         )
     )
