@@ -384,6 +384,43 @@ class _Parser:
         raise CelCompileError(f"unexpected token {t.text!r}")
 
 
+def _free_vars(node, bound: frozenset = frozenset()) -> set:
+    """Free (context) identifiers referenced by the program."""
+    out: set = set()
+    if isinstance(node, Var):
+        if node.name not in bound:
+            out.add(node.name)
+    elif isinstance(node, ListLit):
+        for i in node.items:
+            out |= _free_vars(i, bound)
+    elif isinstance(node, Index):
+        out |= _free_vars(node.recv, bound) | _free_vars(node.idx, bound)
+    elif isinstance(node, Field):
+        out |= _free_vars(node.recv, bound)
+    elif isinstance(node, (Call,)):
+        for a in node.args:
+            out |= _free_vars(a, bound)
+    elif isinstance(node, Method):
+        out |= _free_vars(node.recv, bound)
+        for a in node.args:
+            out |= _free_vars(a, bound)
+    elif isinstance(node, Macro):
+        out |= _free_vars(node.recv, bound)
+        for a in node.args:
+            out |= _free_vars(a, bound | {node.var})
+    elif isinstance(node, Unary):
+        out |= _free_vars(node.e, bound)
+    elif isinstance(node, Binary):
+        out |= _free_vars(node.l, bound) | _free_vars(node.r, bound)
+    elif isinstance(node, Ternary):
+        out |= (
+            _free_vars(node.c, bound)
+            | _free_vars(node.a, bound)
+            | _free_vars(node.b, bound)
+        )
+    return out
+
+
 def _check_scope(node, bound: frozenset) -> None:
     """Unknown free identifiers are compile errors (typo detection),
     matching the round-1 behavior and the reference's compile panic."""
@@ -575,7 +612,21 @@ class _ColumnBackend:
                 raise _Fallback("string() of a double")
             return Typed(inner.col.try_cast("string"), "str")
         if name == "bool" and len(args) == 1:
-            return Typed(self.compile(args[0], env).col.try_cast("boolean"), "bool")
+            inner = self.compile(args[0], env)
+            if inner.t == "bool":
+                return inner
+            if inner.t == "str":
+                # CEL accepts exactly these spellings; Spark's
+                # string->boolean cast is laxer ('yes','y', ints) and
+                # would keep rows the reference drops
+                true_lits = ("true", "1", "t", "TRUE", "True")
+                false_lits = ("false", "0", "f", "FALSE", "False")
+                return Typed(
+                    F.when(inner.col.isin(*true_lits), F.lit(True))
+                    .when(inner.col.isin(*false_lits), F.lit(False)),
+                    "bool",
+                )
+            raise _Fallback("bool() of a non-string")
         raise _Fallback(f"function {name}() needs the interpreter")
 
     def _method(self, node: Method, env) -> Typed:
@@ -1049,10 +1100,10 @@ def _pd_to_cel(v, is_map: bool):
     if v is None or (isinstance(v, float) and _math.isnan(v)):
         return None
     if is_map:
-        # Spark->Arrow->pandas yields dicts for MapType by default, but
-        # list-of-(k, v) under spark.sql.execution.pandas.structHandling
-        # variations — accept both.
-        return dict(v) if not isinstance(v, dict) else dict(v)
+        # Spark->Arrow->pandas yields dicts for MapType by default and
+        # list-of-(k, v) tuples under some Arrow configs; dict() maps
+        # both to a plain dict.
+        return dict(v)
     if isinstance(v, np.integer):
         return int(v)
     if isinstance(v, np.floating):
@@ -1086,6 +1137,15 @@ class InterpretedCelFilter:
 
         ast = self.ast
         avail = [c for c in CONTEXT_VARS if c in df.columns]
+        # referencing a column the DataFrame lacks must fail loudly at
+        # plan time (as the Column backend's unresolved-column error
+        # does), not silently drop every row via per-element errors
+        missing = _free_vars(ast) - set(avail)
+        if missing:
+            raise CelCompileError(
+                f"CEL program references column(s) {sorted(missing)} "
+                f"not present in the DataFrame (has: {df.columns})"
+            )
         is_map = {
             f.name: isinstance(f.dataType, MapType) for f in df.schema.fields
         }

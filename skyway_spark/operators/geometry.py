@@ -136,7 +136,12 @@ def simplify_polyline_py(pts: list[tuple[float, float]], keep: int) -> list[int]
         if not alive[i] or nxt[i] >= n or prev[i] < 0:
             continue
         cur = area(prev[i], i, nxt[i])
-        if cur > a + 1e-15:  # stale entry: neighbors changed
+        if cur > a:  # stale entry: neighbors changed, area grew
+            # EXACT comparison (no epsilon): the removal order must be
+            # precisely argmin-(area, index) so the recursive-CTE
+            # oracle of q_simplify_ways matches bit-for-bit; a
+            # decreased area always has a fresher (smaller) heap entry
+            # that pops first, so cur < a never removes out of order
             heapq.heappush(heap, (cur, i))
             continue
         alive[i] = False

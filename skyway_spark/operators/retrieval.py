@@ -42,7 +42,9 @@ def bm25_scores(
     explicit expression chain, not a float SUM aggregate) so the
     result is deterministic to the bit under any partitioning.
     """
-    terms = sorted(query_terms)
+    terms = sorted(set(query_terms))  # duplicates would double-count
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens).alias("term"),

@@ -167,7 +167,7 @@ def repetition_stats(
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("max_bigram"), F.count(F.lit(1)).alias("n_bigrams"))
+        .agg(F.max("c").alias("max_bigram"))
     )
     j = base.drop("__bi").join(top_bi, "doc_id", "left")
     return j.select(

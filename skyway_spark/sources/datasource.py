@@ -27,20 +27,43 @@ import glob
 import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
 
 from skyway_spark.schema import ELEMENTS_SCHEMA
 
 
+def _deep_nullable(dt: T.DataType) -> T.DataType:
+    """ELEMENTS_SCHEMA with every field/element nullable: the Python
+    DataSource ENFORCES declared nullability on returned rows (unlike
+    Column projections), and malformed/blank lines legitimately yield
+    null fields in permissive-style reading."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _deep_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_deep_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _deep_nullable(dt.keyType), _deep_nullable(dt.valueType), True
+        )
+    return dt
+
+
+NULLABLE_ELEMENTS_SCHEMA = _deep_nullable(ELEMENTS_SCHEMA)
+
+
 def _expand_paths(path: str) -> list[str]:
-    """Glob or directory -> sorted file list (deterministic partition
-    order)."""
+    """Glob or directory -> sorted FILE list (subdirectories and
+    _/.-prefixed entries skipped; deterministic partition order)."""
     if os.path.isdir(path):
-        return sorted(
+        hits = [
             os.path.join(path, f) for f in os.listdir(path)
             if not f.startswith(("_", "."))
-        )
-    hits = sorted(glob.glob(path))
-    return hits if hits else [path]
+        ]
+    else:
+        hits = glob.glob(path) or [path]
+    return sorted(h for h in hits if os.path.isfile(h)) or sorted(hits)
 
 
 class _FilePartition(InputPartition):
@@ -62,7 +85,7 @@ class OplDataSource(DataSource):
         return "opl"
 
     def schema(self):
-        return ELEMENTS_SCHEMA
+        return NULLABLE_ELEMENTS_SCHEMA
 
     def reader(self, schema):
         return _OplReader(self.options)
@@ -82,9 +105,9 @@ class _OplReader(DataSourceReader):
 
         with open(partition.path, encoding="utf-8") as f:
             for line in f:
-                line = line.rstrip("\n")
-                if line:
-                    yield parse_opl_line_py(line)
+                # blank lines included: parse_opl_lines emits an
+                # all-null row for them, and the two APIs must agree
+                yield parse_opl_line_py(line.rstrip("\n"))
 
 
 class OsmJsonDataSource(DataSource):
@@ -97,7 +120,7 @@ class OsmJsonDataSource(DataSource):
         return "osmjson"
 
     def schema(self):
-        return ELEMENTS_SCHEMA
+        return NULLABLE_ELEMENTS_SCHEMA
 
     def reader(self, schema):
         return _OsmJsonReader(self.options)
@@ -132,7 +155,7 @@ class OsmPbfDataSource(DataSource):
         return "osmpbf"
 
     def schema(self):
-        return ELEMENTS_SCHEMA
+        return NULLABLE_ELEMENTS_SCHEMA
 
     def reader(self, schema):
         return _OsmPbfReader(self.options)
@@ -157,11 +180,17 @@ class _OsmPbfReader(DataSourceReader):
             ]
             for i in range(0, len(slices), self.blobs_per_task):
                 parts.append(_BlobPartition(p, slices[i : i + self.blobs_per_task]))
-        return parts or [_BlobPartition(self.path, [])]
+        if parts:
+            return parts
+        # header-only PBF (valid, zero OSMData blobs): one empty
+        # partition anchored to a REAL file path, never the raw glob
+        return [_BlobPartition(_expand_paths(self.path)[0], [])]
 
     def read(self, partition):
         from skyway_spark.sources.pbf import _blob_raw, decode_primitive_block
 
+        if not partition.slices:
+            return
         order = [f.name for f in ELEMENTS_SCHEMA.fields]
         with open(partition.path, "rb") as f:
             for off, size in partition.slices:

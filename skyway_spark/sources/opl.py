@@ -354,11 +354,22 @@ def parse_opl_lines(
     if corrupt_col is None:
         return lines.select(*[c.alias(n) for n, c in cols])
     m_raw = _field(fields, "M")
+    # member-parse failure flagged with PURE Column ops (mirrors the
+    # udf's return-None condition: an '@' entry with a known type char
+    # whose ref is non-numeric) — re-invoking the pandas UDF here would
+    # pay a second Arrow round-trip per relation row
+    bad_member = F.exists(
+        F.split(m_raw, ","),
+        lambda e: e.contains("@")
+        & F.substring(F.substring_index(e, "@", 1), 1, 1).isin("n", "w", "r")
+        & F.substring(F.substring_index(e, "@", 1), 2, 1 << 20)
+        .try_cast("long")
+        .isNull(),
+    )
     bad = (
         etype.isNull()
         | F.substring(head, 2, 1 << 20).try_cast("long").isNull()
-        # member-list parse failure: M field present but udf returned null
-        | (m_raw.isNotNull() & _opl_members_parse_udf(m_raw).isNull())
+        | (m_raw.isNotNull() & bad_member)
     )
     return lines.select(
         *[F.when(~bad, c).alias(n) for n, c in cols],

@@ -225,3 +225,36 @@ def test_macro_scope_check():
     # bound var must not leak out of the macro
     with pytest.raises(CelCompileError):
         compile_cel('tags.exists(k, k == "a") && k == "b"')
+
+
+def test_fallback_missing_column_fails_loudly(spark):
+    """Interpreter backend: referencing a column the DataFrame lacks
+    must raise at plan time (like the Column backend's unresolved
+    column), never silently drop every row."""
+    df = spark.createDataFrame([("node", 1)], "type string, id long")
+    filt = compile_cel("timestamp(timestamp).getFullYear() == 2024")
+    with pytest.raises(CelCompileError, match="timestamp"):
+        filt.apply(df)
+
+
+def test_bool_conversion_cel_strict(spark):
+    """bool() accepts only CEL's spellings in BOTH backends — Spark's
+    lax string->boolean cast ('yes'/'T'/ints) must not leak through.
+    'yes' and bare 'T' are conversion errors -> rows dropped; 'False'
+    converts to false -> dropped by the predicate."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "true"), (2, "yes"), (3, "False"), (4, "T"), (5, "1")],
+        "id long, v string",
+    ).withColumn("tags", F.create_map(F.lit("flag"), F.col("v"))).select("id", "tags")
+    got = {r["id"] for r in apply_cel(df, 'bool(tags["flag"])').collect()}
+    assert got == {1, 5}
+    # parity: forced interpreter gives the same kept set
+    from skyway_spark.functions.filter.cel import InterpretedCelFilter, _lex, _Parser
+
+    interp = InterpretedCelFilter(_Parser(_lex('bool(tags["flag"])')).parse())
+    # interpreter context needs only columns it references
+    df2 = df.withColumnRenamed("id", "id")  # id is a context var too
+    got2 = {r["id"] for r in interp.apply(df2).collect()}
+    assert got2 == got

@@ -541,11 +541,13 @@ def test_datasource_opl_matches_column_reader(spark, elements, tmp_path):
     register_datasources(spark)
     p = str(tmp_path / "ds.opl")
     with open(p, "w") as f:
-        f.write(opl.serialize_opl_string(elements))
+        # interior blank line: both APIs must emit an all-null row
+        body = opl.serialize_opl_string(elements).splitlines()
+        f.write("\n".join(body[:5] + [""] + body[5:]) + "\n")
     via_ds = spark.read.format("opl").load(p)
     via_col, _ = opl.read_opl(spark, p)
     assert _canon(via_ds) == _canon(via_col)
-    assert via_ds.count() == 300
+    assert via_ds.count() == 301  # 300 elements + the blank-line null row
 
 
 def test_datasource_osmjson_reads_reference_example(spark):
