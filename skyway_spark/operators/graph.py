@@ -1,4 +1,4 @@
-"""Distributed connected components (min-label propagation).
+"""Distributed connected components (contraction + forest flattening).
 
 Used for near-duplicate CLUSTERING: LSH/simhash produce pairwise
 edges; the duplicate groups are the connected components (a pair list
@@ -6,21 +6,68 @@ is not a dedup decision — A~B, B~C must collapse to one cluster even
 when A~C was never emitted as a pair). No reference counterpart
 (skyway has no joins — SURVEY.md §2.4).
 
-Algorithm: iterative min-label propagation — each node adopts the
-minimum label in its closed neighborhood until fixpoint. Per
-iteration: one equi-join of the (symmetrized) edge list against the
-label table + one min-aggregate — all shuffles are keyed by node id,
-so AQE handles hub skew; lineage is truncated with localCheckpoint
-each round so plans don't grow with iteration count. Converges in
-O(max component diameter) rounds — for near-dup clusters (small,
-dense) that is single digits; a ``max_iter`` guard raises rather than
-silently returning partial labels.
+Algorithm (scale rationale): plain min-label propagation re-joins the
+FULL symmetrized edge list every round — O(E) shuffle x O(diameter)
+rounds, which at 100 TB means re-shuffling the whole pair corpus per
+round. Here each outer round instead
+
+1. builds the min-pointer forest of the CONTRACTED edge list ``C``
+   (each label points at the minimum of its closed neighborhood —
+   pointers strictly decrease, so the pointer graph is a forest);
+2. flattens that forest to its roots by pointer jumping on the
+   LABEL-SIZED map only (``m := m∘m`` until idempotent — doubling, so
+   O(log depth) small self-joins; a 500-node chain collapses in ONE
+   outer round, never touching the edge corpus);
+3. contracts ``C`` through the root map and composes the map into the
+   full node->label table with one keyed join each.
+
+``C`` shrinks geometrically (near-dup blobs collapse to single
+supernodes in round 1), so late rounds shuffle kilobytes, not the
+corpus. All joins are keyed by node/label id (AQE handles hub skew);
+lineage is truncated with localCheckpoint so plans don't grow with
+iteration count. Convergence = contracted edge list empties; the
+``max_iter`` guard raises rather than silently returning partial
+labels.
+
+Invariant: labels only decrease and always name a node inside the
+component; the minimum node of a component never adopts another
+label, so at fixpoint every node carries the component-min id —
+identical output to naive propagation (pinned by the union-find
+mirror in tests/test_datapipe.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _root_map(c: DataFrame, max_depth: int = 40) -> DataFrame:
+    """Flatten the min-pointer forest of edge list ``c`` to its roots.
+
+    Returns (x, m) with m = the local-min root reachable from x by
+    repeatedly following min-closed-neighborhood pointers; only rows
+    with m < x. All work is on the label-sized map, not the edges.
+    """
+    sym = c.unionByName(c.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    m = (
+        sym.groupBy("s")
+        .agg(F.min("t").alias("m"))
+        .where(F.col("m") < F.col("s"))
+        .select(F.col("s").alias("x"), "m")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_depth):
+        j = (
+            m.join(m.select(F.col("x").alias("m"), F.col("m").alias("m2")), "m", "left")
+            .select("x", F.coalesce("m2", "m").alias("m"), (F.col("m2") < F.col("m")).alias("__chg"))
+            .localCheckpoint(eager=True)
+        )
+        changed = not j.where(F.col("__chg")).limit(1).isEmpty()
+        m = j.drop("__chg")
+        if not changed:
+            return m
+    raise RuntimeError("pointer-forest flattening did not converge")
 
 
 def connected_components(
@@ -32,37 +79,42 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``;
     component = min node id reachable (deterministic canonical id)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-    sym = e.unionByName(
-        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    c = (
+        e.where(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("s"), F.greatest("s", "t").alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
-        sym.select(F.col("s").alias("n"))
+        e.select(F.col("s").alias("n"))
+        .unionByName(e.select(F.col("t").alias("n")))
         .distinct()
         .withColumn("label", F.col("n"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("n").alias("t"), F.col("label").alias("tl")), "t"
+        if c.limit(1).isEmpty():
+            return labels.select(
+                F.col("n").alias("node"), F.col("label").alias("component")
             )
-            .groupBy("s")
-            .agg(F.min("tl").alias("nbl"))
-        )
-        new_labels = (
-            labels.join(nbr_min.select(F.col("s").alias("n"), "nbl"), "n", "left")
+        m = _root_map(c)
+        # contract the edge list through the root map
+        c = (
+            c.join(m.select(F.col("x").alias("s"), F.col("m").alias("sm")), "s", "left")
+            .join(m.select(F.col("x").alias("t"), F.col("m").alias("tm")), "t", "left")
             .select(
-                "n",
-                F.least(F.col("label"), F.coalesce(F.col("nbl"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.col("nbl") < F.col("label")).alias("__chg"),
+                F.coalesce("sm", F.col("s")).alias("s"),
+                F.coalesce("tm", F.col("t")).alias("t"),
             )
+            .where(F.col("s") != F.col("t"))
+            .select(F.least("s", "t").alias("s"), F.greatest("s", "t").alias("t"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.where(F.col("__chg")).limit(1).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
-            return labels.select(F.col("n").alias("node"), F.col("label").alias("component"))
+        # compose into the full label table (one keyed join; m is tiny)
+        labels = (
+            labels.join(m.select(F.col("x").alias("label"), "m"), "label", "left")
+            .select("n", F.coalesce("m", F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -208,14 +208,29 @@ def point_in_polygon(
             & (lon_c >= bb["xmin"])
             & (lon_c <= bb["xmax"])
         )
+        # The exists() conjuncts reference lat/lon ONLY inside lambda
+        # bodies; under certain exprId alignments Catalyst's predicate
+        # pushdown mis-computes their references as right-side-only and
+        # pushes them below the broadcast exchange, yielding an invalid
+        # `!Filter` plan that fails attribute binding at runtime
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND; pinned by
+        # tests/test_spatial.py::test_pip_after_foreign_latlon_df).
+        # Anchor the element_at index with a null-safe term that
+        # references lat/lon as plain attributes so every conjunct
+        # visibly spans both join sides. Semantics unchanged: null
+        # lat/lon -> null index -> null exists -> row dropped, exactly
+        # as the original predicate behaved.
+        anchor = F.when(
+            lat_c.isNull() | lon_c.isNull(), F.lit(None).cast("int")
+        ).otherwise(F.lit(0))
         inside_pred = (
             in_bbox
             & F.exists(
-                F.element_at(outer_by_geom, F.col("__geom") + 1),
+                F.element_at(outer_by_geom, F.col("__geom") + 1 + anchor),
                 lambda r: _odd_crossings(r, lat_c, lon_c),
             )
             & ~F.exists(
-                F.element_at(hole_by_geom, F.col("__geom") + 1),
+                F.element_at(hole_by_geom, F.col("__geom") + 1 + anchor),
                 lambda r: _odd_crossings(r, lat_c, lon_c),
             )
         )

@@ -576,3 +576,43 @@ def test_repetition_and_boilerplate_mirror_python(docs):
     for did, cs in chunks_of.items():
         boiler = sum(1 for c in cs if corpus[c] >= 3)
         assert got_bp[did] == (len(cs), boiler), did
+
+
+def test_connected_components_adversarial(spark):
+    """Contraction + pointer-jumping CC vs a python union-find on the
+    shapes that stress it: a 500-edge chain (deep pointer forest — must
+    flatten by doubling, not one hop per round), a 999-leaf star (hub
+    skew), random blobs with duplicate/reversed/self edges."""
+    import random
+
+    from skyway_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(1000, 1500)]
+    edges += [(5000, 5000 + j) for j in range(1, 1000)]
+    nodes = list(range(20000, 20200))
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(400)]
+    edges += [(b, a) for a, b in edges[:50]] + edges[:50]
+
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "src long, dst long"), max_iter=8
+        ).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want

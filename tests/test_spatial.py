@@ -443,3 +443,22 @@ def test_pip_auto_refine_guardrail(spark):
     # point 1 sits at ring-0's center, point 2 between rings, point 3 far away
     assert (1, 0) in got
     assert all(i != 3 for i, _ in got)
+
+
+def test_pip_after_foreign_latlon_df(spark):
+    """Regression: with an unrelated lat/lon DataFrame created first
+    (shifting the exprId counter into a colliding alignment), Catalyst
+    pushed the HOF ray-cast conjuncts of the broadcast PIP join below
+    the exchange onto the polygon side — an invalid `!Filter` that
+    failed attribute binding at runtime. pip.py anchors the
+    element_at index with a plain lat/lon reference so the conjuncts
+    can never be classified as right-side-only; this pins the exact
+    failing configuration (foreign df, then the flagship pipeline)."""
+    import __spark_entry__ as se
+
+    spark.createDataFrame([(1.0, 2.0)], "lat double, lon double")
+    plan = se.entry(spark)
+    physical = plan._jdf.queryExecution().executedPlan().toString()
+    assert "!Filter" not in physical
+    rows = plan.collect()
+    assert len(rows) > 0
