@@ -25,7 +25,16 @@ from pyspark.sql import functions as F
 
 from skyway_spark.functions import cells
 from skyway_spark.functions.filter import compile_osmfilter, compile_cel
-from skyway_spark.operators import dedup, retrieval, salt, similarity, textstats, tiles
+from skyway_spark.operators import (
+    cluster,
+    dedup,
+    overlap,
+    retrieval,
+    salt,
+    similarity,
+    textstats,
+    tiles,
+)
 from skyway_spark.operators.extract import extract_geo_entities
 from skyway_spark.operators.knn import knn_join
 from skyway_spark.operators.pip import point_in_polygon
@@ -1463,6 +1472,107 @@ def q_cel_macros(spark, sf):
     return out.select("type", "id")
 
 
+def q_pii_redact(spark, sf):
+    """PII scrub (emails / phones / IPv4): counts on the original
+    text, category tokens in the redacted text, all JVM regexp Column
+    exprs in the scan stage (operators/pii.py). PII spans are
+    injected deterministically from doc_id; the oracle reconstructs
+    the expected redacted string CLOSED-FORM — no regex on the oracle
+    side at all — so the gate independently proves the patterns match
+    exactly the injected spans and nothing else (the base text
+    contains no digits or '@', verified in tests)."""
+    from skyway_spark.operators.pii import redact_pii
+
+    (docs,) = _tables(spark, sf, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    pii = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" Contact user"), s, F.lit("@mail"),
+                (did % 5).cast("string"), F.lit(".example.com soon."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" Call 555-"), (did % 900 + 100).cast("string"),
+                F.lit("-"), (did % 9000 + 1000).cast("string"), F.lit(" today."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" Host 10."), (did % 256).cast("string"),
+                F.lit("."), ((did * 7) % 256).cast("string"),
+                F.lit("."), (did % 100).cast("string"), F.lit(" online."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return redact_pii(docs.select("doc_id", pii.alias("text")))
+
+
+def q_contamination(spark, sf):
+    """Benchmark decontamination (published GPT-3/Llama recipe):
+    sliding 8-token windows vs a benchmark set (docs with
+    doc_id % 97 == 0 stand in for an eval suite; the set broadcasts).
+    Spark matches windows by xxhash64; the oracle matches the window
+    STRING itself — independent identities whose counts agree unless
+    the hash collides (a collision would surface as a gate fail)."""
+    (docs,) = _tables(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return textstats.contamination(docs, bench, n=8)
+
+
+GRID_RES = 5
+GRID_MIN_PTS = 6
+
+
+def q_grid_dbscan(spark, sf):
+    """Cell-grid DBSCAN over the event points: dense res-5 cells
+    (>= 6 pts), clusters = 8-connected dense components, cluster_id =
+    min cell id. Spark runs the contraction CC (operators/graph.py);
+    the oracle recomputes components with a recursive-CTE transitive
+    closure — fully independent algorithms, identical labels.
+    Non-vacuous at both gate scales (28+ dense cells at sf0.001, ~800
+    at sf0.01 — empirically pinned, per ADVICE r1 on q_zorder_range)."""
+    pts = _event_points(spark, sf)
+    return cluster.grid_dbscan(pts, res=GRID_RES, min_pts=GRID_MIN_PTS)
+
+
+def q_poly_overlap(spark, sf):
+    """Extent-overlap self-join over deterministic rectangles derived
+    from part: cell-bucketed candidates at res 4, every pair emitted
+    exactly once via the intersection-corner rule (no distinct
+    shuffle; operators/overlap.py). Oracle: the O(n^2) interval join,
+    trivially exact at gate scale; dyadic coordinates (0.25 offsets,
+    integer sizes) make the overlap arithmetic bit-exact. 163 pairs
+    at sf0.001 / 24,428 at sf0.01 — non-vacuous at both."""
+    (part,) = _tables(spark, sf, "part")
+    pid = F.col("p_partkey")
+    rects = part.select(
+        pid.alias("rect_id"),
+        ((pid * 13) % 60 - 30 + 0.25).alias("lat0"),
+        ((pid * 29) % 120 - 60 + 0.25).alias("lon0"),
+        ((pid * 13) % 60 - 30 + 0.25 + 2.0 + (pid % 5)).alias("lat1"),
+        ((pid * 29) % 120 - 60 + 0.25 + 3.0 + (pid % 7)).alias("lon1"),
+    )
+    return overlap.bbox_overlap_join(rects, res=4)
+
+
+def q_transitions(spark, sf):
+    """Markov transition matrix over per-user event streams: one
+    user-keyed window shuffle, then a |states|^2 aggregate with
+    map-side combine; P(next|prev) normalizes over the kilobyte
+    matrix only (operators/timeseries.transition_counts)."""
+    from skyway_spark.operators.timeseries import transition_counts
+
+    (ev,) = _tables(spark, sf, "events")
+    return transition_counts(ev)
+
+
 _GEO_KINDS = ("cafe", "bench", "station", "museum", "park")
 
 
@@ -1795,6 +1905,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewma": q_ewma,
         "q_rep_quality": q_rep_quality,
         "q_boilerplate": q_boilerplate,
+        "q_pii_redact": q_pii_redact,
+        "q_contamination": q_contamination,
+        "q_grid_dbscan": q_grid_dbscan,
+        "q_poly_overlap": q_poly_overlap,
+        "q_transitions": q_transitions,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -3477,5 +3592,111 @@ def oracle_sql() -> dict[str, str]:
                         THEN ptype LIKE '%ECONOMY%'
                         ELSE id % 7 = 0 END)
               AND id % 2 = 0
+        """,
+        # closed-form expected redaction: the oracle never runs a
+        # regex — it rebuilds the exact post-redaction string from the
+        # same doc_id arithmetic that injected the PII spans
+        "q_pii_redact": """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_emails,
+                   (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_phones,
+                   (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_ips,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' Contact [EMAIL] soon.' ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ' Call [PHONE] today.' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' Host [IP] online.' ELSE '' END AS redacted
+            FROM documents
+        """,
+        # window identity: the STRING itself (Spark uses xxhash64 —
+        # independent derivations, equal counts absent a collision)
+        "q_contamination": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents),
+            base AS (
+                SELECT doc_id, greatest(len(toks) - 7, 0)::INT AS nw, toks
+                FROM t),
+            w AS (
+                SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win
+                FROM base, unnest(range(1, nw + 1)) AS u(i)
+                WHERE nw > 0),
+            bw AS (SELECT DISTINCT win FROM w WHERE doc_id % 97 = 0),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_windows,
+                       (SUM(CASE WHEN win IN (SELECT win FROM bw)
+                                 THEN 1 ELSE 0 END))::BIGINT AS n_contaminated
+                FROM w GROUP BY 1)
+            SELECT b.doc_id,
+                   COALESCE(a.n_windows, 0) AS n_windows,
+                   COALESCE(a.n_contaminated, 0) AS n_contaminated,
+                   COALESCE(a.n_contaminated, 0) > 0 AS contaminated
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        # independent CC: recursive-CTE transitive closure + MIN label
+        # (Spark side runs edge contraction — different algorithm)
+        "q_grid_dbscan": f"""
+            WITH RECURSIVE pts AS ({_POINTS_SQL}),
+            dense AS (
+                SELECT {_cell_sql('lat', 'lon', GRID_RES)} AS cell,
+                       COUNT(*) AS n_points
+                FROM pts GROUP BY 1 HAVING COUNT(*) >= {GRID_MIN_PTS}),
+            xy AS (
+                SELECT cell, (cell >> 29) & {(1 << 29) - 1} AS x,
+                       cell & {(1 << 29) - 1} AS y
+                FROM dense),
+            e AS (
+                SELECT a.cell AS s, b.cell AS t
+                FROM xy a JOIN xy b
+                  ON a.cell <> b.cell
+                 AND abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1),
+            reach(s, t) AS (
+                SELECT cell, cell FROM dense
+                UNION
+                SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
+            comp AS (SELECT s AS cell, MIN(t) AS cluster_id FROM reach GROUP BY 1)
+            SELECT d.cell, c.cluster_id, d.n_points
+            FROM dense d JOIN comp c USING (cell)
+        """,
+        # the O(n^2) interval join the cell-bucketed Spark plan must
+        # reproduce pair-for-pair (dyadic coords -> bit-exact areas)
+        "q_poly_overlap": """
+            WITH r AS (
+                SELECT p_partkey AS rect_id,
+                       ((p_partkey * 13) % 60) - 30 + 0.25 AS lat0,
+                       ((p_partkey * 29) % 120) - 60 + 0.25 AS lon0,
+                       ((p_partkey * 13) % 60) - 30 + 0.25 + 2.0
+                           + (p_partkey % 5) AS lat1,
+                       ((p_partkey * 29) % 120) - 60 + 0.25 + 3.0
+                           + (p_partkey % 7) AS lon1
+                FROM part)
+            SELECT a.rect_id AS id_a, b.rect_id AS id_b,
+                   least(a.lat1, b.lat1) - greatest(a.lat0, b.lat0) AS dlat,
+                   least(a.lon1, b.lon1) - greatest(a.lon0, b.lon0) AS dlon,
+                   (least(a.lat1, b.lat1) - greatest(a.lat0, b.lat0))
+                 * (least(a.lon1, b.lon1) - greatest(a.lon0, b.lon0))
+                       AS overlap_area
+            FROM r a JOIN r b
+              ON a.rect_id < b.rect_id
+             AND a.lat0 < b.lat1 AND b.lat0 < a.lat1
+             AND a.lon0 < b.lon1 AND b.lon0 < a.lon1
+        """,
+        "q_transitions": """
+            WITH s AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT prev AS prev_type, event_type AS next_type,
+                   COUNT(*) AS n,
+                   COUNT(*)::DOUBLE
+                       / (SUM(COUNT(*)) OVER (PARTITION BY prev))::DOUBLE AS p
+            FROM s WHERE prev IS NOT NULL
+            GROUP BY 1, 2
         """,
     }

@@ -96,6 +96,11 @@ BENCH_QUERIES = [
     "q_simplify_ways",
     "q_rep_quality",
     "q_boilerplate",
+    "q_pii_redact",
+    "q_contamination",
+    "q_grid_dbscan",
+    "q_poly_overlap",
+    "q_transitions",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -232,3 +232,68 @@ def boilerplate_windows(
         F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
         F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
     )
+
+
+def contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check (the published GPT-3/Llama
+    decontamination recipe): slide an ``n``-token window over every
+    document and flag windows that occur verbatim anywhere in the
+    benchmark set; report per-doc window/hit counts.
+
+    Scale shape: eval benchmarks are a few MB, so the benchmark side
+    reduces to a tiny DISTINCT window-hash set that BROADCASTS — the
+    corpus side projects (doc_id, xxhash64(window)) once during the
+    scan and the flag join is broadcast-hash, no corpus-wide shuffle
+    at all.  The heavy text never rides the join (hashes only);
+    unlike boilerplate_windows the windows are SLIDING (stride 1) —
+    decontamination must catch unaligned copies.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_win = (F.size(toks) - (n - 1)).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(n_win > 0, windows)
+        .otherwise(F.array().cast("array<long>"))
+        .alias("__w"),
+    )
+    btoks = F.split(F.trim(F.col(bench_text_col)), r"\s+")
+    bn = (F.size(btoks) - (n - 1)).cast("int")
+    bwin = (
+        bench.where(bn > 0)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), bn - 1),
+                    lambda i: F.xxhash64(F.array_join(F.slice(btoks, i + 1, n), " ")),
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    scored = (
+        base.select("doc_id", F.explode("__w").alias("h"))
+        .join(F.broadcast(bwin), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0)).alias("n_contaminated"),
+        )
+    )
+    return base.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -95,3 +95,39 @@ def ewma(
         lambda acc, x: (acc + x) / 2.0,
     )
     return per_key.select(key_col, "n_events", folded.alias("ewma"))
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Corpus-wide Markov transition matrix over per-key ordered
+    event streams: count every consecutive (prev_state -> next_state)
+    pair and its conditional probability P(next | prev).
+
+    Scale shape: ONE shuffle (window partitioned by key) produces the
+    lag pairs; the result then collapses to |states|^2 rows with
+    map-side combine, and the probability normalization is a window
+    over that kilobyte-sized matrix — nothing after the first
+    exchange scales with the corpus.  Order must be total per key
+    (``order_cols`` ends in a unique id) or lag() is nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    prev = F.lag(state_col).over(w)
+    pairs = df.select(prev.alias("prev_type"), F.col(state_col).alias("next_type"))
+    counts = (
+        pairs.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias("p"),
+    )
