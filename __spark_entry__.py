@@ -1573,6 +1573,61 @@ def q_transitions(spark, sf):
     return transition_counts(ev)
 
 
+PACK_SEQ_LEN = 512
+
+
+def q_pack_sequences(spark, sf):
+    """Concat-and-chunk training-sequence packing via a two-level
+    distributed prefix sum (operators/packing.py) — NO unpartitioned
+    global window. block_size=64 so even the 500-doc fixture spans
+    multiple blocks and the block-offset broadcast path is exercised.
+    All integer math; the oracle is the naive single-window scan."""
+    from skyway_spark.operators.packing import pack_sequences
+
+    (docs,) = _tables(spark, sf, "documents")
+    return pack_sequences(docs, seq_len=PACK_SEQ_LEN, block_size=64)
+
+
+REBALANCE_TARGETS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2}
+
+
+def q_rebalance(spark, sf):
+    """Downsample-only domain mixing toward a target lang mix (en is
+    over-represented in the fixture; the scarcest-vs-target stratum is
+    kept whole; zh is not whitelisted and drops). Keep decisions
+    ride the portable content hash; the float threshold arithmetic is
+    op-order-pinned and mirrored verbatim in the oracle."""
+    from skyway_spark.operators.sampling import rebalance_sources
+
+    (docs,) = _tables(spark, sf, "documents")
+    kept = rebalance_sources(docs, REBALANCE_TARGETS, strata_col="lang")
+    return kept.select("doc_id", "lang")
+
+
+def q_triangles(spark, sf):
+    """Global triangle / degree stats over a deterministic
+    bounded-degree graph derived from orders (u -> u + 1 + okey%8):
+    oriented wedge join, every triangle counted exactly once
+    (operators/graph.triangle_stats). All-integer output."""
+    from skyway_spark.operators.graph import triangle_stats
+
+    (orders,) = _tables(spark, sf, "orders")
+    edges = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_custkey") + 1 + F.col("o_orderkey") % 8).alias("dst"),
+    )
+    return triangle_stats(edges)
+
+
+def q_heatmap(spark, sf):
+    """Separable 3x3 binomial blur of the res-5 cell density grid
+    (operators/cluster.grid_heatmap). Dyadic kernel weights make the
+    float densities bit-exact cross-engine (sums of multiples of
+    2^-4 are exact in double, hence order-independent)."""
+    pts = _event_points(spark, sf)
+    return cluster.grid_heatmap(pts, res=GRID_RES)
+
+
 _GEO_KINDS = ("cafe", "bench", "station", "museum", "park")
 
 
@@ -1910,6 +1965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_dbscan": q_grid_dbscan,
         "q_poly_overlap": q_poly_overlap,
         "q_transitions": q_transitions,
+        "q_pack_sequences": q_pack_sequences,
+        "q_rebalance": q_rebalance,
+        "q_triangles": q_triangles,
+        "q_heatmap": q_heatmap,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -3698,5 +3757,94 @@ def oracle_sql() -> dict[str, str]:
                        / (SUM(COUNT(*)) OVER (PARTITION BY prev))::DOUBLE AS p
             FROM s WHERE prev IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # naive single-window scan — the O(1)-task plan the distributed
+        # two-level prefix sum (operators/packing.py) must reproduce
+        "q_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS start_offset
+                FROM t)
+            SELECT doc_id, n_tokens, start_offset,
+                   floor(start_offset / {float(PACK_SEQ_LEN)})::BIGINT AS seq_id,
+                   (start_offset % {PACK_SEQ_LEN})::BIGINT AS seq_offset
+            FROM s
+        """,
+        # threshold arithmetic op-order-identical to rebalance_sources:
+        # scale = min(n/t); cut = floor((t*scale)/n * BUCKETS)
+        "q_rebalance": f"""
+            WITH c AS (
+                SELECT lang, COUNT(*)::DOUBLE AS n,
+                       CASE lang {' '.join(
+                           f"WHEN '{k}' THEN {v!r}::DOUBLE"
+                           for k, v in sorted(REBALANCE_TARGETS.items()))}
+                       END AS t
+                FROM documents GROUP BY lang),
+            c2 AS (SELECT * FROM c WHERE t IS NOT NULL),
+            s AS (SELECT MIN(n / t) AS scale FROM c2),
+            th AS (
+                SELECT lang, floor((t * scale) / n * 1000000)::BIGINT AS cut
+                FROM c2 CROSS JOIN s)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN th USING (lang)
+            WHERE (((d.doc_id % 2147483647) * 1103515245 + 12345)
+                   % 2147483647) % 1000000 < th.cut
+        """,
+        # same oriented-wedge closure, expressed as flat self-joins
+        "q_triangles": """
+            WITH e0 AS (
+                SELECT o_custkey AS s,
+                       o_custkey + 1 + o_orderkey % 8 AS d
+                FROM orders),
+            e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e0 WHERE s <> d),
+            nodes AS (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e),
+            deg AS (SELECT n, COUNT(*) AS dg FROM nodes GROUP BY n)
+            SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+                   (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+                   (SELECT MAX(dg) FROM deg)::BIGINT AS max_degree,
+                   (SELECT COUNT(*)
+                    FROM e e1
+                    JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)::BIGINT
+                       AS n_triangles
+        """,
+        # separable [1,2,1]/4 blur unrolled as two explode+re-agg
+        # passes; dyadic weights make the double sums order-exact
+        "q_heatmap": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            c AS (
+                SELECT {_cell_sql('lat', 'lon', GRID_RES)} AS cell,
+                       COUNT(*)::DOUBLE AS v
+                FROM pts GROUP BY 1),
+            xy AS (
+                SELECT (cell >> 29) & {(1 << 29) - 1} AS x,
+                       cell & {(1 << 29) - 1} AS y, v
+                FROM c),
+            taps(o, w) AS (VALUES (-1, 0.25::DOUBLE), (0, 0.5::DOUBLE),
+                                  (1, 0.25::DOUBLE)),
+            bx AS (
+                SELECT xx AS x, y, SUM(c) AS v FROM (
+                    SELECT x + o AS xx, y, v * w AS c
+                    FROM xy CROSS JOIN taps)
+                WHERE xx >= 0 AND xx < {1 << (GRID_RES + 1)}
+                GROUP BY 1, 2),
+            by2 AS (
+                SELECT x, yy AS y, SUM(c) AS v FROM (
+                    SELECT x, y + o AS yy, v * w AS c
+                    FROM bx CROSS JOIN taps)
+                WHERE yy >= 0 AND yy < {1 << GRID_RES}
+                GROUP BY 1, 2)
+            SELECT (({GRID_RES}::BIGINT << 58) | (x << 29) | y) AS cell,
+                   v AS density
+            FROM by2
         """,
     }

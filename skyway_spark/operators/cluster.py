@@ -100,3 +100,53 @@ def grid_dbscan(
         F.coalesce("component", F.col("cell")).alias("cluster_id"),
         "n_points",
     )
+
+
+def grid_heatmap(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Smoothed density surface: cell counts blurred with a separable
+    3x3 binomial kernel ([1,2,1]/4 per axis — the standard cheap
+    Gaussian approximation for heatmap tiles).
+
+    Exactness: the kernel weights are DYADIC (1/4, 1/2), so every
+    contribution is an integer multiple of 2^-4 with < 2^53 mantissa —
+    double addition is exact and therefore order-independent, making
+    the result engine-exact despite being float (a real Gaussian
+    kernel would not be: exp() ULPs + non-associative sums).
+
+    Scale shape: points collapse to (cell, count) FIRST (map-side
+    combine); each blur pass is an explode(3)+re-agg on the CELL-sized
+    table, keyed by int64 cell — two small shuffles total, never a
+    point-level operation.  Border cells lose the out-of-grid share
+    (no clamping) — mirrored exactly by the oracle's bounds filter.
+    """
+    nx, ny = 1 << (res + 1), 1 << res
+    counts = points.groupBy(
+        cells.cell_encode(F.col(lat_col), F.col(lon_col), res).alias("cell")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+
+    def blur(df: DataFrame, axis: str) -> DataFrame:
+        taps = F.array(
+            *[
+                F.struct(F.lit(o).alias("o"), F.lit(w).alias("w"))
+                for o, w in ((-1, 0.25), (0, 0.5), (1, 0.25))
+            ]
+        )
+        x, y = cells.cell_x(F.col("cell")), cells.cell_y(F.col("cell"))
+        t = df.select("cell", "v", F.explode(taps).alias("t")).select(
+            (x + F.when(F.lit(axis == "x"), F.col("t.o")).otherwise(0)).alias("x"),
+            (y + F.when(F.lit(axis == "y"), F.col("t.o")).otherwise(0)).alias("y"),
+            (F.col("v") * F.col("t.w")).alias("c"),
+        )
+        return (
+            t.where((F.col("x") >= 0) & (F.col("x") < nx) & (F.col("y") >= 0) & (F.col("y") < ny))
+            .groupBy(cells.pack_cell(F.col("x"), F.col("y"), res).alias("cell"))
+            .agg(F.sum("c").alias("v"))
+        )
+
+    out = blur(blur(counts, "x"), "y")
+    return out.select("cell", F.col("v").alias("density"))

@@ -118,3 +118,43 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row global graph stats: (n_nodes, n_edges, max_degree,
+    n_triangles) — all integers, so bit-exact on any engine.
+
+    Triangles via the oriented wedge join: canonicalize each edge
+    a < b, then count (a,b) ⋈ (b,c) wedges closed by (a,c) — every
+    triangle a < b < c is produced exactly once.  Scale shape: both
+    joins are int64 equi-joins on node ids (AQE splits hub skew); a
+    production deployment orients by (degree, id) instead of raw id to
+    bound wedge fan-out on power-law graphs — same count, same plan
+    shape, one extra degree join — which id-orientation here stands in
+    for on the synthetic bounded-degree fixtures.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    e.cache()
+    nodes = e.select(F.col("a").alias("n")).unionByName(
+        e.select(F.col("b").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    wedges = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )  # (a < b < c)
+    tri = wedges.join(
+        e.select(F.col("a").alias("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    )
+    return (
+        e.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+        )
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select("n_nodes", "n_edges", "max_degree", "n_triangles")
+    )

@@ -1,0 +1,78 @@
+"""Training-sequence packing (concat-and-chunk) via distributed prefix sum.
+
+LLM pretraining consumes fixed-length token sequences; the standard
+high-throughput packing is concat-and-chunk: lay documents end-to-end
+in a canonical order and cut every ``seq_len`` tokens (what public
+GPT/T5/Llama data loaders do).  The batch-side computation is a
+GLOBAL exclusive prefix sum of document lengths — the one primitive a
+naive Spark window (`Window.orderBy` with no partition) gets
+catastrophically wrong: an unpartitioned window funnels the entire
+corpus through ONE task.
+
+This implements the classic two-level distributed scan instead:
+  1. rows get a deterministic block key (id div block_size) — NOT the
+     physical partition id, so the result is partitioning- and
+     engine-independent;
+  2. within-block exclusive prefix sums use a window partitioned by
+     block (parallel, bounded state);
+  3. block totals aggregate to a block-count-sized table whose own
+     prefix sum is one tiny window, broadcast-joined back.
+At 10^12 docs pick block_size ~ sqrt(N) (or recurse once more); the
+block table is then ~10^6 rows — kilobytes per executor.
+
+No reference counterpart (skyway has no aggregation at all;
+SURVEY.md §2.4) — north-rule LLM-pipeline operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_size: int = 1024,
+) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, seq_id, seq_offset) per doc.
+
+    ``start_offset`` is the document's first token position in the
+    concatenated id-ordered token stream; ``seq_id`` the training
+    sequence containing that first token; ``seq_offset`` the position
+    within it.  Documents may span sequence boundaries — that is
+    concat-and-chunk semantics (no padding, no fragmentation loss).
+    All integer math: bit-exact on any engine.
+    """
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ntok.alias("n_tokens"),
+        F.floor(F.col(id_col) / block_size).alias("__blk"),
+    )
+    w_in = (
+        Window.partitionBy("__blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "__local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    blk_totals = base.groupBy("__blk").agg(F.sum("n_tokens").alias("__tot"))
+    w_blk = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_offsets = blk_totals.select(
+        "__blk", F.coalesce(F.sum("__tot").over(w_blk), F.lit(0)).alias("__boff")
+    )
+    start = F.col("__boff") + F.col("__local")
+    return (
+        local.join(F.broadcast(blk_offsets), "__blk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / seq_len).alias("seq_id"),
+            (start % seq_len).alias("seq_offset"),
+        )
+    )

@@ -76,3 +76,59 @@ def hash_split(
     # float-rounding guard: the last range always closes at BUCKETS
     last = sorted(weights)[-1]
     return df.withColumn(split_col, expr.otherwise(last))
+
+
+def rebalance_sources(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample-only domain mixing: keep a deterministic subset so
+    the surviving corpus approaches the ``targets`` mix (shares
+    summing to 1 over the strata present).  The scarcest stratum
+    relative to its target is kept whole (scale = min_s n_s / t_s);
+    every other stratum keeps rate t_s * scale / n_s via the same
+    portable content hash as the samplers above — so the decision per
+    row is stable under repartitioning, appends, and engine choice.
+    Strata absent from ``targets`` are dropped entirely (mixing is a
+    whitelist).
+
+    Scale shape: one map-side-combined count per stratum (a dim-sized
+    table), the scale factor is a scalar agg over it, and the rate
+    re-attaches by broadcast join — the corpus itself is touched by
+    exactly one scan + filter, no shuffle of the data rows.
+
+    Float care: the threshold is floor(((t*scale)/n)*BUCKETS) with a
+    pinned operation order, mirrored verbatim in the SQL oracle, so
+    both engines compute the identical integer cutoff.
+    """
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {total}")
+    t_expr = None
+    for k, v in sorted(targets.items()):
+        t_expr = (
+            F.when(F.col(strata_col) == k, F.lit(float(v)))
+            if t_expr is None
+            else t_expr.when(F.col(strata_col) == k, F.lit(float(v)))
+        )
+    t_expr = t_expr.otherwise(F.lit(None).cast("double"))
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        .withColumn("__t", t_expr)
+        .where(F.col("__t").isNotNull())
+    )
+    scale = counts.agg(F.min(F.col("__n") / F.col("__t")).alias("__scale"))
+    thresh = counts.crossJoin(F.broadcast(scale)).select(
+        strata_col,
+        F.floor(
+            (F.col("__t") * F.col("__scale")) / F.col("__n") * BUCKETS
+        ).alias("__cut"),
+    )
+    return (
+        df.join(F.broadcast(thresh), strata_col)
+        .where(hash_bucket(F.col(id_col)) < F.col("__cut"))
+        .drop("__cut")
+    )

@@ -98,3 +98,46 @@ def tile_stats(points: DataFrame, z: int, lat: str = "lat", lon: str = "lon") ->
             F.approx_count_distinct("id").alias("approx_ids"),
         )
     )
+
+
+def tile_pyramid(
+    points: DataFrame,
+    finest_res: int,
+    levels: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Multi-resolution rollup: per-cell point counts at ``levels``
+    consecutive resolutions (finest_res down to finest_res-levels+1)
+    in ONE pass over the data — the hypertable-rollup / tile-pyramid
+    primitive behind every zoomable map and dashboard drilldown.
+
+    Scale shape: the point table is touched by exactly one scan + one
+    map-side-combined groupBy at the FINEST resolution; the pyramid is
+    then built by exploding the cell-level aggregate (|cells| rows,
+    orders of magnitude smaller than |points|) over its ancestor chain
+    and re-aggregating — cost O(|cells| * levels), independent of
+    |points|.  Parent derivation is integer bit-shifts, and floor(u *
+    2^r) == floor(u * 2^(r+1)) >> 1 exactly in IEEE double (power-of-2
+    scaling is exact), so shifted parents equal direct encoding at the
+    coarser resolution — which is what the SQL oracle computes.
+
+    Returns (cell, n_points); the resolution is encoded in the cell id
+    (bits 58+), so a single int64 key carries the whole pyramid.
+    """
+    if levels < 1 or levels > finest_res + 1:
+        raise ValueError("levels must be in [1, finest_res+1]")
+    base = points.groupBy(
+        cells.cell_encode(F.col(lat), F.col(lon), finest_res).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    chain = F.array(
+        *[
+            cells.cell_parent(F.col("cell"), finest_res, finest_res - i)
+            for i in range(levels)
+        ]
+    )
+    return (
+        base.select(F.explode(chain).alias("cell"), "n")
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n_points"))
+    )
