@@ -1628,6 +1628,76 @@ def q_heatmap(spark, sf):
     return cluster.grid_heatmap(pts, res=GRID_RES)
 
 
+PYRAMID_RES, PYRAMID_LEVELS = 6, 4
+
+
+def q_tile_pyramid(spark, sf):
+    """Multi-resolution cell-count rollup (res 6..3) from ONE point
+    scan: the pyramid is built on the finest-level AGGREGATE via
+    bit-shift ancestors (operators/tiles.tile_pyramid); the oracle
+    re-encodes every level directly from lat/lon — the two agree
+    because floor(u*2^r) == floor(u*2^(r+1)) >> 1 exactly in IEEE."""
+    from skyway_spark.operators.tiles import tile_pyramid
+
+    pts = _event_points(spark, sf)
+    return tile_pyramid(pts, finest_res=PYRAMID_RES, levels=PYRAMID_LEVELS)
+
+
+TRIP_JUMP_KM, TRIP_GAP_US = 5000.0, 3_600_000_000
+
+
+def q_trips(spark, sf):
+    """Trajectory segmentation over the event points: a trip breaks on
+    a >5000 km jump or a >1 h gap (operators/trajectory.segment_trips).
+    All-integer output; path length enters as floor(step_km*1e5)
+    summed in int64, so the result is order- and engine-exact."""
+    from skyway_spark.operators.trajectory import segment_trips
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        ((F.col("user_id") * 7919) % 17000 / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+    return segment_trips(pts, jump_km=TRIP_JUMP_KM, gap_us=TRIP_GAP_US)
+
+
+BLOOM_N, BLOOM_K, BLOOM_M = 8, 4, 62 * 1024
+
+
+def q_bloom_contamination(spark, sf):
+    """Bloom-filter decontamination (operators/bloom.py): the filter is
+    BUILT distributed from the benchmark windows (bit_or groupBy),
+    then probed as an 8 KB array literal inside the corpus scan — the
+    membership structure that still works when the benchmark registry
+    no longer broadcasts as a hash set. Every bit position is portable
+    integer math, so the oracle reconstructs the identical bitmap and
+    probe results in SQL — false positives and all."""
+    from skyway_spark.operators.bloom import bloom_contamination, build_bloom
+
+    (docs,) = _tables(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    bl = build_bloom(bench, n=BLOOM_N, k=BLOOM_K, m_bits=BLOOM_M)
+    return bloom_contamination(docs, bl, n=BLOOM_N, k=BLOOM_K, m_bits=BLOOM_M)
+
+
+KMEANS_K, KMEANS_ITERS = 8, 2
+
+
+def q_kmeans(spark, sf):
+    """Two Lloyd iterations of k=8 k-means over the embeddings,
+    engine-exact via int64 quantization (operators/kmeans.py): floored
+    2^20 scaling, integer distances, floor-division centroid updates —
+    an ITERATIVE ML algorithm with an exact SQL oracle (the oracle
+    unrolls both iterations as CTEs)."""
+    from skyway_spark.operators.kmeans import kmeans_fit_assign
+
+    (emb,) = _tables(spark, sf, "embeddings")
+    return kmeans_fit_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
 _GEO_KINDS = ("cafe", "bench", "station", "museum", "park")
 
 
@@ -1969,6 +2039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rebalance": q_rebalance,
         "q_triangles": q_triangles,
         "q_heatmap": q_heatmap,
+        "q_tile_pyramid": q_tile_pyramid,
+        "q_trips": q_trips,
+        "q_bloom_contamination": q_bloom_contamination,
+        "q_kmeans": q_kmeans,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -2626,6 +2700,151 @@ def _relation_rollup_sql() -> str:
                round(0.0 + {rl("w1")} + {rl("w2")}, 6) AS perimeter_km
         FROM rel
     """
+
+
+def _trips_sql() -> str:
+    """Window-SQL mirror of operators/trajectory.segment_trips with the
+    identical pinned haversine op order and integer path quantization."""
+    hav = _haversine_sql("plat", "plon", "lat", "lon")
+    brk = (
+        f"plat IS NULL OR {hav} > {TRIP_JUMP_KM!r} OR gap > {TRIP_GAP_US}"
+    )
+    return f"""
+        WITH p AS (
+            SELECT user_id, event_id, ts,
+                   ((user_id * 7919) % 17000) / 100.0 - 85.0 AS lat,
+                   ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+            FROM events),
+        l AS (
+            SELECT user_id AS entity, event_id AS pid, ts, lat, lon,
+                   lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+            FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        f AS (
+            SELECT entity, pid, ts,
+                   CASE WHEN {brk} THEN 1 ELSE 0 END AS brk,
+                   CASE WHEN {brk} THEN 0
+                        ELSE floor({hav} * 100000.0)::BIGINT END AS step_cm
+            FROM l),
+        g AS (
+            SELECT entity, pid, step_cm,
+                   (SUM(brk) OVER (PARTITION BY entity ORDER BY ts, pid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ))::BIGINT AS seg_id
+            FROM f)
+        SELECT entity, seg_id, COUNT(*)::BIGINT AS n_points,
+               MIN(pid) AS first_id, MAX(pid) AS last_id,
+               (SUM(step_cm))::BIGINT AS path_cm
+        FROM g GROUP BY 1, 2
+    """
+
+
+def _bloom_sql(n: int | None = None, k: int | None = None, m: int | None = None) -> str:
+    """Bit-exact SQL reconstruction of operators/bloom.py: same char-fold
+    gram hash, same double-hashing LCGs, same 62-bit word packing."""
+    n, k, m = n or BLOOM_N, k or BLOOM_K, m or BLOOM_M
+    g = _sql_token_hash("gram")
+    h1 = "((g % 2147483647) * 1103515245 + 12345) % 2147483647"
+    h2 = "((g % 2147483647) * 69069 + 1) % 2147483647"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents),
+        base AS (
+            SELECT doc_id, greatest(len(toks) - {n - 1}, 0)::INT AS nw, toks
+            FROM t),
+        w AS (
+            SELECT doc_id, i, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+            FROM base, unnest(range(1, nw + 1)) AS u(i)
+            WHERE nw > 0),
+        wg AS (SELECT doc_id, i, {g} AS g FROM w),
+        bpos AS (
+            SELECT DISTINCT (h1 + j * h2) % {m} AS p
+            FROM (SELECT {h1} AS h1, {h2} AS h2
+                  FROM wg WHERE doc_id % 97 = 0),
+                 unnest(range(0, {k})) AS tj(j)),
+        bm AS (
+            SELECT p // 62 AS wi, bit_or(1::BIGINT << ((p % 62)::INT)) AS bits
+            FROM bpos GROUP BY 1),
+        probe AS (
+            SELECT doc_id, i,
+                   bool_and((COALESCE(bm.bits, 0) >> ((q.p % 62)::INT)) & 1 = 1) AS hit
+            FROM (SELECT doc_id, i, (h1 + j * h2) % {m} AS p
+                  FROM (SELECT doc_id, i, {h1} AS h1, {h2} AS h2 FROM wg),
+                       unnest(range(0, {k})) AS tj(j)) q
+            LEFT JOIN bm ON bm.wi = q.p // 62
+            GROUP BY doc_id, i),
+        agg AS (
+            SELECT doc_id,
+                   (SUM(CASE WHEN hit THEN 1 ELSE 0 END))::INT AS n_flagged
+            FROM probe GROUP BY 1)
+        SELECT b.doc_id, b.nw AS n_windows,
+               COALESCE(a.n_flagged, 0) AS n_flagged,
+               COALESCE(a.n_flagged, 0) > 0 AS contaminated
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def _kmeans_sql(
+    k: int | None = None, iters: int | None = None, dim: int = 64, scale_bits: int = 20
+) -> str:
+    """Unrolled-CTE mirror of operators/kmeans.kmeans_fit_assign: the
+    same quantization, integer distances, argmin tie-break, floor-div
+    centroid update and empty-cluster carry-over, iteration by
+    iteration."""
+    k, iters = k or KMEANS_K, iters or KMEANS_ITERS
+
+    def dist(v: str, c: str) -> str:
+        d = f"({v}.q[i::INT] - {c}.q[i::INT])"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {d} * {d}), (x, y) -> x + y)"
+        )
+
+    sql = f"""
+        WITH quant AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> floor(x::DOUBLE * {float(1 << scale_bits)})::BIGINT) AS q
+            FROM embeddings),
+        c0 AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, q
+            FROM (SELECT vec_id, q FROM quant ORDER BY vec_id LIMIT {k})),
+    """
+    prev = "c0"
+    for it in range(1, iters + 1):
+        a, s, c = f"a{it}", f"s{it}", f"c{it}"
+        sql += f"""
+        {a} AS (
+            SELECT vec_id, q, cid FROM (
+                SELECT v.vec_id, v.q, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {dist('v', 'c')}, c.cid) AS rn
+                FROM quant v CROSS JOIN {prev} c) WHERE rn = 1),
+        {s} AS (
+            SELECT a.cid, i AS d, SUM(a.q[i::INT]) AS sm, COUNT(*) AS cnt
+            FROM {a} a, unnest(range(1, {dim + 1})) AS u(i)
+            GROUP BY 1, 2),
+        {c} AS (
+            SELECT cid, list(fd ORDER BY d) AS q FROM (
+                SELECT cid, d,
+                       ((sm - (((sm % cnt) + cnt) % cnt)) // cnt)::BIGINT AS fd
+                FROM {s}) GROUP BY cid
+            UNION ALL
+            SELECT cid, q FROM {prev}
+            WHERE cid NOT IN (SELECT DISTINCT cid FROM {a})),
+        """
+        prev = c
+    sql += f"""
+        fin AS (
+            SELECT v.vec_id, c.cid,
+                   ({dist('v', 'c')})::BIGINT AS dist,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {dist('v', 'c')}, c.cid) AS rn
+            FROM quant v CROSS JOIN {prev} c)
+        SELECT vec_id, cid AS cluster, dist FROM fin WHERE rn = 1
+    """
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3847,4 +4066,16 @@ def oracle_sql() -> dict[str, str]:
                    v AS density
             FROM by2
         """,
+        # every level re-encoded straight from lat/lon — proves the
+        # Spark side's shifted-ancestor derivation (see tile_pyramid)
+        "q_tile_pyramid": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            lv AS ({' UNION ALL '.join(
+                f"SELECT {_cell_sql('lat', 'lon', PYRAMID_RES - i)} AS cell FROM pts"
+                for i in range(PYRAMID_LEVELS))})
+            SELECT cell, COUNT(*)::BIGINT AS n_points FROM lv GROUP BY 1
+        """,
+        "q_trips": _trips_sql(),
+        "q_bloom_contamination": _bloom_sql(),
+        "q_kmeans": _kmeans_sql(),
     }

@@ -1,0 +1,129 @@
+"""Bloom-filter decontamination: approximate membership at 100 TB.
+
+The exact-join decontamination in textstats.contamination broadcasts
+the benchmark's DISTINCT window-hash set — fine for a few MB of eval
+suites, but a composite benchmark registry (every eval suite ever
+published, ~10^9 windows) no longer broadcasts as a hash set.  The
+standard answer is a Bloom filter: the membership structure shrinks
+to m bits (10^9 windows at 1% fp ≈ 1.2 GB → with this module's
+layout a plain ``array<long>`` broadcast once per executor), probes
+stay O(k) per window, and false positives only ever OVER-flag (safe
+direction for decontamination — you drop a few clean documents, you
+never keep a contaminated one).
+
+Everything is engine-portable integer math, so the whole structure —
+bit positions, word layout, probe results — carries an EXACT DuckDB
+oracle (unlike xxhash64-based filters):
+
+- window hash  g  = the portable char-fold hash of the n-gram string
+  ((acc*31 + ord) mod 2^44 — same as dedup.text_hash);
+- double hashing (Kirsch–Mitzenmacher): h1, h2 = two LCGs of g mod
+  p = 2^31-1; probe j sets bit (h1 + j*h2) mod m, j < k;
+- the bit array packs into 62-bit words (not 64: ``1 << 61`` is the
+  largest power of two that is overflow-safe to OR/compare in every
+  engine's signed int64, with headroom).
+
+Scale shape: the build side collapses to (word_idx, bits) via a
+map-side-combined bit_or aggregate — at most m/62 rows regardless of
+benchmark size; it is collected into a Column literal (kilobytes at
+the default m, the polygon-table pattern of operators/pip.py) and the
+probe side evaluates entirely inside whole-stage codegen during the
+corpus scan: no join, no shuffle, no Python.
+
+No reference counterpart (skyway has no membership structures;
+SURVEY.md §2.4) — north-rule LLM-pipeline operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from skyway_spark.operators.dedup import _char_codes, _fold_hash
+from skyway_spark.operators.textstats import ngrams
+
+PRIME = 2_147_483_647  # 2^31 - 1
+_A1, _B1 = 1_103_515_245, 12_345  # glibc LCG
+_A2, _B2 = 69_069, 1  # VAX MTH$RANDOM LCG
+WORD_BITS = 62  # overflow-safe signed-int64 bit packing
+
+
+def _gram_hash(gram: Column) -> Column:
+    return _fold_hash(_char_codes(gram))
+
+
+def _probe_positions(g: Column, k: int, m_bits: int) -> Column:
+    """array<long> of k bit positions via double hashing."""
+    r = F.pmod(g, F.lit(PRIME))
+    h1 = F.pmod(r * _A1 + _B1, F.lit(PRIME))
+    h2 = F.pmod(r * _A2 + _B2, F.lit(PRIME))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.pmod(h1 + j.cast("long") * h2, F.lit(m_bits)),
+    )
+
+
+def build_bloom(
+    bench: DataFrame,
+    n: int = 8,
+    k: int = 4,
+    m_bits: int = 1 << 16,
+    text_col: str = "text",
+) -> list[int]:
+    """Dense word array (length m_bits/WORD_BITS, int64) with every
+    benchmark n-gram window's k bits set.  Distributed build: explode
+    windows -> positions, ONE map-side-combined bit_or groupBy on the
+    word index, then a words-sized collect (m/62 rows max)."""
+    if m_bits % WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    pos = (
+        bench.select(F.explode(ngrams(F.col(text_col), n)).alias("g"))
+        .select(F.explode(_probe_positions(_gram_hash(F.col("g")), k, m_bits)).alias("p"))
+        .select(
+            (F.col("p") / WORD_BITS).cast("long").alias("w"),
+            # F.shiftleft's numBits must be a Python int; call the SQL
+            # function directly to shift by a Column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % WORD_BITS).cast("int")
+            ).alias("b"),
+        )
+    )
+    sparse = {
+        r["w"]: r["bits"]
+        for r in pos.groupBy("w").agg(F.bit_or("b").alias("bits")).collect()
+    }
+    return [sparse.get(w, 0) for w in range(m_bits // WORD_BITS)]
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    bloom: list[int],
+    n: int = 8,
+    k: int = 4,
+    m_bits: int = 1 << 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag documents whose sliding n-token windows hit the filter:
+    (doc_id, n_windows, n_flagged, contaminated).  Pure Column HOFs
+    over the scan — the filter rides along as an 8 KB array literal,
+    every probe is two integer ops + an array index inside codegen."""
+    words = F.array(*[F.lit(int(w)).cast("long") for w in bloom])
+    wins = ngrams(F.col(text_col), n)
+
+    def hit(gram: Column) -> Column:
+        return F.forall(
+            _probe_positions(_gram_hash(gram), k, m_bits),
+            lambda p: F.call_function(
+                "shiftright",
+                F.element_at(words, (p / WORD_BITS).cast("int") + 1),
+                (p % WORD_BITS).cast("int"),
+            ).bitwiseAND(F.lit(1).cast("long"))
+            == 1,
+        )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(wins).alias("n_windows"),
+        F.size(F.filter(wins, hit)).alias("n_flagged"),
+    ).withColumn("contaminated", F.col("n_flagged") > 0)

@@ -1,0 +1,112 @@
+"""Engine-exact distributed k-means (Lloyd's) via integer quantization.
+
+Iterative ML algorithms are normally impossible to oracle-check
+exactly: every float summation order changes the centroids by ULPs
+and assignments can flip.  This implementation removes the floats
+entirely — coordinates quantize to int64 on entry
+(floor(x * 2^scale_bits); power-of-two scaling of a float is EXACT in
+IEEE, floor is exact, so quantization is deterministic), distances
+and centroid sums are pure int64 arithmetic (order-independent), and
+centroid updates use floor division — so k-means' every iteration is
+bit-identical on any engine, and the whole trained model carries an
+exact DuckDB oracle.  Quantization error (2^-scale_bits per coord) is
+orders of magnitude below embedding noise; this is also how real
+systems ship ANN indexes (IVF trains on int8/int16-quantized vectors
+in FAISS/ScaNN for the same throughput reasons).
+
+Scale shape per iteration (the MLlib pattern):
+- assignment is a scan-stage Column expression — the k centroids ride
+  along as literals (k*dim int64s, kilobytes), argmin via array_min
+  over (dist, cid) structs, no join, no shuffle;
+- the update is ONE map-side-combined groupBy on (cluster, dim) —
+  k*dim output rows regardless of corpus size — collected to the
+  driver (k-means has an inherent per-iteration sync point; it is
+  k*dim*8 bytes, not data);
+- the input projection (vec_id, q) is cached once for all iterations.
+
+At 10^12 rows: same plan; the only driver traffic is k*dim longs per
+iteration.  Empty clusters keep their previous centroid (deterministic,
+mirrored by the oracle).
+
+No reference counterpart (skyway has no ML ops; SURVEY.md §2.4) —
+north-rule LLM-pipeline operator (IVF/coreset training for the ANN
+index in operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE_BITS = 20
+
+
+def _quantize(vec_col: Column, scale_bits: int) -> Column:
+    scale = float(1 << scale_bits)
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
+    )
+
+
+def _sq_dist(q: Column, centroid: list[int]) -> Column:
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(q, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Add (cluster, dist): argmin over per-centroid integer squared
+    distances, ties to the lowest centroid id (struct ordering)."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("q"), c).alias("dist"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return qdf.withColumns(
+        {"cluster": best["cid"], "dist": best["dist"]}
+    )
+
+
+def kmeans_fit_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> DataFrame:
+    """Train ``iters`` Lloyd iterations from the k lowest-id vectors
+    (deterministic init) and return the final assignment:
+    (vec_id, cluster, dist) with dist the integer squared distance in
+    quantized units."""
+    qdf = vectors.select(
+        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col), scale_bits).alias("q")
+    ).persist()
+    init = qdf.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r["q"]) for r in sorted(init, key=lambda r: r["vec_id"])]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        stats = (
+            _assign(qdf, centroids)
+            .select("cluster", F.posexplode("q").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty clusters carry over
+        for r in stats:
+            nxt[r["cluster"]][r["d"]] = r["s"] // r["c"]  # Python floor div
+        centroids = nxt
+        assert all(len(c) == dim for c in centroids)
+    out = _assign(qdf, centroids).select("vec_id", "cluster", "dist")
+    qdf.unpersist()
+    return out

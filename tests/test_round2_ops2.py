@@ -135,3 +135,184 @@ def test_grid_heatmap_border_mass_lost(spark):
     got = {r["cell"]: r["density"] for r in grid_heatmap(df, res=5).collect()}
     assert len(got) == 4  # only the in-grid 2x2 quadrant survives
     assert sum(got.values()) == (0.5 + 0.25) * (0.5 + 0.25)
+
+
+# ------------------------- tile pyramid ------------------------------
+
+
+def test_tile_pyramid_level_totals_and_parents(spark):
+    from skyway_spark.operators.tiles import tile_pyramid
+
+    pts = spark.createDataFrame(
+        [(float(la), float(lo)) for la in range(-80, 81, 20) for lo in range(-170, 171, 40)],
+        "lat double, lon double",
+    )
+    n = pts.count()
+    got = {r["cell"]: r["n_points"] for r in tile_pyramid(pts, finest_res=6, levels=3).collect()}
+    by_res = {}
+    for cell, cnt in got.items():
+        by_res.setdefault(cell >> 58, 0)
+        by_res[cell >> 58] += cnt
+    assert by_res == {6: n, 5: n, 4: n}  # every level partitions all points
+    # parent counts equal the sum of their children
+    kids = {c: v for c, v in got.items() if c >> 58 == 6}
+    for c, v in got.items():
+        if c >> 58 == 5:
+            m = (1 << 29) - 1
+            x, y = (c >> 29) & m, c & m
+            s = sum(
+                kids.get((6 << 58) | ((2 * x + dx) << 29) | (2 * y + dy), 0)
+                for dx in (0, 1) for dy in (0, 1)
+            )
+            assert s == v
+
+
+# --------------------------- trajectory -------------------------------
+
+
+def test_segment_trips_hand_computed(spark):
+    from skyway_spark.operators.trajectory import segment_trips
+
+    # user 1: two points 1 km apart, then a 1000 km jump, then a 3 h gap
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", 0.0, 0.0),
+        (1, 11, "2024-01-01 00:10:00", 0.0, 0.009),      # ~1 km: same trip
+        (1, 12, "2024-01-01 00:20:00", 0.0, 10.0),       # ~1113 km: break
+        (1, 13, "2024-01-01 05:00:00", 0.0, 10.001),     # 4h40 gap: break
+        (2, 20, "2024-01-01 00:00:00", 50.0, 50.0),      # separate entity
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, lat double, lon double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["entity"], r["seg_id"]): r.asDict()
+        for r in segment_trips(df, jump_km=100.0, gap_us=3_600_000_000).collect()
+    }
+    assert len(out) == 4
+    assert out[(1, 1)]["n_points"] == 2 and out[(1, 1)]["first_id"] == 10
+    assert out[(1, 1)]["last_id"] == 11 and out[(1, 1)]["path_cm"] > 0
+    assert out[(1, 2)]["n_points"] == 1 and out[(1, 2)]["path_cm"] == 0
+    assert out[(1, 3)]["n_points"] == 1  # gap break despite ~0.1 km step
+    assert out[(2, 1)]["n_points"] == 1
+
+
+def test_segment_trips_orders_by_ts_not_id(spark):
+    from skyway_spark.operators.trajectory import segment_trips
+
+    # ids deliberately reversed vs timestamps: ordering must follow ts
+    rows = [
+        (1, 99, "2024-01-01 00:00:00", 0.0, 0.0),
+        (1, 1, "2024-01-01 00:10:00", 0.0, 0.001),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, lat double, lon double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = segment_trips(df, jump_km=100.0, gap_us=3_600_000_000).collect()
+    assert len(out) == 1 and out[0]["n_points"] == 2
+    assert out[0]["first_id"] == 1 and out[0]["last_id"] == 99
+
+
+# ----------------------------- bloom ---------------------------------
+
+
+def test_bloom_no_false_negatives_and_direction(spark):
+    from skyway_spark.operators.bloom import bloom_contamination, build_bloom
+    from skyway_spark.operators.textstats import contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    bl = build_bloom(bench, n=8, k=4, m_bits=62 * 1024)
+    bloom_hit = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_contamination(docs, bl, n=8, k=4, m_bits=62 * 1024).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in contamination(docs, bench, n=8).collect()
+    }
+    # Bloom can only OVER-flag: every exact hit is a bloom hit
+    for d, n_exact in exact.items():
+        assert bloom_hit[d] >= n_exact, (d, bloom_hit[d], n_exact)
+    # and the benchmark members themselves are all fully flagged
+    for r in bench.select("doc_id").collect():
+        assert bloom_hit[r["doc_id"]] > 0
+
+
+def test_bloom_empty_text_and_determinism(spark):
+    from skyway_spark.operators.bloom import bloom_contamination, build_bloom
+
+    docs = spark.createDataFrame(
+        [(1, "only three words"), (2, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    bl = build_bloom(docs.where("doc_id = 2"), n=8, k=4, m_bits=62 * 16)
+    out = {r["doc_id"]: r.asDict()
+           for r in bloom_contamination(docs, bl, n=8, k=4, m_bits=62 * 16).collect()}
+    assert out[1]["n_windows"] == 0 and not out[1]["contaminated"]
+    assert out[2]["n_windows"] == 2 and out[2]["n_flagged"] == 2
+    bl2 = build_bloom(docs.where("doc_id = 2").repartition(7), n=8, k=4, m_bits=62 * 16)
+    assert bl == bl2  # build is partitioning-independent
+
+
+# ---------------------------- k-means --------------------------------
+
+
+def _kmeans_mirror(vecs, k, iters, scale_bits=20):
+    import math
+    q = [[math.floor(x * (1 << scale_bits)) for x in v] for v in vecs]
+    cent = [list(q[i]) for i in range(k)]
+    for _ in range(iters):
+        assign = []
+        for v in q:
+            dists = [(sum((a - b) ** 2 for a, b in zip(v, c)), i) for i, c in enumerate(cent)]
+            assign.append(min(dists)[1])
+        nxt = [list(c) for c in cent]
+        for c in range(k):
+            members = [q[i] for i, a in enumerate(assign) if a == c]
+            if members:
+                nxt[c] = [sum(col) // len(members) for col in zip(*members)]
+        cent = nxt
+    final = []
+    for v in q:
+        dists = [(sum((a - b) ** 2 for a, b in zip(v, c)), i) for i, c in enumerate(cent)]
+        d, c = min(dists)
+        final.append((c, d))
+    return final
+
+
+def test_kmeans_matches_python_mirror(spark):
+    from skyway_spark.operators.kmeans import kmeans_fit_assign
+
+    # deterministic pseudo-random 3-d vectors
+    vecs = [
+        [((i * 37 + d * 101) % 97) / 97.0 - 0.5 for d in range(3)] for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_fit_assign(df, k=4, iters=3).collect()
+    }
+    # mirror quantizes from float32-rounded values like the Spark path
+    import numpy as np
+    vecs32 = [list(np.asarray(v, dtype=np.float32).astype(float)) for v in vecs]
+    want = _kmeans_mirror(vecs32, k=4, iters=3)
+    assert got == {i: w for i, w in enumerate(want)}
+
+
+def test_kmeans_tiebreak_and_empty_cluster_carryover(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from skyway_spark.operators.kmeans import _assign, _quantize, kmeans_fit_assign
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # equidistant to two identical centroids -> ties break to cid 0
+    qdf = df.select("vec_id", _quantize(F.col("embedding"), 20).alias("q"))
+    assert all(r["cluster"] == 0 for r in _assign(qdf, [[0, 0], [0, 0]]).collect())
+    # after one Lloyd step every vector lands in cluster 0, so cluster 1
+    # carries its [0,0] init over -- and then wins back the origin vecs
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_fit_assign(df, k=2, iters=1).collect()}
+    assert out == {0: 1, 1: 1, 2: 0}
