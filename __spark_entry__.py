@@ -1698,6 +1698,19 @@ def q_kmeans(spark, sf):
     return kmeans_fit_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+def q_ann_ivf_trained(spark, sf):
+    """IVF ANN with a TRAINED coarse quantizer: k-means inverted lists
+    (the real version of q_ann_ivf's seeded-Gaussian stand-in), probe
+    the query's 2 nearest lists, exact integer re-rank, top-10. The
+    oracle replays training AND probe in one unrolled SQL."""
+    from skyway_spark.operators.kmeans import ivf_trained_topk
+
+    (emb,) = _tables(spark, sf, "embeddings")
+    return ivf_trained_topk(
+        emb, QUERY_VEC, k_lists=KMEANS_K, iters=KMEANS_ITERS, nprobe=2, topk=10
+    )
+
+
 _GEO_KINDS = ("cafe", "bench", "station", "museum", "park")
 
 
@@ -2043,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trips": q_trips,
         "q_bloom_contamination": q_bloom_contamination,
         "q_kmeans": q_kmeans,
+        "q_ann_ivf_trained": q_ann_ivf_trained,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -2785,22 +2799,21 @@ def _bloom_sql(n: int | None = None, k: int | None = None, m: int | None = None)
     """
 
 
-def _kmeans_sql(
-    k: int | None = None, iters: int | None = None, dim: int = 64, scale_bits: int = 20
-) -> str:
-    """Unrolled-CTE mirror of operators/kmeans.kmeans_fit_assign: the
-    same quantization, integer distances, argmin tie-break, floor-div
-    centroid update and empty-cluster carry-over, iteration by
-    iteration."""
-    k, iters = k or KMEANS_K, iters or KMEANS_ITERS
+def _kmeans_dist_sql(v: str, c: str, dim: int = 64) -> str:
+    d = f"({v}.q[i::INT] - {c}.q[i::INT])"
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {d} * {d}), (x, y) -> x + y)"
+    )
 
-    def dist(v: str, c: str) -> str:
-        d = f"({v}.q[i::INT] - {c}.q[i::INT])"
-        return (
-            f"list_reduce(list_transform(range(1, {dim + 1}), "
-            f"i -> {d} * {d}), (x, y) -> x + y)"
-        )
 
+def _kmeans_cte_prefix(
+    k: int, iters: int, dim: int = 64, scale_bits: int = 20
+) -> tuple[str, str]:
+    """Shared unrolled-Lloyd CTE chain: quantize, deterministic init,
+    per-iteration assign / integer sums / floor-div update with
+    empty-cluster carry-over. Returns (sql_prefix, final_centroid_cte)."""
+    dist = lambda v, c: _kmeans_dist_sql(v, c, dim)  # noqa: E731
     sql = f"""
         WITH quant AS (
             SELECT vec_id,
@@ -2835,16 +2848,76 @@ def _kmeans_sql(
             WHERE cid NOT IN (SELECT DISTINCT cid FROM {a})),
         """
         prev = c
-    sql += f"""
+    return sql, prev
+
+
+def _kmeans_sql(
+    k: int | None = None, iters: int | None = None, dim: int = 64, scale_bits: int = 20
+) -> str:
+    """Unrolled-CTE mirror of operators/kmeans.kmeans_fit_assign: the
+    same quantization, integer distances, argmin tie-break, floor-div
+    centroid update and empty-cluster carry-over, iteration by
+    iteration."""
+    k, iters = k or KMEANS_K, iters or KMEANS_ITERS
+    prefix, prev = _kmeans_cte_prefix(k, iters, dim, scale_bits)
+    dist = _kmeans_dist_sql("v", "c", dim)
+    return prefix + f"""
         fin AS (
             SELECT v.vec_id, c.cid,
-                   ({dist('v', 'c')})::BIGINT AS dist,
+                   ({dist})::BIGINT AS dist,
                    row_number() OVER (PARTITION BY v.vec_id
-                       ORDER BY {dist('v', 'c')}, c.cid) AS rn
+                       ORDER BY {dist}, c.cid) AS rn
             FROM quant v CROSS JOIN {prev} c)
         SELECT vec_id, cid AS cluster, dist FROM fin WHERE rn = 1
     """
-    return sql
+
+
+def _ivf_trained_sql(
+    k: int | None = None,
+    iters: int | None = None,
+    nprobe: int = 2,
+    topk: int = 10,
+    dim: int = 64,
+    scale_bits: int = 20,
+) -> str:
+    """Trained-IVF probe mirror: same Lloyd chain, then select the
+    query's nprobe nearest lists and exactly re-rank their members by
+    integer squared distance to the quantized query literal."""
+    import math
+
+    k, iters = k or KMEANS_K, iters or KMEANS_ITERS
+    prefix, prev = _kmeans_cte_prefix(k, iters, dim, scale_bits)
+    qq = [math.floor(float(x) * (1 << scale_bits)) for x in QUERY_VEC]
+    ql = "[" + ", ".join(str(v) for v in qq) + "]::BIGINT[]"
+
+    def qdist(v: str) -> str:
+        d = f"({v}.q[i::INT] - ql.q[i::INT])"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {d} * {d}), (x, y) -> x + y)"
+        )
+
+    return prefix + f"""
+        ql AS (SELECT {ql} AS q),
+        assign AS (
+            SELECT vec_id, q, cid FROM (
+                SELECT v.vec_id, v.q, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_kmeans_dist_sql('v', 'c', dim)}, c.cid) AS rn
+                FROM quant v CROSS JOIN {prev} c) WHERE rn = 1),
+        probe AS (
+            SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (
+                           ORDER BY {_kmeans_dist_sql('ql', 'c', dim)}, c.cid) AS rn
+                FROM {prev} c CROSS JOIN ql) WHERE rn <= {nprobe})
+        SELECT a.vec_id, a.cid AS cluster,
+               ({qdist('a')})::BIGINT AS qdist
+        FROM assign a CROSS JOIN ql
+        WHERE a.cid IN (SELECT cid FROM probe)
+        ORDER BY qdist, a.vec_id
+        LIMIT {topk}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4078,4 +4151,5 @@ def oracle_sql() -> dict[str, str]:
         "q_trips": _trips_sql(),
         "q_bloom_contamination": _bloom_sql(),
         "q_kmeans": _kmeans_sql(),
+        "q_ann_ivf_trained": _ivf_trained_sql(),
     }

@@ -101,6 +101,16 @@ BENCH_QUERIES = [
     "q_grid_dbscan",
     "q_poly_overlap",
     "q_transitions",
+    # round-2 batch 2
+    "q_pack_sequences",
+    "q_rebalance",
+    "q_triangles",
+    "q_heatmap",
+    "q_tile_pyramid",
+    "q_trips",
+    "q_bloom_contamination",
+    "q_kmeans",
+    "q_ann_ivf_trained",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -76,18 +76,18 @@ def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
-def kmeans_fit_assign(
+def kmeans_train(
     vectors: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale_bits: int = DEFAULT_SCALE_BITS,
-) -> DataFrame:
+) -> tuple[list[list[int]], DataFrame]:
     """Train ``iters`` Lloyd iterations from the k lowest-id vectors
-    (deterministic init) and return the final assignment:
-    (vec_id, cluster, dist) with dist the integer squared distance in
-    quantized units."""
+    (deterministic init).  Returns (centroids, qdf) — the trained
+    quantized centroids plus the cached quantized projection, so
+    callers (final assignment, IVF probing) reuse both."""
     qdf = vectors.select(
         F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col), scale_bits).alias("q")
     ).persist()
@@ -107,6 +107,65 @@ def kmeans_fit_assign(
             nxt[r["cluster"]][r["d"]] = r["s"] // r["c"]  # Python floor div
         centroids = nxt
         assert all(len(c) == dim for c in centroids)
+    return centroids, qdf
+
+
+def kmeans_fit_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> DataFrame:
+    """Train and return the final assignment: (vec_id, cluster, dist)
+    with dist the integer squared distance in quantized units."""
+    centroids, qdf = kmeans_train(vectors, k, iters, id_col, vec_col, scale_bits)
     out = _assign(qdf, centroids).select("vec_id", "cluster", "dist")
+    qdf.unpersist()
+    return out
+
+
+def ivf_trained_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k_lists: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (what
+    similarity.ivf_topk's seeded-Gaussian centroids stand in for):
+    k-means inverted lists, then scan only the query's ``nprobe``
+    nearest lists and re-rank exactly — all in quantized int64 space,
+    so the trained index + probe carries an exact SQL oracle.
+
+    Scale shape: training as kmeans_train (per-iteration driver sync
+    of k*dim longs); the probe is a scan-stage filter on the list id
+    (at rest: partition pruning on a list-partitioned layout) + a
+    TakeOrderedAndProject top-k — no shuffle of the corpus.
+    """
+    import math
+
+    centroids, qdf = kmeans_train(vectors, k_lists, iters, id_col, vec_col, scale_bits)
+    qq = [math.floor(float(x) * (1 << scale_bits)) for x in query]
+    cdist = sorted(
+        (sum((a - b) ** 2 for a, b in zip(qq, c)), i) for i, c in enumerate(centroids)
+    )
+    probe = [i for _, i in cdist[:nprobe]]
+    out = (
+        _assign(qdf, centroids)
+        .where(F.col("cluster").isin(probe))
+        .select(
+            "vec_id",
+            "cluster",
+            _sq_dist(F.col("q"), qq).alias("qdist"),
+        )
+        .orderBy("qdist", "vec_id")
+        .limit(topk)
+    )
     qdf.unpersist()
     return out

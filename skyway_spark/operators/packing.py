@@ -60,6 +60,12 @@ def pack_sequences(
     local = base.withColumn(
         "__local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
     )
+    # block totals aggregate from `base` (a fresh narrow scan), NOT from
+    # `local`: the re-scan reads two int columns, while its map-side
+    # combine means only block-count partial rows ride this branch's
+    # shuffle -- deriving totals from the windowed frame instead would
+    # re-execute the corpus-sized window exchange (plan forks don't
+    # dedupe when column pruning diverges; verified on the plan)
     blk_totals = base.groupBy("__blk").agg(F.sum("n_tokens").alias("__tot"))
     w_blk = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
     blk_offsets = blk_totals.select(

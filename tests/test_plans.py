@@ -319,3 +319,64 @@ def test_pages_scan_prunes_html(spark, tmp_path_factory):
     assert scans, plan
     assert "html" not in scans[0], scans[0]
     assert "warc_ts" not in scans[0], scans[0]
+
+
+# ------------------- round-2 batch-2 operator plans -------------------
+
+
+def test_bloom_probe_is_shuffle_free_jvm_scan(spark):
+    """The Bloom probe must ride the corpus scan: the bitmap is an
+    array literal, every probe pure Column math — no join, no shuffle,
+    no Python in the hot path (the 100 TB-side plan)."""
+    from skyway_spark.operators.bloom import bloom_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i")], "doc_id long, text string"
+    )
+    out = bloom_contamination(docs, [0] * 16, n=8, k=4, m_bits=62 * 16)
+    plan = _executed_plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tile_pyramid_single_scan_two_shuffles(spark, elements_parquet):
+    """Pyramid cost: one point scan, one fine-res agg shuffle, one
+    cell-level re-agg shuffle — levels multiply the CELL table only."""
+    from skyway_spark.operators.tiles import tile_pyramid
+
+    pts = spark.read.parquet(elements_parquet).where(
+        F.col("lat").isNotNull()
+    ).select("lat", "lon")
+    plan = _executed_plan(tile_pyramid(pts, finest_res=6, levels=4))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_segment_trips_one_window_stage(spark):
+    """Both trajectory windows share one (entity, ts, id) sort — a
+    single window exchange plus the final per-segment rollup."""
+    from skyway_spark.operators.trajectory import segment_trips
+
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", 0.0, 0.0)],
+        "user_id long, event_id long, ts string, lat double, lon double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _executed_plan(segment_trips(df, jump_km=10.0, gap_us=10**9))
+    assert plan.count("Exchange") <= 2, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_block_branch_shuffles_partials_only(spark):
+    """The two-level prefix sum: the corpus rides exactly ONE hash
+    exchange (the per-block window); the block-totals branch map-side
+    combines before its shuffle and the offsets re-attach by broadcast
+    — pinned by exchange census."""
+    from skyway_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = _executed_plan(pack_sequences(docs, seq_len=4, block_size=8))
+    assert plan.count("BroadcastExchange") == 1, plan
+    # remaining exchanges: corpus window hash, block-partials hash,
+    # single-partition block window — never a second corpus-wide one
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 3
+    assert "HashAggregate" in plan  # partial agg (map-side combine) present

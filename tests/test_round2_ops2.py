@@ -316,3 +316,43 @@ def test_kmeans_tiebreak_and_empty_cluster_carryover(spark):
     # carries its [0,0] init over -- and then wins back the origin vecs
     out = {r["vec_id"]: r["cluster"] for r in kmeans_fit_assign(df, k=2, iters=1).collect()}
     assert out == {0: 1, 1: 1, 2: 0}
+
+
+def test_ivf_trained_full_probe_equals_brute_force(spark):
+    from skyway_spark.operators.kmeans import ivf_trained_topk, kmeans_fit_assign
+    import math
+
+    vecs = [
+        [((i * 53 + d * 29) % 83) / 83.0 - 0.5 for d in range(4)] for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = [0.1, -0.2, 0.3, 0.0]
+    # nprobe == k_lists -> every list probed -> must equal brute force
+    got = [
+        (r["vec_id"], r["qdist"])
+        for r in ivf_trained_topk(df, q, k_lists=4, iters=2, nprobe=4, topk=5).collect()
+    ]
+    import numpy as np
+    qq = [math.floor(x * (1 << 20)) for x in q]
+    brute = sorted(
+        (
+            sum(
+                (math.floor(float(np.float32(x)) * (1 << 20)) - b) ** 2
+                for x, b in zip(v, qq)
+            ),
+            i,
+        )
+        for i, v in enumerate(vecs)
+    )[:5]
+    assert got == [(i, d) for d, i in brute]
+    # nprobe < k_lists: results are a subset of the probed lists' members
+    assigned = {
+        r["vec_id"]: r["cluster"] for r in kmeans_fit_assign(df, k=4, iters=2).collect()
+    }
+    part = ivf_trained_topk(df, q, k_lists=4, iters=2, nprobe=2, topk=5).collect()
+    probed = {r["cluster"] for r in part}
+    assert len(probed) <= 2
+    for r in part:
+        assert assigned[r["vec_id"]] == r["cluster"]
