@@ -1698,6 +1698,30 @@ def q_kmeans(spark, sf):
     return kmeans_fit_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+CURATION_MIN_TOKENS = 20
+
+
+def q_curation_pipeline(spark, sf):
+    """END-TO-END corpus curation (the FineWeb/RefinedWeb recipe shape):
+    token-count quality gate -> exact-dedup survivor (min doc_id per
+    text) -> downsample to the target lang mix -> concat-and-chunk
+    sequence packing. Four operators COMPOSED in one plan; the oracle
+    chains their SQL mirrors through the same CTE pipeline, so the
+    stage boundaries (which doc survives, which sequence offset it
+    gets) are verified jointly, not just per-operator."""
+    from skyway_spark.operators.packing import pack_sequences
+    from skyway_spark.operators.sampling import rebalance_sources
+
+    (docs,) = _tables(spark, sf, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    gated = docs.where(ntok >= CURATION_MIN_TOKENS)
+    surv = dedup.dedup_exact(gated)
+    reb = rebalance_sources(surv, REBALANCE_TARGETS, strata_col="lang")
+    return pack_sequences(
+        reb.select("doc_id", "text"), seq_len=PACK_SEQ_LEN, block_size=64
+    )
+
+
 def q_ann_ivf_trained(spark, sf):
     """IVF ANN with a TRAINED coarse quantizer: k-means inverted lists
     (the real version of q_ann_ivf's seeded-Gaussian stand-in), probe
@@ -2057,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_contamination": q_bloom_contamination,
         "q_kmeans": q_kmeans,
         "q_ann_ivf_trained": q_ann_ivf_trained,
+        "q_curation_pipeline": q_curation_pipeline,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -2796,6 +2821,49 @@ def _bloom_sql(n: int | None = None, k: int | None = None, m: int | None = None)
                COALESCE(a.n_flagged, 0) AS n_flagged,
                COALESCE(a.n_flagged, 0) > 0 AS contaminated
         FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def _curation_sql() -> str:
+    """CTE chain mirroring q_curation_pipeline stage for stage."""
+    case_t = " ".join(
+        f"WHEN '{k}' THEN {v!r}::DOUBLE" for k, v in sorted(REBALANCE_TARGETS.items())
+    )
+    return f"""
+        WITH gated AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\\s+'))
+                  >= {CURATION_MIN_TOKENS}),
+        surv AS (
+            SELECT doc_id, lang, text FROM gated
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        c AS (
+            SELECT lang, COUNT(*)::DOUBLE AS n, CASE lang {case_t} END AS t
+            FROM surv GROUP BY lang),
+        c2 AS (SELECT * FROM c WHERE t IS NOT NULL),
+        s AS (SELECT MIN(n / t) AS scale FROM c2),
+        th AS (
+            SELECT lang, floor((t * scale) / n * 1000000)::BIGINT AS cut
+            FROM c2 CROSS JOIN s),
+        reb AS (
+            SELECT d.doc_id, d.text FROM surv d JOIN th USING (lang)
+            WHERE (((d.doc_id % 2147483647) * 1103515245 + 12345)
+                   % 2147483647) % 1000000 < th.cut),
+        t AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+            FROM reb),
+        sp AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS start_offset
+            FROM t)
+        SELECT doc_id, n_tokens, start_offset,
+               floor(start_offset / {float(PACK_SEQ_LEN)})::BIGINT AS seq_id,
+               (start_offset % {PACK_SEQ_LEN})::BIGINT AS seq_offset
+        FROM sp
     """
 
 
@@ -4152,4 +4220,5 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_contamination": _bloom_sql(),
         "q_kmeans": _kmeans_sql(),
         "q_ann_ivf_trained": _ivf_trained_sql(),
+        "q_curation_pipeline": _curation_sql(),
     }

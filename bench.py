@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q_bloom_contamination",
     "q_kmeans",
     "q_ann_ivf_trained",
+    "q_curation_pipeline",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
