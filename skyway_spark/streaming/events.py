@@ -216,3 +216,108 @@ def run_bounded(
         .start()
     )
     q.awaitTermination()
+
+
+TRIP_OUTPUT_DDL = (
+    "user_id long, n_points long, first_id long, last_id long, path_cm long"
+)
+_TRIP_STATE_DDL = (
+    "first_id long, last_id long, n long, path_cm long, "
+    "last_us long, last_lat double, last_lon double"
+)
+
+
+def segment_trips_stream(
+    points: DataFrame,
+    jump_km: float,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming counterpart of operators/trajectory.segment_trips:
+    per-user trip segmentation with applyInPandasWithState. A segment
+    closes when the NEXT point breaks it (geodesic jump > ``jump_km``
+    or time gap > ``gap``, detected in-batch) or when the watermark
+    passes last_point + gap (event-time timeout). Closed segments emit
+    as (user_id, n_points, first_id, last_id, path_cm) — the same
+    integer path quantization as the batch operator, so
+    stream == batch on closed segments (pinned in test_pipeline.py).
+
+    Input needs (user_id, event_id, ts, lat, lon). State per user is
+    one segment summary + the last point — O(1), skew-safe. Points are
+    ordered (ts, event_id) within each batch; cross-batch order is the
+    arrival order, the standard streaming-sessionizer contract.
+    """
+    import math
+
+    import pandas as pd  # local import: workers deserialize the closure
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    jump = float(jump_km)
+
+    def hav(la1, lo1, la2, lo2):
+        dla = math.radians(la2 - la1) / 2.0
+        dlo = math.radians(lo2 - lo1) / 2.0
+        a = math.sin(dla) ** 2 + math.cos(math.radians(la1)) * math.cos(
+            math.radians(la2)
+        ) * math.sin(dlo) ** 2
+        return 2.0 * 6371.0088 * math.asin(math.sqrt(a))
+
+    def emit(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "n_points": [r[1] for r in rows],
+                "first_id": [r[2] for r in rows],
+                "last_id": [r[3] for r in rows],
+                "path_cm": [r[4] for r in rows],
+            }
+        )
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            fid, lid, n, path, *_ = state.get
+            state.remove()
+            yield emit([(key[0], n, fid, lid, path)])
+            return
+        have = state.exists
+        fid = lid = n = path = last_us = 0
+        llat = llon = 0.0
+        if have:
+            fid, lid, n, path, last_us, llat, llon = state.get
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("int64") // 1000
+            for t, eid, la, lo in zip(us, pdf["event_id"], pdf["lat"], pdf["lon"]):
+                t, eid, la, lo = int(t), int(eid), float(la), float(lo)
+                if have:
+                    step = hav(llat, llon, la, lo)
+                    if step > jump or (t - last_us) > gap_us:
+                        out.append((key[0], n, fid, lid, path))
+                        fid = lid = eid
+                        n, path = 1, 0
+                    else:
+                        n += 1
+                        fid, lid = min(fid, eid), max(lid, eid)
+                        path += math.floor(step * 1e5)
+                else:
+                    fid = lid = eid
+                    n, path = 1, 0
+                    have = True
+                last_us, llat, llon = t, la, lo
+        state.update((fid, lid, n, path, last_us, llat, llon))
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # ms
+        if out:
+            yield emit(out)
+
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            TRIP_OUTPUT_DDL,
+            _TRIP_STATE_DDL,
+            "append",
+            "EventTimeTimeout",
+        )
+    )

@@ -352,3 +352,50 @@ def test_entry_contract(spark):
     # q_media_features (deterministic fake decoder mirrored in SQL;
     # the real codec remains stubbed per driver instruction)
     assert set(qs) == set(oracles)
+
+
+def test_streaming_trip_segmentation_matches_batch(spark, tmp_path):
+    """segment_trips_stream == batch segment_trips on closed segments:
+    every emitted segment appears in the batch output, and the segment
+    provably closed in-batch (the jump) MUST be emitted."""
+    import datetime as dt
+
+    from skyway_spark.operators.trajectory import segment_trips
+    from skyway_spark.streaming.events import run_bounded, segment_trips_stream
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    ddl = "user_id long, event_id long, ts timestamp, lat double, lon double"
+
+    def row(uid, eid, ts_min, lat, lon):
+        return (uid, eid, t0 + dt.timedelta(minutes=ts_min), lat, lon)
+
+    in_dir = str(tmp_path / "trip_in")
+    # user 1: two close points, then a transatlantic jump (closes seg 1
+    # IN-BATCH); user 2: a single point (closes only by timeout)
+    rows1 = [row(1, 1, 0, 48.85, 2.35), row(1, 2, 5, 48.86, 2.36),
+             row(1, 3, 10, 40.71, -74.0), row(2, 10, 0, 35.68, 139.69)]
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    # file 2: user 1 returns 4 h later (gap-break for seg 2)
+    rows2 = [row(1, 4, 240, 40.72, -74.01)]
+    spark.createDataFrame(rows2, ddl).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(ddl).parquet(in_dir)
+    out = segment_trips_stream(stream, jump_km=700.0, gap="30 minutes",
+                               watermark="10 minutes")
+    out_dir = str(tmp_path / "trip_out")
+    run_bounded(out, str(tmp_path / "trip_ck"), out_dir)
+    got = {
+        (r["user_id"], r["n_points"], r["first_id"], r["last_id"], r["path_cm"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    batch = spark.createDataFrame(rows1 + rows2, ddl)
+    want = {
+        (r["entity"], r["n_points"], r["first_id"], r["last_id"], r["path_cm"])
+        for r in segment_trips(batch, jump_km=700.0, gap_us=1_800_000_000).collect()
+    }
+    assert got <= want, (got, want)
+    # the in-batch jump-closed segment (points 1+2, ~1.3 km) is emitted
+    closed = [g for g in got if g[0] == 1 and g[1] == 2]
+    assert closed and closed[0][2] == 1 and closed[0][3] == 2
+    assert closed[0][4] > 0  # nonzero integer path

@@ -356,3 +356,67 @@ def test_ivf_trained_full_probe_equals_brute_force(spark):
     assert len(probed) <= 2
     for r in part:
         assert assigned[r["vec_id"]] == r["cluster"]
+
+
+def test_segment_trips_matches_python_mirror_bulk(spark):
+    """200 pseudo-random points over 8 entities, incl. ts ties (same
+    second, different ids) and singleton entities — compared against
+    an independent per-entity Python mirror of the break/cumsum
+    semantics."""
+    import math
+    from skyway_spark.operators.trajectory import segment_trips
+
+    EARTH = 6371.0088
+    JUMP, GAP = 700.0, 1_800_000_000  # 700 km, 30 min
+
+    def hav(la1, lo1, la2, lo2):
+        dla = math.radians(la2 - la1) / 2.0
+        dlo = math.radians(lo2 - lo1) / 2.0
+        a = math.sin(dla) ** 2 + math.cos(math.radians(la1)) * math.cos(
+            math.radians(la2)
+        ) * math.sin(dlo) ** 2
+        return 2.0 * EARTH * math.asin(math.sqrt(a))
+
+    rows = []
+    for i in range(200):
+        ent = (i * 7) % 8
+        # ts ties: pairs of events share a second within an entity
+        sec = ((i * 13) % 50) * 60 * ((i % 3) + 1) % 90000
+        lat = ((i * 37) % 160) - 80 + 0.25
+        lon = ((i * 91) % 340) - 170 + 0.5
+        rows.append((ent, i, sec, float(lat), float(lon)))
+    df = spark.createDataFrame(
+        [(e, i, f"2024-01-01 {s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}", la, lo)
+         for e, i, s, la, lo in rows],
+        "user_id long, event_id long, ts string, lat double, lon double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    want = {}
+    by_ent = {}
+    for e, i, s, la, lo in rows:
+        by_ent.setdefault(e, []).append((s, i, la, lo))
+    for e, pts in by_ent.items():
+        pts.sort()  # (ts, id) order
+        seg, prev = 0, None
+        for s, i, la, lo in pts:
+            step = 0 if prev is None else hav(prev[2], prev[3], la, lo)
+            brk = prev is None or step > JUMP or (s - prev[0]) * 10**6 > GAP
+            if brk:
+                seg += 1
+            key = (e, seg)
+            n, first, last, path = want.get(key, (0, i, i, 0))
+            want[key] = (
+                n + 1,
+                min(first, i),
+                max(last, i),
+                path + (0 if brk else math.floor(step * 1e5)),
+            )
+            prev = (s, i, la, lo)
+
+    got = {
+        (r["entity"], r["seg_id"]): (
+            r["n_points"], r["first_id"], r["last_id"], r["path_cm"]
+        )
+        for r in segment_trips(df, jump_km=JUMP, gap_us=GAP).collect()
+    }
+    assert got == want
