@@ -1698,6 +1698,26 @@ def q_kmeans(spark, sf):
     return kmeans_fit_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+def q_var_stats(spark, sf):
+    """Exact statistical aggregates beyond SUM: per-lang token-count
+    moments kept in int64 (order-independent), mean/variance derived
+    by a PINNED chain of IEEE doubles + floor (operators/stats.py) —
+    var_pop without Welford's partition-order dependence."""
+    from skyway_spark.operators.stats import group_moments
+
+    (docs,) = _tables(spark, sf, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return group_moments(docs, "lang", ntok)
+
+
+def q_collocations(spark, sf):
+    """Top-50 corpus collocations by LIFT (exp-PMI — same ranking as
+    PMI with no log, so no libm ULP divergence): integer counts,
+    pinned-double ratio, floor at 1e-6 (textstats.collocations)."""
+    (docs,) = _tables(spark, sf, "documents")
+    return textstats.collocations(docs, top_k=50, min_count=3)
+
+
 CURATION_MIN_TOKENS = 20
 
 
@@ -2082,6 +2102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_ann_ivf_trained": q_ann_ivf_trained,
         "q_curation_pipeline": q_curation_pipeline,
+        "q_var_stats": q_var_stats,
+        "q_collocations": q_collocations,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -4221,4 +4243,50 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans": _kmeans_sql(),
         "q_ann_ivf_trained": _ivf_trained_sql(),
         "q_curation_pipeline": _curation_sql(),
+        # moments in int64, mean/var via the identical pinned double chain
+        "q_var_stats": """
+            WITH t AS (
+                SELECT lang AS grp,
+                       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS x
+                FROM documents),
+            g AS (
+                SELECT grp, COUNT(*) AS n, (SUM(x))::BIGINT AS sum_x,
+                       (SUM(x * x))::BIGINT AS sum_x2
+                FROM t GROUP BY 1)
+            SELECT grp, n, sum_x, sum_x2,
+                   floor(sum_x::DOUBLE / n::DOUBLE * 1000.0)::BIGINT AS mean_milli,
+                   floor((sum_x2::DOUBLE / n::DOUBLE
+                          - (sum_x::DOUBLE / n::DOUBLE)
+                            * (sum_x::DOUBLE / n::DOUBLE))
+                         * 1000000.0)::BIGINT AS var_micro
+            FROM g
+        """,
+        # lift chain mirrored operation-for-operation (no log anywhere)
+        "q_collocations": """
+            WITH toks AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents),
+            bi0 AS (
+                SELECT t[i] AS x, t[i + 1] AS y
+                FROM toks, unnest(range(1, len(t))) AS u(i)
+                WHERE len(t) >= 2),
+            bi AS (
+                SELECT x, y, COUNT(*) AS c_xy FROM bi0
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            uni AS (
+                SELECT w, COUNT(*) AS c
+                FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+            nu AS (SELECT (SUM(c))::BIGINT AS n_uni FROM uni),
+            nb AS (SELECT COUNT(*)::BIGINT AS n_bi FROM bi0)
+            SELECT bi.x || ' ' || bi.y AS gram, bi.c_xy,
+                   floor(bi.c_xy::DOUBLE / cx.c::DOUBLE * n_uni::DOUBLE
+                         / cy.c::DOUBLE * n_uni::DOUBLE / n_bi::DOUBLE
+                         * 1000000.0)::BIGINT AS lift_micro
+            FROM bi
+            JOIN uni cx ON cx.w = bi.x
+            JOIN uni cy ON cy.w = bi.y
+            CROSS JOIN nu CROSS JOIN nb
+            ORDER BY lift_micro DESC, gram ASC
+            LIMIT 50
+        """,
     }

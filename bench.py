@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "q_kmeans",
     "q_ann_ivf_trained",
     "q_curation_pipeline",
+    "q_var_stats",
+    "q_collocations",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

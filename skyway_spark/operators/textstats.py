@@ -297,3 +297,75 @@ def contamination(
         F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
         (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    top_k: int = 50,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus collocations: top-k adjacent word pairs by LIFT
+    (= P(xy) / (P(x)P(y)) — the exp of PMI, so the same ranking
+    without a log).  Returns (gram, c_xy, lift_micro) with
+    lift_micro = floor(c_xy / c_x * n_uni / c_y * n_uni / n_bi * 1e6):
+    integer counts in, one PINNED chain of IEEE-exact double ops out —
+    engine-exact despite being a ratio statistic (floor pins it; no
+    log, whose libm ULPs differ per engine).
+
+    Scale shape: bigram and unigram tables are map-side-combined
+    groupBys (vocab-sized outputs); the two count re-attachments are
+    key-equi joins against vocab-sized tables (AQE picks broadcast
+    when they fit); top-k is one TakeOrdered with a deterministic
+    (lift, gram) tie-break — the corpus itself is scanned once per
+    count table and never re-shuffled.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("x"),
+                F.element_at(toks, i + 1).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    bi = (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = docs.select(F.explode(pairs).alias("p")).agg(
+        F.count(F.lit(1)).alias("n_bi")
+    )
+    j = (
+        bi.join(uni.select(F.col("w").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("w").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    lift = (
+        F.col("c_xy").cast("double")
+        / F.col("c_x").cast("double")
+        * F.col("n_uni").cast("double")
+        / F.col("c_y").cast("double")
+        * F.col("n_uni").cast("double")
+        / F.col("n_bi").cast("double")
+    )
+    return (
+        j.select(
+            F.concat_ws(" ", "x", "y").alias("gram"),
+            "c_xy",
+            F.floor(lift * 1e6).alias("lift_micro"),
+        )
+        .orderBy(F.col("lift_micro").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )

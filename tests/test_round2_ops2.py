@@ -420,3 +420,41 @@ def test_segment_trips_matches_python_mirror_bulk(spark):
         for r in segment_trips(df, jump_km=JUMP, gap_us=GAP).collect()
     }
     assert got == want
+
+
+# ------------------------- moments / collocations ---------------------
+
+
+def test_group_moments_hand_computed(spark):
+    import math
+    from skyway_spark.operators.stats import group_moments
+
+    rows = [("a", 2), ("a", 4), ("a", 6), ("b", 5)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    got = {r["grp"]: r.asDict() for r in group_moments(df, "grp", F.col("x")).collect()}
+    assert got["a"]["n"] == 3 and got["a"]["sum_x"] == 12 and got["a"]["sum_x2"] == 56
+    assert got["a"]["mean_milli"] == 4000
+    # var_pop = 56/3 - 16 = 8/3
+    assert got["a"]["var_micro"] == math.floor((56 / 3 - 4.0 * 4.0) * 1e6)
+    assert got["b"]["var_micro"] == 0 and got["b"]["mean_milli"] == 5000
+
+
+def test_collocations_lift_ranking(spark):
+    from skyway_spark.operators.textstats import collocations
+
+    # "new york" always adjacent (high lift); "the cat/dog/car" dilute "the"
+    docs = [
+        (1, "new york new york new york"),
+        (2, "the cat the dog the car the cat the dog the cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["gram"], r["c_xy"], r["lift_micro"]) for r in
+           collocations(df, top_k=10, min_count=3).collect()]
+    grams = [g for g, _, _ in got]
+    assert "new york" in grams and "the cat" in grams
+    # exclusive pair ranks above the diluted one
+    assert grams.index("new york") < grams.index("the cat")
+    assert all(c >= 3 for _, c, _ in got)
+    # descending deterministic order
+    lifts = [l for _, _, l in got]
+    assert lifts == sorted(lifts, reverse=True)
