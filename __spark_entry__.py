@@ -1698,6 +1698,20 @@ def q_kmeans(spark, sf):
     return kmeans_fit_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+VECT_RES, VECT_MIN = 5, 4
+
+
+def q_raster_vectorize(spark, sf):
+    """Raster -> vector polygonization: maximal horizontal runs of hot
+    res-5 cells via gaps-and-islands (x - row_number), all-integer
+    output (operators/tiles.vectorize_raster) — the inverse of
+    q_raster_tiles, closing the raster<->vector loop."""
+    from skyway_spark.operators.tiles import vectorize_raster
+
+    pts = _event_points(spark, sf)
+    return vectorize_raster(pts, res=VECT_RES, min_count=VECT_MIN)
+
+
 def q_var_stats(spark, sf):
     """Exact statistical aggregates beyond SUM: per-lang token-count
     moments kept in int64 (order-independent), mean/variance derived
@@ -2104,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_pipeline": q_curation_pipeline,
         "q_var_stats": q_var_stats,
         "q_collocations": q_collocations,
+        "q_raster_vectorize": q_raster_vectorize,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -4243,6 +4258,29 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans": _kmeans_sql(),
         "q_ann_ivf_trained": _ivf_trained_sql(),
         "q_curation_pipeline": _curation_sql(),
+        # independent derivation: islands grouped by (y, x - rn) here,
+        # adjacency re-proved by the x1-x0+1 == n_cells law in the agg
+        "q_raster_vectorize": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            hot AS (
+                SELECT greatest(0, least({(1 << (VECT_RES + 1)) - 1},
+                           floor(((lon + 180.0) / 360.0)
+                                 * {float(1 << (VECT_RES + 1))})::BIGINT)) AS x,
+                       greatest(0, least({(1 << VECT_RES) - 1},
+                           floor(((90.0 - lat) / 180.0)
+                                 * {float(1 << VECT_RES)})::BIGINT)) AS y,
+                       COUNT(*) AS cnt
+                FROM pts GROUP BY 1, 2
+                HAVING COUNT(*) >= {VECT_MIN}),
+            runs AS (
+                SELECT y, x, cnt,
+                       x - row_number() OVER (PARTITION BY y ORDER BY x) AS isl
+                FROM hot)
+            SELECT y, MIN(x) AS x0, MAX(x) AS x1,
+                   COUNT(*)::BIGINT AS n_cells,
+                   (SUM(cnt))::BIGINT AS total_count
+            FROM runs GROUP BY y, isl
+        """,
         # moments in int64, mean/var via the identical pinned double chain
         "q_var_stats": """
             WITH t AS (

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q_curation_pipeline",
     "q_var_stats",
     "q_collocations",
+    "q_raster_vectorize",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

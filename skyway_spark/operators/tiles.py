@@ -141,3 +141,44 @@ def tile_pyramid(
         .groupBy("cell")
         .agg(F.sum("n").alias("n_points"))
     )
+
+
+def vectorize_raster(
+    points: DataFrame,
+    res: int,
+    min_count: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Raster -> vector: polygonize the thresholded density grid into
+    horizontal run-length segments (the gaps-and-islands pattern) —
+    the inverse direction of raster_tiles, closing the north rule's
+    raster<->vector loop.  Returns one row per maximal horizontal run
+    of hot cells: (y, x0, x1, n_cells, total_count) — all integers.
+
+    Scale shape: points collapse to the cell grid first (map-side
+    combine); the segmentation window partitions by ROW (y), so state
+    per partition is one lag — and the hot-cell table it runs over is
+    grid-sized, not point-sized.  island id = x - row_number(x): the
+    classic O(1)-state run detector, no self-joins.
+    """
+    from pyspark.sql import Window
+
+    x, y = cells.cell_xy(F.col(lat), F.col(lon), res)
+    hot = (
+        points.groupBy(x.alias("x"), y.alias("y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    w = Window.partitionBy("y").orderBy("x")
+    runs = hot.withColumn("__isl", F.col("x") - F.row_number().over(w))
+    return (
+        runs.groupBy("y", "__isl")
+        .agg(
+            F.min("x").alias("x0"),
+            F.max("x").alias("x1"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("cnt").alias("total_count"),
+        )
+        .drop("__isl")
+    )

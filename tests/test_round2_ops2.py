@@ -458,3 +458,30 @@ def test_collocations_lift_ranking(spark):
     # descending deterministic order
     lifts = [l for _, _, l in got]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_vectorize_raster_runs(spark):
+    from skyway_spark.operators.tiles import vectorize_raster
+
+    # res 4: nx=32, ny=16; craft 3 hot cells in a row y with a gap,
+    # plus a sub-threshold cell that must NOT bridge the gap
+    def pt(x, y):
+        # center of cell (x, y) at res 4
+        lon = (x + 0.5) / 32.0 * 360.0 - 180.0
+        lat = 90.0 - (y + 0.5) / 16.0 * 180.0
+        return (lat, lon)
+
+    rows = []
+    for x in (3, 4, 6):          # hot cells: run [3,4] and run [6,6]
+        rows += [pt(x, 5)] * 4
+    rows += [pt(5, 5)] * 2       # below min_count=4: the gap stays
+    rows += [pt(3, 9)] * 5       # separate row
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    got = {
+        (r["y"], r["x0"], r["x1"]): (r["n_cells"], r["total_count"])
+        for r in vectorize_raster(df, res=4, min_count=4).collect()
+    }
+    assert got == {(5, 3, 4): (2, 8), (5, 6, 6): (1, 4), (9, 3, 3): (1, 5)}
+    # adjacency law: every run is contiguous
+    for (y, x0, x1), (n, _) in got.items():
+        assert x1 - x0 + 1 == n
