@@ -2880,7 +2880,10 @@ def _curation_sql() -> str:
         c2 AS (SELECT * FROM c WHERE t IS NOT NULL),
         s AS (SELECT MIN(n / t) AS scale FROM c2),
         th AS (
-            SELECT lang, floor((t * scale) / n * 1000000)::BIGINT AS cut
+            SELECT lang,
+                   CASE WHEN n / t = scale THEN 1000000
+                        ELSE floor((t * scale) / n * 1000000)::BIGINT
+                   END AS cut
             FROM c2 CROSS JOIN s),
         reb AS (
             SELECT d.doc_id, d.text FROM surv d JOIN th USING (lang)
@@ -2898,7 +2901,7 @@ def _curation_sql() -> str:
                    ), 0)::BIGINT AS start_offset
             FROM t)
         SELECT doc_id, n_tokens, start_offset,
-               floor(start_offset / {float(PACK_SEQ_LEN)})::BIGINT AS seq_id,
+               (start_offset // {PACK_SEQ_LEN})::BIGINT AS seq_id,
                (start_offset % {PACK_SEQ_LEN})::BIGINT AS seq_offset
         FROM sp
     """
@@ -4170,7 +4173,7 @@ def oracle_sql() -> dict[str, str]:
                        ), 0)::BIGINT AS start_offset
                 FROM t)
             SELECT doc_id, n_tokens, start_offset,
-                   floor(start_offset / {float(PACK_SEQ_LEN)})::BIGINT AS seq_id,
+                   (start_offset // {PACK_SEQ_LEN})::BIGINT AS seq_id,
                    (start_offset % {PACK_SEQ_LEN})::BIGINT AS seq_offset
             FROM s
         """,
@@ -4187,7 +4190,10 @@ def oracle_sql() -> dict[str, str]:
             c2 AS (SELECT * FROM c WHERE t IS NOT NULL),
             s AS (SELECT MIN(n / t) AS scale FROM c2),
             th AS (
-                SELECT lang, floor((t * scale) / n * 1000000)::BIGINT AS cut
+                SELECT lang,
+                   CASE WHEN n / t = scale THEN 1000000
+                        ELSE floor((t * scale) / n * 1000000)::BIGINT
+                   END AS cut
                 FROM c2 CROSS JOIN s)
             SELECT d.doc_id, d.lang
             FROM documents d JOIN th USING (lang)

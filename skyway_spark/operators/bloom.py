@@ -46,6 +46,7 @@ PRIME = 2_147_483_647  # 2^31 - 1
 _A1, _B1 = 1_103_515_245, 12_345  # glibc LCG
 _A2, _B2 = 69_069, 1  # VAX MTH$RANDOM LCG
 WORD_BITS = 62  # overflow-safe signed-int64 bit packing
+DEFAULT_M_BITS = WORD_BITS * 1024  # 63,488 bits / 1024 words (8 KB)
 
 
 def _gram_hash(gram: Column) -> Column:
@@ -67,7 +68,7 @@ def build_bloom(
     bench: DataFrame,
     n: int = 8,
     k: int = 4,
-    m_bits: int = 1 << 16,
+    m_bits: int = DEFAULT_M_BITS,
     text_col: str = "text",
 ) -> list[int]:
     """Dense word array (length m_bits/WORD_BITS, int64) with every
@@ -100,7 +101,7 @@ def bloom_contamination(
     bloom: list[int],
     n: int = 8,
     k: int = 4,
-    m_bits: int = 1 << 16,
+    m_bits: int = DEFAULT_M_BITS,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -108,6 +109,14 @@ def bloom_contamination(
     (doc_id, n_windows, n_flagged, contaminated).  Pure Column HOFs
     over the scan — the filter rides along as an 8 KB array literal,
     every probe is two integer ops + an array index inside codegen."""
+    if m_bits != len(bloom) * WORD_BITS:
+        # a mismatched modulus would probe past the array (ANSI error)
+        # or, worse, silently produce FALSE NEGATIVES — the one failure
+        # direction decontamination must never have
+        raise ValueError(
+            f"m_bits={m_bits} inconsistent with filter of {len(bloom)} words"
+            f" (expected {len(bloom) * WORD_BITS})"
+        )
     words = F.array(*[F.lit(int(w)).cast("long") for w in bloom])
     wins = ngrams(F.col(text_col), n)
 

@@ -139,22 +139,35 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
     )
-    e.cache()
-    nodes = e.select(F.col("a").alias("n")).unionByName(
-        e.select(F.col("b").alias("n"))
-    )
-    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
-    wedges = e.join(
-        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
-    )  # (a < b < c)
-    tri = wedges.join(
-        e.select(F.col("a").alias("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
-    )
-    return (
-        e.agg(
-            F.count(F.lit(1)).alias("n_edges"),
+    e.persist()
+    try:
+        nodes = e.select(F.col("a").alias("n")).unionByName(
+            e.select(F.col("b").alias("n"))
         )
-        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
-        .select("n_nodes", "n_edges", "max_degree", "n_triangles")
+        deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        wedges = e.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+        )  # (a < b < c)
+        tri = wedges.join(
+            e.select(F.col("a").alias("a"), F.col("b").alias("c")),
+            ["a", "c"],
+            "left_semi",
+        )
+        # the output is ONE row: evaluate eagerly so the cached edge
+        # table can be unpersisted deterministically (a lazy return
+        # would either leak the cache or recompute `e` five times)
+        row = (
+            e.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(
+                deg.agg(F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree"))
+            )
+            .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+            .select("n_nodes", "n_edges", "max_degree", "n_triangles")
+            .collect()[0]
+        )
+    finally:
+        e.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [row], "n_nodes long, n_edges long, max_degree long, n_triangles long"
     )

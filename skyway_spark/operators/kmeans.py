@@ -119,7 +119,14 @@ def kmeans_fit_assign(
     scale_bits: int = DEFAULT_SCALE_BITS,
 ) -> DataFrame:
     """Train and return the final assignment: (vec_id, cluster, dist)
-    with dist the integer squared distance in quantized units."""
+    with dist the integer squared distance in quantized units.
+
+    The quantized projection is cached for the TRAINING collects only;
+    it is unpersisted before the (lazy) final assignment is returned,
+    so the output pass re-derives quantization from the source scan —
+    deliberate: at 10^12 rows the training sync points are the only
+    passes worth pinning in cluster storage, and re-quantizing is two
+    Column ops inside the output scan."""
     centroids, qdf = kmeans_train(vectors, k, iters, id_col, vec_col, scale_bits)
     out = _assign(qdf, centroids).select("vec_id", "cluster", "dist")
     qdf.unpersist()
@@ -146,7 +153,9 @@ def ivf_trained_topk(
     Scale shape: training as kmeans_train (per-iteration driver sync
     of k*dim longs); the probe is a scan-stage filter on the list id
     (at rest: partition pruning on a list-partitioned layout) + a
-    TakeOrderedAndProject top-k — no shuffle of the corpus.
+    TakeOrderedAndProject top-k — no shuffle of the corpus.  As in
+    kmeans_fit_assign the cache serves training only; the returned
+    probe re-quantizes inside its own scan by design.
     """
     import math
 

@@ -78,7 +78,12 @@ def pack_sequences(
             "doc_id",
             "n_tokens",
             start.alias("start_offset"),
-            F.floor(start / seq_len).alias("seq_id"),
+            # `div` = integral division: stays int64-exact past 2^53
+            # tokens, where float floor(start/seq_len) would misplace
+            # chunk boundaries (Column `/` is always double)
+            F.call_function("div", start, F.lit(seq_len).cast("long")).alias(
+                "seq_id"
+            ),
             (start % seq_len).alias("seq_offset"),
         )
     )

@@ -121,11 +121,17 @@ def rebalance_sources(
         .where(F.col("__t").isNotNull())
     )
     scale = counts.agg(F.min(F.col("__n") / F.col("__t")).alias("__scale"))
+    # keep-whole guard: for the argmin stratum the float chain
+    # (t*(n/t))/n can round to 0.999... and floor would drop its last
+    # hash bucket — pin cut=BUCKETS there (n/t == scale is exact: min()
+    # returns one of the computed doubles). Mirrored in the oracles.
     thresh = counts.crossJoin(F.broadcast(scale)).select(
         strata_col,
-        F.floor(
-            (F.col("__t") * F.col("__scale")) / F.col("__n") * BUCKETS
-        ).alias("__cut"),
+        F.when(F.col("__n") / F.col("__t") == F.col("__scale"), F.lit(BUCKETS))
+        .otherwise(
+            F.floor((F.col("__t") * F.col("__scale")) / F.col("__n") * BUCKETS)
+        )
+        .alias("__cut"),
     )
     return (
         df.join(F.broadcast(thresh), strata_col)

@@ -331,21 +331,21 @@ def collocations(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
-    bi = (
+    bi_all = (
         docs.select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .where(F.col("c_xy") >= min_count)
     )
+    bi = bi_all.where(F.col("c_xy") >= min_count)
     uni = (
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # totals come from the AGGREGATES (vocab-sized), never a third
+    # corpus-wide explode — same trick for both normalizers
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
-    n_bi = docs.select(F.explode(pairs).alias("p")).agg(
-        F.count(F.lit(1)).alias("n_bi")
-    )
+    n_bi = bi_all.agg(F.sum("c_xy").alias("n_bi"))
     j = (
         bi.join(uni.select(F.col("w").alias("x"), F.col("c").alias("c_x")), "x")
         .join(uni.select(F.col("w").alias("y"), F.col("c").alias("c_y")), "y")

@@ -285,8 +285,20 @@ def segment_trips_stream(
         if have:
             fid, lid, n, path, last_us, llat, llon = state.get
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Arrow delivers one GROUP as MULTIPLE chunks when it exceeds
+        # maxRecordsPerBatch; chunks arrive in shuffle order, so sorting
+        # per chunk would process points out of time order. Buffer the
+        # whole group for this trigger and sort ONCE — per-entity volume
+        # per trigger bounds the buffer (the applyInPandasWithState norm).
+        chunks = list(pdf_iter)
+        if not chunks and not have:
+            return  # no data, no state: write no phantom state
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=["ts", "event_id", "lat", "lon"])
+        )
+        for pdf in (whole.sort_values(["ts", "event_id"]),):
             us = pdf["ts"].astype("int64") // 1000
             for t, eid, la, lo in zip(us, pdf["event_id"], pdf["lat"], pdf["lon"]):
                 t, eid, la, lo = int(t), int(eid), float(la), float(lo)

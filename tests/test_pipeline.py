@@ -399,3 +399,48 @@ def test_streaming_trip_segmentation_matches_batch(spark, tmp_path):
     closed = [g for g in got if g[0] == 1 and g[1] == 2]
     assert closed and closed[0][2] == 1 and closed[0][3] == 2
     assert closed[0][4] > 0  # nonzero integer path
+
+
+def test_streaming_trips_survive_multi_chunk_groups(spark, tmp_path):
+    """Arrow splits a big group into several chunks delivered in
+    shuffle order; the segmenter must sort the WHOLE group, not each
+    chunk (regression: per-chunk sorting broke (ts,id) order)."""
+    import datetime as dt
+
+    from skyway_spark.operators.trajectory import segment_trips
+    from skyway_spark.streaming.events import run_bounded, segment_trips_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+        ddl = "user_id long, event_id long, ts timestamp, lat double, lon double"
+        # 14 close-together points (one trip), then one huge jump that
+        # closes it in-batch -> emitted segment must cover all 14
+        rows = [
+            (1, i, t0 + dt.timedelta(minutes=i), 10.0, 10.0 + i * 0.001)
+            for i in range(14)
+        ] + [(1, 99, t0 + dt.timedelta(minutes=20), -40.0, 120.0)]
+        in_dir = str(tmp_path / "chunk_in")
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(in_dir)
+        stream = spark.readStream.schema(ddl).parquet(in_dir)
+        out = segment_trips_stream(stream, jump_km=500.0, gap="30 minutes")
+        out_dir = str(tmp_path / "chunk_out")
+        run_bounded(out, str(tmp_path / "chunk_ck"), out_dir)
+        got = {
+            (r["n_points"], r["first_id"], r["last_id"], r["path_cm"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        batch = {
+            (r["n_points"], r["first_id"], r["last_id"], r["path_cm"])
+            for r in segment_trips(
+                spark.createDataFrame(rows, ddl), jump_km=500.0, gap_us=1_800_000_000
+            ).collect()
+        }
+        assert (14, 0, 13) in {(n, f, l) for n, f, l, _ in got}
+        assert got <= batch
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
