@@ -4178,7 +4178,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         # threshold arithmetic op-order-identical to rebalance_sources:
-        # scale = min(n/t); cut = floor((t*scale)/n * BUCKETS)
+        # scale = min(n/t); cut = floor((t*scale)/n * BUCKETS), pinned
+        # to BUCKETS for the scarcest (argmin) stratum
         "q_rebalance": f"""
             WITH c AS (
                 SELECT lang, COUNT(*)::DOUBLE AS n,

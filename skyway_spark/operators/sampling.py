@@ -100,8 +100,10 @@ def rebalance_sources(
     exactly one scan + filter, no shuffle of the data rows.
 
     Float care: the threshold is floor(((t*scale)/n)*BUCKETS) with a
-    pinned operation order, mirrored verbatim in the SQL oracle, so
-    both engines compute the identical integer cutoff.
+    pinned operation order — EXCEPT the scarcest stratum, whose cut is
+    pinned to BUCKETS outright (the float chain can round its own
+    keep-whole ratio below 1). Both rules are mirrored verbatim in the
+    SQL oracle, so both engines compute the identical integer cutoff.
     """
     total = sum(targets.values())
     if abs(total - 1.0) > 1e-9:

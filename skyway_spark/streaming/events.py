@@ -298,25 +298,25 @@ def segment_trips_stream(
             if chunks
             else pd.DataFrame(columns=["ts", "event_id", "lat", "lon"])
         )
-        for pdf in (whole.sort_values(["ts", "event_id"]),):
-            us = pdf["ts"].astype("int64") // 1000
-            for t, eid, la, lo in zip(us, pdf["event_id"], pdf["lat"], pdf["lon"]):
-                t, eid, la, lo = int(t), int(eid), float(la), float(lo)
-                if have:
-                    step = hav(llat, llon, la, lo)
-                    if step > jump or (t - last_us) > gap_us:
-                        out.append((key[0], n, fid, lid, path))
-                        fid = lid = eid
-                        n, path = 1, 0
-                    else:
-                        n += 1
-                        fid, lid = min(fid, eid), max(lid, eid)
-                        path += math.floor(step * 1e5)
-                else:
+        pdf = whole.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("int64") // 1000
+        for t, eid, la, lo in zip(us, pdf["event_id"], pdf["lat"], pdf["lon"]):
+            t, eid, la, lo = int(t), int(eid), float(la), float(lo)
+            if have:
+                step = hav(llat, llon, la, lo)
+                if step > jump or (t - last_us) > gap_us:
+                    out.append((key[0], n, fid, lid, path))
                     fid = lid = eid
                     n, path = 1, 0
-                    have = True
-                last_us, llat, llon = t, la, lo
+                else:
+                    n += 1
+                    fid, lid = min(fid, eid), max(lid, eid)
+                    path += math.floor(step * 1e5)
+            else:
+                fid = lid = eid
+                n, path = 1, 0
+                have = True
+            last_us, llat, llon = t, la, lo
         state.update((fid, lid, n, path, last_us, llat, llon))
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # ms
         if out:

@@ -421,6 +421,10 @@ def test_streaming_trips_survive_multi_chunk_groups(spark, tmp_path):
             (1, i, t0 + dt.timedelta(minutes=i), 10.0, 10.0 + i * 0.001)
             for i in range(14)
         ] + [(1, 99, t0 + dt.timedelta(minutes=20), -40.0, 120.0)]
+        # SCRAMBLED write order: per-chunk sorting then sees
+        # time-discontiguous chunks and fragments the segment — this
+        # reversal is what makes the test fail on the pre-fix code
+        rows = rows[::-1]
         in_dir = str(tmp_path / "chunk_in")
         spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(in_dir)
         stream = spark.readStream.schema(ddl).parquet(in_dir)
