@@ -1698,6 +1698,17 @@ def q_kmeans(spark, sf):
     return kmeans_fit_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+def q_bottomk_sample(spark, sf):
+    """EXACTLY-100 deterministic sample: bottom-k by content hash
+    (ties by id) with 1-based sample_rank — fixed output size where
+    rate-based sampling can't promise one; compiles to
+    TakeOrderedAndProject, never a full sort."""
+    from skyway_spark.operators.sampling import bottom_k_sample
+
+    (docs,) = _tables(spark, sf, "documents")
+    return bottom_k_sample(docs.select("doc_id", "lang"), k=100)
+
+
 VECT_RES, VECT_MIN = 5, 4
 
 
@@ -2119,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_var_stats": q_var_stats,
         "q_collocations": q_collocations,
         "q_raster_vectorize": q_raster_vectorize,
+        "q_bottomk_sample": q_bottomk_sample,
         # -- driver-signed green in CORRECTNESS_r01.json ----------------
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
@@ -4265,6 +4277,15 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans": _kmeans_sql(),
         "q_ann_ivf_trained": _ivf_trained_sql(),
         "q_curation_pipeline": _curation_sql(),
+        "q_bottomk_sample": """
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       ORDER BY (((doc_id % 2147483647) * 1103515245 + 12345)
+                                 % 2147483647) % 1000000 ASC, doc_id ASC
+                   )::INT AS sample_rank
+            FROM documents
+            ORDER BY sample_rank LIMIT 100
+        """,
         # independent derivation: islands grouped by (y, x - rn) here,
         # adjacency re-proved by the x1-x0+1 == n_cells law in the agg
         "q_raster_vectorize": f"""

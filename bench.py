@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_var_stats",
     "q_collocations",
     "q_raster_vectorize",
+    "q_bottomk_sample",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -140,3 +140,36 @@ def rebalance_sources(
         .where(hash_bucket(F.col(id_col)) < F.col("__cut"))
         .drop("__cut")
     )
+
+
+def bottom_k_sample(
+    df: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """EXACTLY-k deterministic sample: the k rows with the smallest
+    content hash (ties broken by id).  Rate-based sampling can't
+    promise a fixed output size; bottom-k-by-hash is the standard
+    fixed-size answer (the hash plays the role of the random key in
+    bottom-k/priority sampling) and stays consistent across engines,
+    partitionings, and reruns — and UNIONS: the bottom-k of a union is
+    computable from per-shard bottom-ks, which is why this composes
+    across incremental loads.
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-k heaps + a driver merge of k rows, never a full
+    sort.  Returns the sampled rows with their sample_rank (1-based).
+    """
+    from pyspark.sql import Window
+
+    b = hash_bucket(F.col(id_col))
+    # rank assigned AFTER the top-k cut would renumber nondeterministic
+    # subsets; assigning over the full ordering then cutting keeps the
+    # (hash, id) order total, so the k rows and ranks are unique
+    return (
+        df.withColumn("__b", b)
+        .orderBy(F.col("__b").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("sample_rank", F.row_number().over(
+            Window.orderBy(F.col("__b").asc(), F.col(id_col).asc())
+        ))
+        .drop("__b")
+    )

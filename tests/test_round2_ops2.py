@@ -485,3 +485,25 @@ def test_vectorize_raster_runs(spark):
     # adjacency law: every run is contiguous
     for (y, x0, x1), (n, _) in got.items():
         assert x1 - x0 + 1 == n
+
+
+def test_bottom_k_sample_laws(spark):
+    from skyway_spark.operators.sampling import bottom_k_sample
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(500)], "doc_id long, v string")
+    s10 = [(r["doc_id"], r["sample_rank"]) for r in
+           bottom_k_sample(df, 10).orderBy("sample_rank").collect()]
+    assert len(s10) == 10 and [r for _, r in s10] == list(range(1, 11))
+    # prefix law: k=5 is exactly the first 5 of k=10
+    s5 = [(r["doc_id"], r["sample_rank"]) for r in
+          bottom_k_sample(df, 5).orderBy("sample_rank").collect()]
+    assert s5 == s10[:5]
+    # partitioning independence
+    s10b = [(r["doc_id"], r["sample_rank"]) for r in
+            bottom_k_sample(df.repartition(17), 10).orderBy("sample_rank").collect()]
+    assert s10b == s10
+    # union composability: bottom-k of a union == merge of shard bottom-ks
+    half1, half2 = df.where("doc_id < 250"), df.where("doc_id >= 250")
+    merged = bottom_k_sample(half1.unionByName(half2), 10)
+    assert [(r["doc_id"], r["sample_rank"]) for r in
+            merged.orderBy("sample_rank").collect()] == s10
