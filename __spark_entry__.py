@@ -2050,69 +2050,281 @@ def q_pages_pipeline(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-3 queries
+# ---------------------------------------------------------------------------
+
+
+def q_lev_verify(spark, sf):
+    """MinHash-LSH candidates verified with EXACT Levenshtein (the
+    RefinedWeb recipe): banding prunes the pair space, edit distance
+    re-checks the survivors.  Integer-only normalized-similarity cut
+    (lev*100 <= (100-99)*max_len), so the verdict column is
+    engine-exact; DuckDB's levenshtein() is an independent
+    implementation of the same standard metric."""
+    return dedup.levenshtein_verify_pairs(
+        _docs_with_dups(spark, sf), threshold=0.8, min_sim_pct=99
+    )
+
+
+def q_chunk_dedup_rewrite(spark, sf):
+    """Corpus-duplicated-chunk REMOVAL with byte-exact rebuilt text
+    (CCNet/RefinedWeb line-dedup, on 8-token chunks).  The oracle
+    re-derives hot chunks by chunk TEXT equality — independent of the
+    Spark side's xxhash64 keys."""
+    return textstats.dedup_chunks_rewrite(
+        _docs_with_dups(spark, sf), window=8, min_repeat=2
+    )
+
+
+def q_pagerank_cells(spark, sf):
+    """Integer-quantized PageRank over the dense-cell adjacency graph
+    (same dense cells + 8-neighbor edges as q_grid_dbscan, both
+    directions).  All mass arithmetic is int64 floor division, so 3
+    iterations are bit-exact; the oracle chains 3 CTE iterations of
+    the same recurrence."""
+    from skyway_spark.operators.graph import pagerank_int
+
+    dense, edges = cluster.dense_cell_graph(
+        _event_points(spark, sf), GRID_RES, GRID_MIN_PTS
+    )
+    return pagerank_int(edges, iters=3).select(
+        F.col("node").alias("cell"), F.col("rank").alias("pr")
+    )
+
+
+def q_quantiles(spark, sf):
+    """Exact per-source percentiles (p50/p90/p99) of document length —
+    explicit rank formula ceil(n*p/100), no engine quantile builtin
+    (interpolation rules differ across engines)."""
+    from skyway_spark.operators.stats import group_quantiles
+
+    (docs,) = _tables(spark, sf, "documents")
+    return group_quantiles(docs, "source", "n_chars", "doc_id")
+
+
+def q_vocab_growth(spark, sf):
+    """Heaps-law vocabulary growth: distinct types seen after each of
+    10 evenly spaced doc-id checkpoints (cp = max_id * i div 10)."""
+    (docs,) = _tables(spark, sf, "documents")
+    return textstats.vocab_growth(docs, n_checkpoints=10)
+
+
+def q_url_blocklist(spark, sf):
+    """Domain-suffix blocklist filter over the messy-url fixture of
+    q_url_host_stats: suffix-exploded broadcast ANTI join (the
+    10^6-domain-safe plan).  Oracle derives hosts CLOSED-FORM
+    (site<k>.com from doc_id) and excludes the blocked k — fully
+    independent of operators/urls.py."""
+    from skyway_spark.operators import urls as urlops
+
+    (docs,) = _tables(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://WWW.Site"),
+        (did % 7).cast("string"),
+        F.lit(".COM:80/p/"),
+        did.cast("string"),
+    )
+    kept = urlops.filter_blocklist(
+        docs.select("doc_id", url.alias("url")), ["site1.com", "site4.com"]
+    )
+    return kept.groupBy(urlops.host_of(F.col("url")).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+def q_bigram_lm(spark, sf):
+    """Corpus-bigram LM quality score per doc (the CCNet perplexity-
+    filter shape): conditional P(b|a) quantized to
+    (2^20*c(ab)) div c(a·) — integer division only, engine-exact."""
+    (docs,) = _tables(spark, sf, "documents")
+    return textstats.bigram_lm_scores(docs)
+
+
+def q_snap_nodes(spark, sf):
+    """Map-matching: snap every event point to the nearest way node in
+    its 3x3 cell neighborhood at res 4 — exact int64 centidegree
+    distances, argmin ties to the lowest node id.  Both coordinate
+    sets derive closed-form (events / part), so the oracle recomputes
+    the full candidate set with wrap-aware modular x-distance."""
+    from skyway_spark.operators.knn import snap_to_sites
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("user_id") * 7919) % 17000 - 8500).alias("lat_c"),
+        ((F.col("event_id") * 104729) % 36000 - 18000).alias("lon_c"),
+    ).select(
+        "event_id",
+        "lat_c",
+        "lon_c",
+        (F.col("lat_c") / 100.0).alias("lat"),
+        (F.col("lon_c") / 100.0).alias("lon"),
+    )
+    (part,) = _tables(spark, sf, "part")
+    sites = part.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("node_id"),
+        (((F.col("p_partkey") % 170) - 85) * 100).alias("lat_c"),
+        (((F.col("p_partkey") % 360) - 180) * 100).alias("lon_c"),
+    ).select(
+        "node_id",
+        "lat_c",
+        "lon_c",
+        (F.col("lat_c") / 100.0).alias("lat"),
+        (F.col("lon_c") / 100.0).alias("lon"),
+    )
+    return snap_to_sites(
+        pts, sites, res=4, ring=1, point_id="event_id", site_id="node_id"
+    )
+
+
+def q_cell_regions(spark, sf):
+    """Region rollup over the grid-DBSCAN components: per cluster the
+    cell count, total points and anchor cell — the dissolve step that
+    turns dense cells into named regions."""
+    labels = cluster.grid_dbscan(_event_points(spark, sf), GRID_RES, GRID_MIN_PTS)
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_points").alias("total_points"),
+        F.min("cell").alias("min_cell"),
+    )
+
+
+def q_dup_chunk_by_source(spark, sf):
+    """Dedup diagnostics by origin: per source, how many docs carry
+    corpus-duplicated 8-token chunks (boilerplate_windows joined back
+    to doc metadata) — the per-host dup-rate report every curation
+    pipeline ships."""
+    docs2 = _docs_with_dups(spark, sf)
+    bw = textstats.boilerplate_windows(docs2, window=8, min_repeat=2)
+    src = docs2.select("doc_id", "source")
+    return (
+        bw.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_boiler") > 0, 1).otherwise(0)).alias(
+                "n_docs_flagged"
+            ),
+            F.sum("n_windows").alias("tot_windows"),
+            F.sum("n_boiler").alias("tot_boiler"),
+        )
+    )
+
+
+def q_histogram(spark, sf):
+    """Fixed-width doc-length histogram with exact ppm shares
+    (integer division only)."""
+    from skyway_spark.operators.stats import histogram_int
+
+    (docs,) = _tables(spark, sf, "documents")
+    return histogram_int(docs, "n_chars", 64)
+
+
+def q_stay_points(spark, sf):
+    """Dwell detection: maximal runs of >= 2 consecutive same-cell
+    events per user (res 5) — gaps-and-islands over one keyed window,
+    mirrored by the oracle's SUM(brk) OVER cumulative run ids."""
+    from skyway_spark.operators.trajectory import stay_points
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ((F.col("user_id") * 7919) % 17000 / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+    return stay_points(pts, res=GRID_RES, min_pts=2)
+
+
+def q_hll_users(spark, sf):
+    """Mergeable HyperLogLog distinct-user sketch + integer estimate
+    per event_type (m=64 registers).  The whole pipeline — LCG
+    bucket/register hashing, trailing-zero registers, the 2^20-scaled
+    harmonic sum, the alpha-corrected estimate — is int64 arithmetic,
+    so the oracle reproduces sketch AND estimate bit-for-bit (unlike
+    engine-builtin approx_count_distinct, whose registers are
+    implementation-defined)."""
+    from skyway_spark.operators import sketches
+
+    (ev,) = _tables(spark, sf, "events")
+    return sketches.hll_distinct(ev, "event_type", "user_id", m=64)
+
+
+def q_cms_heavy_hitters(spark, sf):
+    """Count-Min heavy hitters: build a 4x1024 integer CMS over all
+    document tokens, then point-query it for the exact top-20 terms —
+    output (term, true_n, cms_n) demonstrates the sketch's one-sided
+    error (cms_n >= true_n always).  Token->counter hashing is the
+    repo's portable fold+LCG family, so the oracle rebuilds the exact
+    counter array in SQL."""
+    from skyway_spark.operators import sketches
+
+    (docs,) = _tables(spark, sf, "documents")
+    w = 1024
+    sk = sketches.cms_sketch(docs, w=w)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("term"))
+        .limit(20)
+    )
+    return top.join(sketches.cms_estimate(top, sk, w=w), "term").select(
+        "term", "true_n", "cms_n"
+    )
+
+
+def q_weighted_sample(spark, sf):
+    """Exactly-200 weighted deterministic sample of documents with
+    inclusion odds ~ n_chars (integer priority = hash(id) div weight —
+    the engine-exact analogue of A-ES weighted reservoir keys)."""
+    from skyway_spark.operators import sampling
+
+    (docs,) = _tables(spark, sf, "documents")
+    return sampling.weighted_bottom_k(docs, 200, "n_chars").select(
+        "doc_id", "n_chars", "priority", "sample_rank"
+    )
+
+
+def q_geofence(spark, sf):
+    """Geofence enter/exit/switch event stream: event points vs the
+    PIP polygon set — broadcast cell-bucketed ray-cast containment,
+    then one per-user window pass emits rows only where the containing
+    region changes (pre-history = outside)."""
+    from skyway_spark.operators.trajectory import geofence_transitions
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ((F.col("user_id") * 7919) % 17000 / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+    return geofence_transitions(pts, _pip_polygons_df(spark), res=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry ORDER is load-bearing: the round-1 driver gate checked exactly
-    # the first 50 entries in insertion order (CORRECTNESS_r01.json covers
-    # registry positions 0-49 and nothing else).  Round 2 therefore rotates
-    # the registry: the driver window now leads with (a) the 4 queries whose
-    # oracles were fixed this round and (b) the 38 queries the round-1 gate
-    # never reached, followed by queries new in round 2.  The 46 queries
-    # already driver-signed green in CORRECTNESS_r01.json close the dict, so
-    # across the two rounds every entry has a driver-signed correctness row.
+    # Registry ORDER is load-bearing: the driver gate checks exactly the
+    # first 50 entries in insertion order each round.  Round 3 rotates
+    # again (VERDICT r2 item 3): the window leads with (a) q_raster_tiles,
+    # round 2's one driver-red (oracle HUGEINT cast fixed this round),
+    # (b) the 18 round-2 queries the round-2 window never reached,
+    # (c) the queries new in round 3, and (d) re-sign slots for
+    # previously-signed queries whose underlying modules were EDITED this
+    # round (dedup/graph/cluster/kmeans/knn/stats/textstats/trajectory/
+    # urls/bloom) plus the flagship path.  Everything below position 49
+    # was driver-signed green in rounds 1-2 and stays regression-guarded
+    # by the full local sweep (tools/check_oracle.py) + pytest.
     return {
-        # -- oracle fixed in round 2 (HUGEINT casts) --------------------
-        "q_window_range": q_window_range,
-        "q_gap_fill": q_gap_fill,
-        "q_json_props": q_json_props,
-        "q_events_sessions": q_events_sessions,
-        # -- not reached by the round-1 driver gate (positions 50-87) ---
-        "q_vector_tiles": q_vector_tiles,
+        # -- round-2 driver red, oracle dtype fixed (pos 0) -------------
         "q_raster_tiles": q_raster_tiles,
-        "q_cell_assign": q_cell_assign,
-        "q_tile_assign": q_tile_assign,
-        "q_pip": q_pip,
-        "q_pip_agg": q_pip_agg,
-        "q_knn": q_knn,
-        "q_range_join": q_range_join,
-        "q_cell_rollup": q_cell_rollup,
-        "q_cell_users": q_cell_users,
-        "q_bbox_cover": q_bbox_cover,
-        "q_rank_funcs": q_rank_funcs,
-        "q_polygon_area": q_polygon_area,
-        "q_quadkey": q_quadkey,
-        "q_zorder": q_zorder,
-        "q_zorder_range": q_zorder_range,
-        "q_compact_cells": q_compact_cells,
-        "q_top_ngrams": q_top_ngrams,
-        "q_tfidf_topterms": q_tfidf_topterms,
-        "q_inverted_index": q_inverted_index,
-        "q_term_search": q_term_search,
-        "q_phrase_search": q_phrase_search,
-        "q_hash_split": q_hash_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_salted_join": q_salted_join,
-        "q_osmfilter": q_osmfilter,
-        "q_cel": q_cel,
-        "q_extract_entities": q_extract_entities,
-        "q_extract_mentions": q_extract_mentions,
-        "q_pipeline_exact": q_pipeline_exact,
-        "q_opl_lines": q_opl_lines,
-        "q_json_lines": q_json_lines,
-        "q_xml_lines": q_xml_lines,
-        "q_audio_windows": q_audio_windows,
-        "q_pbf_roundtrip": q_pbf_roundtrip,
-        "q_media_features": q_media_features,
-        "q_simplify_ways": q_simplify_ways,
-        "q_pages_pipeline": q_pages_pipeline,
-        # -- new in round 2 (keep inside the 50-entry driver window) ----
-        "q_cel_macros": q_cel_macros,
-        "q_bm25": q_bm25,
-        "q_url_host_stats": q_url_host_stats,
-        "q_geohash": q_geohash,
-        "q_ewma": q_ewma,
-        "q_rep_quality": q_rep_quality,
-        "q_boilerplate": q_boilerplate,
-        "q_pii_redact": q_pii_redact,
+        # -- never driver-signed: round-2 registry positions 50-67 ------
         "q_contamination": q_contamination,
         "q_grid_dbscan": q_grid_dbscan,
         "q_poly_overlap": q_poly_overlap,
@@ -2131,7 +2343,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collocations": q_collocations,
         "q_raster_vectorize": q_raster_vectorize,
         "q_bottomk_sample": q_bottomk_sample,
-        # -- driver-signed green in CORRECTNESS_r01.json ----------------
+        # -- new in round 3 ----------------------------------------------
+        "q_lev_verify": q_lev_verify,
+        "q_chunk_dedup_rewrite": q_chunk_dedup_rewrite,
+        "q_pagerank_cells": q_pagerank_cells,
+        "q_quantiles": q_quantiles,
+        "q_vocab_growth": q_vocab_growth,
+        "q_url_blocklist": q_url_blocklist,
+        "q_bigram_lm": q_bigram_lm,
+        "q_snap_nodes": q_snap_nodes,
+        "q_cell_regions": q_cell_regions,
+        "q_dup_chunk_by_source": q_dup_chunk_by_source,
+        "q_histogram": q_histogram,
+        "q_stay_points": q_stay_points,
+        "q_hll_users": q_hll_users,
+        "q_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q_weighted_sample": q_weighted_sample,
+        "q_geofence": q_geofence,
+        # -- re-sign: modules edited this round + flagship ---------------
+        "q_minhash": q_minhash,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_keep": q_dedup_keep,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_simhash_clusters": q_simhash_clusters,
+        "q_boilerplate": q_boilerplate,
+        "q_url_host_stats": q_url_host_stats,
+        "q_knn": q_knn,
+        "q_pages_pipeline": q_pages_pipeline,
+        "q_top_ngrams": q_top_ngrams,
+        "q_bm25": q_bm25,
+        "q_rep_quality": q_rep_quality,
+        "q_token_stats": q_token_stats,
+        # ---- position 50+: driver-signed green in rounds 1-2 -----------
+        # (q_pip/q_pip_agg/q_extract_entities/q_cell_assign rotate below
+        # the cut: their modules are untouched this round and all four
+        # are driver-signed green in CORRECTNESS_r02)
+        "q_pip": q_pip,
+        "q_pip_agg": q_pip_agg,
+        "q_extract_entities": q_extract_entities,
+        "q_cell_assign": q_cell_assign,
+        "q_window_range": q_window_range,
+        "q_gap_fill": q_gap_fill,
+        "q_json_props": q_json_props,
+        "q_events_sessions": q_events_sessions,
+        "q_vector_tiles": q_vector_tiles,
+        "q_tile_assign": q_tile_assign,
+        "q_range_join": q_range_join,
+        "q_cell_rollup": q_cell_rollup,
+        "q_cell_users": q_cell_users,
+        "q_bbox_cover": q_bbox_cover,
+        "q_rank_funcs": q_rank_funcs,
+        "q_polygon_area": q_polygon_area,
+        "q_quadkey": q_quadkey,
+        "q_zorder": q_zorder,
+        "q_zorder_range": q_zorder_range,
+        "q_compact_cells": q_compact_cells,
+        "q_tfidf_topterms": q_tfidf_topterms,
+        "q_inverted_index": q_inverted_index,
+        "q_term_search": q_term_search,
+        "q_phrase_search": q_phrase_search,
+        "q_hash_split": q_hash_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_salted_join": q_salted_join,
+        "q_osmfilter": q_osmfilter,
+        "q_cel": q_cel,
+        "q_extract_mentions": q_extract_mentions,
+        "q_pipeline_exact": q_pipeline_exact,
+        "q_opl_lines": q_opl_lines,
+        "q_json_lines": q_json_lines,
+        "q_xml_lines": q_xml_lines,
+        "q_audio_windows": q_audio_windows,
+        "q_pbf_roundtrip": q_pbf_roundtrip,
+        "q_media_features": q_media_features,
+        "q_simplify_ways": q_simplify_ways,
+        "q_cel_macros": q_cel_macros,
+        "q_geohash": q_geohash,
+        "q_ewma": q_ewma,
+        "q_pii_redact": q_pii_redact,
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
         "q05_region_volume": q05_region_volume,
@@ -2159,16 +2449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lateral_view": q_lateral_view,
         "q_nation_setops": q_nation_setops,
         "q_events_hourly": q_events_hourly,
-        "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram": q_dedup_ngram,
-        "q_minhash": q_minhash,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_dedup_keep": q_dedup_keep,
         "q_simhash": q_simhash,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_simhash_clusters": q_simhash_clusters,
-        "q_token_stats": q_token_stats,
         "q_quality": q_quality,
         "q_lang_id": q_lang_id,
         "q_embed_topk": q_embed_topk,
@@ -2368,6 +2650,58 @@ def _parent_sql(cell: str, res: int) -> str:
         f"(({res - 1}::BIGINT << 58) | (((({cell} >> 29) & {m}) >> 1) << 29)"
         f" | (({cell} & {m}) >> 1))"
     )
+
+
+def _pagerank_sql(iters: int = 3, mass: int = 10**12, damp_pct: int = 85) -> str:
+    """SQL mirror of operators/graph.pagerank_int over the dense-cell
+    symmetric 8-neighbor graph (same dense/xy/e CTEs as the
+    q_grid_dbscan oracle, but keeping BOTH edge directions):
+    r_0 = mass div n over the nodes appearing in edges, then
+    r_t+1(v) = (100-d)*(mass div n) div 100
+               + d * sum_{u->v}(r_t(u) div deg(u)) div 100,
+    every step int64 floor division of non-negative values (DuckDB //
+    truncation == floor here), SUMs cast back to BIGINT to avoid the
+    HUGEINT hash trap."""
+    graph = f"""
+            pts AS ({_POINTS_SQL}),
+            dense AS (
+                SELECT {_cell_sql('lat', 'lon', GRID_RES)} AS cell,
+                       COUNT(*) AS n_points
+                FROM pts GROUP BY 1 HAVING COUNT(*) >= {GRID_MIN_PTS}),
+            xy AS (
+                SELECT cell, (cell >> 29) & {(1 << 29) - 1} AS x,
+                       cell & {(1 << 29) - 1} AS y
+                FROM dense),
+            e AS (
+                SELECT a.cell AS s, b.cell AS t
+                FROM xy a JOIN xy b
+                  ON a.cell <> b.cell
+                 AND abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1),
+            nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+            deg AS (SELECT s AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+            params AS (
+                SELECT ({mass} // COUNT(*))::BIGINT AS r0v,
+                       (({100 - damp_pct} * ({mass} // COUNT(*))) // 100)::BIGINT
+                           AS base
+                FROM nodes),
+            r0 AS (SELECT node, (SELECT r0v FROM params) AS rank FROM nodes)"""
+    steps = ""
+    for i in range(1, iters + 1):
+        steps += f""",
+            f{i} AS (
+                SELECT e.t AS node, (SUM(r.rank // d.deg))::BIGINT AS inflow
+                FROM r{i - 1} r JOIN deg d USING (node) JOIN e ON e.s = r.node
+                GROUP BY 1),
+            r{i} AS (
+                SELECT v.node,
+                       ((SELECT base FROM params)
+                        + ({damp_pct} * COALESCE(f.inflow, 0)) // 100)::BIGINT
+                           AS rank
+                FROM nodes v LEFT JOIN f{i} f USING (node))"""
+    return f"""
+            WITH {graph}{steps}
+            SELECT node AS cell, rank AS pr FROM r{iters}
+        """
 
 
 def _pip_pairs_sql() -> str:
@@ -3658,7 +3992,7 @@ def oracle_sql() -> dict[str, str]:
                        ({sy9}) - ({ty5}) * 16 AS py,
                        COUNT(*) AS cnt
                 FROM pts GROUP BY 1, 2, 3, 4)
-            SELECT tile_x, tile_y, SUM(cnt) AS n_points,
+            SELECT tile_x, tile_y, (SUM(cnt))::BIGINT AS n_points,
                    COUNT(*)::INT AS n_pixels, MAX(cnt) AS max_pixel
             FROM px GROUP BY 1, 2
         """
@@ -4354,5 +4688,340 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN nu CROSS JOIN nb
             ORDER BY lift_micro DESC, gram ASC
             LIMIT 50
+        """,
+        # ---- round 3 ----------------------------------------------------
+        # LSH pair SQL reused verbatim; DuckDB's levenshtein() is an
+        # independent implementation of the same standard metric
+        "q_lev_verify": f"""
+            WITH docs2 AS ({_DOCS2_SQL}),
+            p AS ({_minhash_lsh_sql()})
+            SELECT p.id_a, p.id_b,
+                   levenshtein(a.text, b.text)::INT AS lev,
+                   length(a.text)::INT AS len_a,
+                   length(b.text)::INT AS len_b,
+                   levenshtein(a.text, b.text) * 100
+                       <= 1 * greatest(length(a.text), length(b.text))
+                       AS verified
+            FROM p JOIN docs2 a ON a.doc_id = p.id_a
+                   JOIN docs2 b ON b.doc_id = p.id_b
+        """,
+        # hot chunks re-derived by chunk TEXT (independent of xxhash64);
+        # rebuilt text via ordered string_agg + sub-window tail
+        "q_chunk_dedup_rewrite": f"""
+            WITH docs2 AS ({_DOCS2_SQL}),
+            t AS (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS tk
+                  FROM docs2),
+            c AS (SELECT doc_id, i,
+                         array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS chunk
+                  FROM t, unnest(range(0, len(tk) // 8)) AS u(i)),
+            hot AS (SELECT chunk FROM c GROUP BY 1 HAVING COUNT(*) >= 2),
+            k AS (SELECT doc_id, i, chunk,
+                         chunk IN (SELECT chunk FROM hot) AS dropped
+                  FROM c),
+            agg AS (SELECT doc_id,
+                           COUNT(*)::INT AS n_chunks,
+                           (SUM(CASE WHEN dropped THEN 1 ELSE 0 END))::INT
+                               AS n_dropped,
+                           list(chunk ORDER BY i)
+                               FILTER (WHERE NOT dropped) AS kept
+                    FROM k GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(a.n_chunks, 0)::INT AS n_chunks,
+                   COALESCE(a.n_dropped, 0)::INT AS n_dropped,
+                   COALESCE(array_to_string(
+                       list_concat(COALESCE(a.kept, []::VARCHAR[]),
+                                   tk[(len(tk) // 8 * 8 + 1):]),
+                       ' '), '') AS cleaned_text
+            FROM t LEFT JOIN agg a USING (doc_id)
+        """,
+        "q_pagerank_cells": _pagerank_sql(),
+        "q_quantiles": """
+            WITH ranked AS (
+                SELECT source AS grp, n_chars AS v,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM documents),
+            px(p) AS (VALUES (50), (90), (99))
+            SELECT grp, p, n, v AS value
+            FROM ranked CROSS JOIN px
+            WHERE rn = (n * p + 99) // 100
+        """,
+        "q_vocab_growth": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents),
+            fd AS (SELECT term, MIN(doc_id) AS fd FROM t GROUP BY 1),
+            mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+            cps AS (SELECT i::INT AS i, ((mx * i) // 10)::BIGINT AS cp
+                    FROM mx, unnest(range(1, 11)) AS u(i)),
+            v AS (SELECT i, cp, COUNT(*) AS vocab
+                  FROM fd, cps WHERE fd.fd <= cps.cp GROUP BY 1, 2),
+            nd AS (SELECT i, cp, COUNT(*) AS n_docs
+                   FROM documents, cps WHERE doc_id <= cp GROUP BY 1, 2)
+            SELECT nd.i, nd.cp, nd.n_docs,
+                   COALESCE(v.vocab, 0)::BIGINT AS vocab
+            FROM nd LEFT JOIN v USING (i, cp)
+        """,
+        # hosts derived CLOSED-FORM (site<k>.com), blocked k excluded —
+        # independent of operators/urls.py entirely
+        "q_url_blocklist": """
+            SELECT 'site' || (doc_id % 7)::VARCHAR || '.com' AS host,
+                   COUNT(*) AS n_kept
+            FROM documents
+            WHERE doc_id % 7 NOT IN (1, 4)
+            GROUP BY 1
+        """,
+        "q_bigram_lm": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents),
+            b AS (SELECT doc_id, tk[i] AS a, tk[i] || ' ' || tk[i+1] AS g
+                  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+            c2 AS (SELECT g, COUNT(*) AS c2 FROM b GROUP BY 1),
+            c1 AS (SELECT a, COUNT(*) AS c1 FROM b GROUP BY 1),
+            q AS (SELECT b.doc_id, (1048576 * c2.c2) // c1.c1 AS qv
+                  FROM b JOIN c2 USING (g) JOIN c1 USING (a))
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ((SUM(qv))::BIGINT // COUNT(*)) AS lm_q
+            FROM q GROUP BY 1
+        """,
+        "q_snap_nodes": f"""
+            WITH p AS (
+                SELECT event_id,
+                       (user_id * 7919) % 17000 - 8500 AS lat_c,
+                       (event_id * 104729) % 36000 - 18000 AS lon_c
+                FROM events),
+            pc AS (
+                SELECT event_id, lat_c, lon_c,
+                       greatest(0, least(31, floor((lon_c / 100.0 + 180.0)
+                           / 360.0 * 32.0)::BIGINT)) AS x,
+                       greatest(0, least(15, floor((90.0 - lat_c / 100.0)
+                           / 180.0 * 16.0)::BIGINT)) AS y
+                FROM p),
+            n AS (
+                SELECT p_partkey AS node_id,
+                       ((p_partkey % 170) - 85) * 100 AS lat_c,
+                       ((p_partkey % 360) - 180) * 100 AS lon_c
+                FROM part WHERE p_partkey % 3 = 0),
+            nc AS (
+                SELECT node_id, lat_c, lon_c,
+                       greatest(0, least(31, floor((lon_c / 100.0 + 180.0)
+                           / 360.0 * 32.0)::BIGINT)) AS x,
+                       greatest(0, least(15, floor((90.0 - lat_c / 100.0)
+                           / 180.0 * 16.0)::BIGINT)) AS y
+                FROM n),
+            cand AS (
+                SELECT pc.event_id, nc.node_id,
+                       (pc.lat_c - nc.lat_c) * (pc.lat_c - nc.lat_c)
+                     + (pc.lon_c - nc.lon_c) * (pc.lon_c - nc.lon_c) AS d2
+                FROM pc JOIN nc
+                  ON least((pc.x - nc.x + 32) % 32,
+                           (nc.x - pc.x + 32) % 32) <= 1
+                 AND abs(pc.y - nc.y) <= 1)
+            SELECT event_id, node_id, d2
+            FROM cand
+            QUALIFY row_number() OVER (
+                PARTITION BY event_id ORDER BY d2, node_id) = 1
+        """,
+        "q_cell_regions": f"""
+            WITH RECURSIVE pts AS ({_POINTS_SQL}),
+            dense AS (
+                SELECT {_cell_sql('lat', 'lon', GRID_RES)} AS cell,
+                       COUNT(*) AS n_points
+                FROM pts GROUP BY 1 HAVING COUNT(*) >= {GRID_MIN_PTS}),
+            xy AS (
+                SELECT cell, (cell >> 29) & {(1 << 29) - 1} AS x,
+                       cell & {(1 << 29) - 1} AS y
+                FROM dense),
+            e AS (
+                SELECT a.cell AS s, b.cell AS t
+                FROM xy a JOIN xy b
+                  ON a.cell <> b.cell
+                 AND abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1),
+            reach(s, t) AS (
+                SELECT cell, cell FROM dense
+                UNION
+                SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
+            comp AS (SELECT s AS cell, MIN(t) AS cluster_id FROM reach GROUP BY 1)
+            SELECT c.cluster_id, COUNT(*) AS n_cells,
+                   (SUM(d.n_points))::BIGINT AS total_points,
+                   MIN(d.cell) AS min_cell
+            FROM dense d JOIN comp c USING (cell)
+            GROUP BY 1
+        """,
+        "q_dup_chunk_by_source": f"""
+            WITH docs2 AS ({_DOCS2_SQL}),
+            t AS (SELECT doc_id, source,
+                         regexp_split_to_array(trim(text), '\\s+') AS tk
+                  FROM docs2),
+            c AS (SELECT doc_id,
+                         array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS chunk
+                  FROM t, unnest(range(0, len(tk) // 8)) AS u(i)),
+            hot AS (SELECT chunk FROM c GROUP BY 1 HAVING COUNT(*) >= 2),
+            perdoc AS (
+                SELECT t.doc_id, t.source,
+                       COUNT(c.chunk) AS n_windows,
+                       COALESCE((SUM(CASE WHEN c.chunk IN
+                           (SELECT chunk FROM hot) THEN 1 ELSE 0 END))::BIGINT,
+                           0) AS n_boiler
+                FROM t LEFT JOIN c ON c.doc_id = t.doc_id
+                GROUP BY 1, 2)
+            SELECT source, COUNT(*) AS n_docs,
+                   (SUM(CASE WHEN n_boiler > 0 THEN 1 ELSE 0 END))::BIGINT
+                       AS n_docs_flagged,
+                   (SUM(n_windows))::BIGINT AS tot_windows,
+                   (SUM(n_boiler))::BIGINT AS tot_boiler
+            FROM perdoc GROUP BY 1
+        """,
+        "q_histogram": """
+            WITH c AS (SELECT n_chars // 64 AS bin, COUNT(*) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT (SUM(n))::BIGINT AS tot FROM c)
+            SELECT bin, bin * 64 AS lo, n, (1000000 * n) // tot AS ppm
+            FROM c, t
+        """,
+        "q_stay_points": f"""
+            WITH pts AS (
+                SELECT event_id, user_id, ts,
+                       ((user_id * 7919) % 17000) / 100.0 - 85.0 AS lat,
+                       ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+                FROM events),
+            c AS (SELECT user_id AS entity, ts, event_id AS pid,
+                         {_cell_sql('lat', 'lon', GRID_RES)} AS cell
+                  FROM pts),
+            f AS (SELECT entity, ts, pid, cell,
+                         CASE WHEN lag(cell) OVER (
+                                  PARTITION BY entity ORDER BY ts, pid)
+                              IS DISTINCT FROM cell
+                              THEN 1 ELSE 0 END AS brk
+                  FROM c),
+            g AS (SELECT entity, pid, cell,
+                         (SUM(brk) OVER (
+                             PARTITION BY entity ORDER BY ts, pid
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))::BIGINT AS stay_seq
+                  FROM f)
+            SELECT entity, stay_seq, cell, COUNT(*) AS n_points,
+                   MIN(pid) AS first_id, MAX(pid) AS last_id
+            FROM g GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= 2
+        """,
+        # HLL: registers and estimate rebuilt with the same LCG /
+        # trailing-zero / 2^20-scaled-harmonic integer arithmetic
+        "q_hll_users": """
+            WITH h AS (
+                SELECT event_type AS grp,
+                       ((user_id % 2147483647) * 1103515245 + 12345)
+                           % 2147483647 AS h1,
+                       ((user_id % 2147483647) * 69069 + 1)
+                           % 2147483647 AS h2
+                FROM events),
+            r AS (SELECT grp, h1 % 64 AS bucket,
+                         CASE WHEN h2 = 0 THEN 31
+                              ELSE bit_count((h2 & (-h2)) - 1) + 1
+                         END AS rho
+                  FROM h),
+            reg AS (SELECT grp, bucket, MAX(rho) AS rho
+                    FROM r GROUP BY 1, 2),
+            agg AS (SELECT grp, COUNT(*)::BIGINT AS n_buckets,
+                           (SUM(1048576::BIGINT >> rho))::BIGINT AS ps
+                    FROM reg GROUP BY 1)
+            SELECT grp, n_buckets,
+                   (64 - n_buckets) AS n_zero,
+                   (ps + (64 - n_buckets) * 1048576) AS inv_sum,
+                   (709::BIGINT * 64 * 64 * 1048576)
+                       // (1000 * (ps + (64 - n_buckets) * 1048576)) AS est
+            FROM agg
+        """,
+        # CMS: the exact 4x1024 counter array rebuilt in SQL, then the
+        # same min-over-rows point query for the exact top-20 terms
+        "q_cms_heavy_hitters": f"""
+            WITH tk AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents),
+            tk2 AS (SELECT term FROM tk WHERE len(term) > 0),
+            g AS (SELECT term,
+                         {_sql_token_hash('term')} % 2147483647 AS h
+                  FROM tk2),
+            rows(row, a, b) AS (VALUES (0, 1103515245, 12345),
+                                       (1, 69069, 1),
+                                       (2, 1664525, 1013904223),
+                                       (3, 22695477, 1)),
+            sketch AS (
+                SELECT row, ((h * a + b) % 2147483647) % 1024 AS bucket,
+                       COUNT(*)::BIGINT AS n
+                FROM g CROSS JOIN rows GROUP BY 1, 2),
+            exact AS (
+                SELECT term, COUNT(*)::BIGINT AS true_n,
+                       {_sql_token_hash('term')} % 2147483647 AS h
+                FROM tk2 GROUP BY term
+                ORDER BY true_n DESC, term ASC LIMIT 20),
+            probes AS (
+                SELECT e.term, r.row,
+                       ((e.h * r.a + r.b) % 2147483647) % 1024 AS bucket
+                FROM exact e CROSS JOIN rows r),
+            est AS (SELECT p.term, MIN(s.n) AS cms_n
+                    FROM probes p JOIN sketch s USING (row, bucket)
+                    GROUP BY 1)
+            SELECT e.term, e.true_n, est.cms_n
+            FROM exact e JOIN est USING (term)
+        """,
+        "q_weighted_sample": """
+            WITH w AS (
+                SELECT doc_id, n_chars,
+                       (((doc_id % 2147483647) * 1103515245 + 12345)
+                           % 2147483647) // (n_chars::BIGINT) AS priority
+                FROM documents WHERE n_chars > 0),
+            s AS (SELECT doc_id, n_chars, priority,
+                         (row_number() OVER (ORDER BY priority, doc_id))::INT
+                             AS sample_rank
+                  FROM w)
+            SELECT doc_id, n_chars, priority, sample_rank
+            FROM s WHERE sample_rank <= 200
+        """,
+        # geofence: the q_pip ray-cast oracle extended with min-region
+        # per point and a per-user LAG transition pass
+        "q_geofence": f"""
+            WITH pts AS (
+                SELECT event_id, user_id, ts,
+                       ((user_id * 7919) % 17000) / 100.0 - 85.0 AS lat,
+                       ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+                FROM events),
+            edges(polygon_id, role, y1, x1, y2, x2)
+                AS (VALUES {_pip_edges_values()}),
+            ring_hits AS (
+                SELECT p.event_id, e.polygon_id, e.role,
+                       SUM(CASE WHEN ((e.y1 > p.lat) != (e.y2 > p.lat))
+                                 AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                     / (e.y2 - e.y1) + e.x1
+                                THEN 1 ELSE 0 END) % 2 = 1 AS inside
+                FROM pts p CROSS JOIN edges e
+                GROUP BY p.event_id, e.polygon_id, e.role),
+            pairs AS (
+                SELECT event_id, polygon_id
+                FROM ring_hits GROUP BY event_id, polygon_id
+                HAVING bool_or(role = 'outer' AND inside)
+                   AND NOT bool_or(role = 'hole' AND inside)),
+            reg AS (
+                SELECT p.user_id, p.ts, p.event_id,
+                       COALESCE(MIN(q.polygon_id), -1)::BIGINT AS region
+                FROM pts p LEFT JOIN pairs q USING (event_id)
+                GROUP BY 1, 2, 3),
+            lagd AS (
+                SELECT user_id AS entity, ts, event_id AS point_id, region,
+                       COALESCE(lag(region) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id),
+                           -1)::BIGINT AS from_region
+                FROM reg)
+            SELECT entity, ts, point_id, from_region,
+                   region AS to_region,
+                   CASE WHEN region = -1 THEN 'exit'
+                        WHEN from_region = -1 THEN 'enter'
+                        ELSE 'switch' END AS kind
+            FROM lagd WHERE from_region != region
         """,
     }

@@ -116,6 +116,23 @@ BENCH_QUERIES = [
     "q_collocations",
     "q_raster_vectorize",
     "q_bottomk_sample",
+    # round-3 additions
+    "q_lev_verify",
+    "q_chunk_dedup_rewrite",
+    "q_pagerank_cells",
+    "q_quantiles",
+    "q_vocab_growth",
+    "q_url_blocklist",
+    "q_bigram_lm",
+    "q_snap_nodes",
+    "q_cell_regions",
+    "q_dup_chunk_by_source",
+    "q_histogram",
+    "q_stay_points",
+    "q_hll_users",
+    "q_cms_heavy_hitters",
+    "q_weighted_sample",
+    "q_geofence",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
@@ -197,7 +214,11 @@ def main() -> None:
     # ---- per-query operator suite ---------------------------------
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    # SPARK_GRAFT_BENCH_ONLY=flagship skips the operator suite — used
+    # for quiet-window flagship re-measurement (the suite takes ~10 min
+    # and would pollute its own window)
+    suite = [] if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "flagship" else BENCH_QUERIES
+    for name in suite:
         q_walls = []
         for _ in range(2):  # min-of-2: codegen/JIT cold-start and
             t0 = time.monotonic()  # neighbor noise land on run 1
@@ -220,6 +241,27 @@ def main() -> None:
                 "cpus": cpus,
                 "flagship_pages": PAGES_N,
                 "flagship_walls": [round(w, 3) for w in walls],
+            }
+        )
+    )
+    # The full per-query dict above outgrew the driver's tail-capture
+    # window in round 2 (BENCH_r02.json "parsed": null — the line's head,
+    # metric/value, was clipped).  Emit a short headline-only JSON line
+    # LAST so the driver always parses the flagship number; the full dict
+    # stays one line up for humans and BENCH/BASELINE.md.
+    walls_sorted = sorted(walls)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_assignment_docs_per_sec",
+                "value": round(docs_per_sec, 1),
+                "unit": "docs/sec",
+                "queries": {"flagship_pages_pipeline": round(flagship_sec, 3)},
+                "sf": sf,
+                "cpus": cpus,
+                "flagship_pages": PAGES_N,
+                "flagship_wall_best": round(flagship_sec, 3),
+                "flagship_wall_median": round(walls_sorted[len(walls_sorted) // 2], 3),
             }
         )
     )

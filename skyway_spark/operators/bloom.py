@@ -47,6 +47,9 @@ _A1, _B1 = 1_103_515_245, 12_345  # glibc LCG
 _A2, _B2 = 69_069, 1  # VAX MTH$RANDOM LCG
 WORD_BITS = 62  # overflow-safe signed-int64 bit packing
 DEFAULT_M_BITS = WORD_BITS * 1024  # 63,488 bits / 1024 words (8 KB)
+LITERAL_BUDGET_WORDS = 1 << 16  # 512 KB: above this the plan-literal
+# array approaches codegen/plan-size limits -> auto-switch to a real
+# SparkContext.broadcast probed in vectorized numpy (VERDICT r2 #3)
 
 
 def _gram_hash(gram: Column) -> Column:
@@ -104,11 +107,34 @@ def bloom_contamination(
     m_bits: int = DEFAULT_M_BITS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "auto",
+    literal_budget_words: int = LITERAL_BUDGET_WORDS,
 ) -> DataFrame:
     """Flag documents whose sliding n-token windows hit the filter:
-    (doc_id, n_windows, n_flagged, contaminated).  Pure Column HOFs
-    over the scan — the filter rides along as an 8 KB array literal,
-    every probe is two integer ops + an array index inside codegen."""
+    (doc_id, n_windows, n_flagged, contaminated).
+
+    Two physical strategies, same results bit-for-bit (pinned by
+    tests/test_bloom.py parity):
+
+    - ``literal`` — the filter rides along as an array LITERAL and
+      every probe is two integer ops + an array index inside
+      whole-stage codegen: no join, no shuffle, no Python.  Perfect at
+      the 8 KB default, impossible at the module docstring's own
+      10^9-window scale: a 150M-element literal blows plan/codegen
+      limits long before 1.2 GB.
+    - ``broadcast`` — the word array ships ONCE per executor via
+      SparkContext.broadcast (torrent, off-plan) and the probe runs in
+      an Arrow-batched mapInPandas with the identical integer math in
+      vectorized numpy.  Slower per row (Python), unbounded in filter
+      size — the 1.2 GB case this module was built for.
+
+    ``mode='auto'`` (the pip.py ``refine='auto'`` pattern) picks
+    literal up to ``literal_budget_words`` words (default 2^16 words
+    = 512 KB, well inside plan limits) and broadcast above."""
+    if mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"mode must be auto|literal|broadcast, got {mode!r}")
+    if mode == "auto":
+        mode = "literal" if len(bloom) <= literal_budget_words else "broadcast"
     if m_bits != len(bloom) * WORD_BITS:
         # a mismatched modulus would probe past the array (ANSI error)
         # or, worse, silently produce FALSE NEGATIVES — the one failure
@@ -116,6 +142,10 @@ def bloom_contamination(
         raise ValueError(
             f"m_bits={m_bits} inconsistent with filter of {len(bloom)} words"
             f" (expected {len(bloom) * WORD_BITS})"
+        )
+    if mode == "broadcast":
+        return _bloom_contamination_broadcast(
+            docs, bloom, n, k, m_bits, id_col, text_col
         )
     words = F.array(*[F.lit(int(w)).cast("long") for w in bloom])
     wins = ngrams(F.col(text_col), n)
@@ -136,3 +166,77 @@ def bloom_contamination(
         F.size(wins).alias("n_windows"),
         F.size(F.filter(wins, hit)).alias("n_flagged"),
     ).withColumn("contaminated", F.col("n_flagged") > 0)
+
+
+def _py_gram_hash(gram: str) -> int:
+    """Python mirror of _gram_hash: fold (acc*31 + codepoint) mod 2^44.
+    Empty string folds over [''] -> ascii('') = 0, matching the Column
+    path's split('')/ascii behavior."""
+    if not gram:
+        return 0
+    acc = 0
+    mod = 1 << 44
+    for ch in gram:
+        acc = (acc * 31 + ord(ch)) % mod
+    return acc
+
+
+def _bloom_contamination_broadcast(
+    docs: DataFrame,
+    bloom: list[int],
+    n: int,
+    k: int,
+    m_bits: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Large-filter strategy: the word array rides a real
+    SparkContext.broadcast (one torrent transfer per executor, nothing
+    in the plan) and probes run in Arrow-batched numpy — per batch,
+    every window's k bit positions are computed with vectorized int64
+    LCG math and gathered against the broadcast array in one shot.
+    Identical integer semantics to the Column path (same double
+    hashing, same 62-bit word layout)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(bloom, dtype=np.int64))
+    ws_re = re.compile(r"\s+")
+
+    def probe(batches):
+        words = bc.value
+        for pdf in batches:
+            out_w, out_f = [], []
+            for text in pdf["__t"]:
+                toks = ws_re.split(text.strip()) if text is not None else [""]
+                if len(toks) < n:
+                    out_w.append(0)
+                    out_f.append(0)
+                    continue
+                grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                g = np.fromiter(
+                    (_py_gram_hash(s) for s in grams), dtype=np.int64, count=len(grams)
+                )
+                r = g % PRIME
+                h1 = (r * _A1 + _B1) % PRIME
+                h2 = (r * _A2 + _B2) % PRIME
+                # (n_windows, k) bit positions; values < 2^31 * k — safe
+                pos = (h1[:, None] + np.arange(k, dtype=np.int64) * h2[:, None]) % m_bits
+                bits = (words[pos // WORD_BITS] >> (pos % WORD_BITS)) & 1
+                out_w.append(len(grams))
+                out_f.append(int(bits.all(axis=1).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"],
+                    "n_windows": pd.Series(out_w, dtype="int32"),
+                    "n_flagged": pd.Series(out_f, dtype="int32"),
+                }
+            )
+
+    flagged = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).mapInPandas(probe, "doc_id long, n_windows int, n_flagged int")
+    return flagged.withColumn("contaminated", F.col("n_flagged") > 0)

@@ -33,21 +33,21 @@ from skyway_spark.operators.graph import connected_components
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
 
 
-def grid_dbscan(
+def dense_cell_graph(
     points: DataFrame,
     res: int,
     min_pts: int,
     lat_col: str = "lat",
     lon_col: str = "lon",
-) -> DataFrame:
-    """(cell, cluster_id, n_points) for every dense cell.
-
-    A dense cell is one holding >= ``min_pts`` points at resolution
-    ``res``; ``cluster_id`` is the minimum cell id of the cell's
-    8-connected dense component (an isolated dense cell is its own
-    cluster).  Grid edges do not wrap at the antimeridian — the cell
-    index is a plain lat/lon grid (functions/cells.py), matching the
-    oracle's closed-form adjacency.
+) -> tuple[DataFrame, DataFrame]:
+    """(dense, edges): the dense-cell table (cell, n_points — cells
+    holding >= ``min_pts`` points at resolution ``res``) and the
+    DIRECTED 8-neighbor adjacency between dense cells, each undirected
+    edge present in BOTH directions (src, dst).  Shared by grid_dbscan
+    (which keeps one direction for CC) and pagerank_int (which needs
+    the symmetric edge list: out-degree = degree).  Grid edges do not
+    wrap at the antimeridian — the cell index is a plain lat/lon grid
+    (functions/cells.py), matching the oracles' closed-form adjacency.
     """
     nx, ny = 1 << (res + 1), 1 << res
     dense = (
@@ -85,13 +85,31 @@ def grid_dbscan(
         )
         .select("cell", cells.pack_cell(F.col("nx_"), F.col("ny_"), res).alias("ncell"))
     )
-    # keep each undirected edge once (cell < ncell); the int64 join
-    # against the dense set prunes neighbors that aren't dense
-    edges = (
-        nbr.where(F.col("cell") < F.col("ncell"))
-        .join(dense.select(F.col("cell").alias("ncell")), "ncell")
-        .select(F.col("cell").alias("src"), F.col("ncell").alias("dst"))
+    # the int64 join against the dense set prunes non-dense neighbors;
+    # the 8-way offset explode already emits both directions
+    edges = nbr.join(dense.select(F.col("cell").alias("ncell")), "ncell").select(
+        F.col("cell").alias("src"), F.col("ncell").alias("dst")
     )
+    return dense, edges
+
+
+def grid_dbscan(
+    points: DataFrame,
+    res: int,
+    min_pts: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(cell, cluster_id, n_points) for every dense cell.
+
+    A dense cell is one holding >= ``min_pts`` points at resolution
+    ``res``; ``cluster_id`` is the minimum cell id of the cell's
+    8-connected dense component (an isolated dense cell is its own
+    cluster).
+    """
+    dense, sym = dense_cell_graph(points, res, min_pts, lat_col, lon_col)
+    # CC wants each undirected edge once
+    edges = sym.where(F.col("src") < F.col("dst"))
     labels = connected_components(edges, "src", "dst")
     return dense.join(
         labels.select(F.col("node").alias("cell"), "component"), "cell", "left"

@@ -388,3 +388,52 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def levenshtein_verify_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    min_sim_pct: int = 90,
+    unit: str = "word",
+) -> DataFrame:
+    """Edit-distance verification of MinHash-LSH candidate pairs — the
+    RefinedWeb/SlimPajama recipe: banding prunes the O(n^2) pair space,
+    then surviving candidates get an EXACT Levenshtein check so hash
+    collisions / shingle-insensitive edits can't leak through.
+
+    Output: (id_a, id_b, lev, len_a, len_b, verified) with
+    ``verified`` = lev * 100 <= (100 - min_sim_pct) * max(len_a, len_b)
+    — pure integer arithmetic, so the normalized-similarity cut is
+    engine-exact (no float division).
+
+    Scale shape: the quadratic-cost levenshtein() runs ONLY on the
+    LSH-surviving candidate pairs (a vanishing fraction of the corpus);
+    texts re-attach through two narrow id-keyed joins against the
+    candidate set — un-hinted, so AQE broadcasts the candidate side
+    when small and degrades to a keyed shuffle otherwise, same policy
+    as minhash_lsh_pairs.  Levenshtein itself is a JVM built-in
+    (whole-stage codegen'd), no Python.
+    """
+    cand = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold, unit=unit
+    ).select("id_a", "id_b")
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    lev = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    len_a, len_b = F.length("__ta"), F.length("__tb")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            lev.alias("lev"),
+            len_a.alias("len_a"),
+            len_b.alias("len_b"),
+            (
+                lev * 100 <= (100 - min_sim_pct) * F.greatest(len_a, len_b)
+            ).alias("verified"),
+        )
+    )

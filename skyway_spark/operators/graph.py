@@ -171,3 +171,66 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return spark.createDataFrame(
         [row], "n_nodes long, n_edges long, max_degree long, n_triangles long"
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    mass: int = 10**12,
+    damp_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Engine-exact PageRank via integer mass-passing: total rank mass
+    is ``mass`` integer units split evenly at init, and every division
+    (out-degree split, damping) is int64 floor division — so each
+    iteration is bit-identical on any engine and the trained ranks
+    carry an exact SQL oracle (the same quantization trick as
+    operators/kmeans.py; rounding mass leaks out of the system, which
+    only shifts scores by ~iters units in 10^12).
+
+    r_0(v)   = mass div n
+    r_t+1(v) = (100-damp) * (mass div n) div 100
+               + damp * sum_{u->v}(r_t(u) div outdeg(u)) div 100
+
+    Dangling-node mass is dropped (documented divergence from the
+    redistribute-evenly formulation — on an undirected/symmetrized
+    graph every node with an edge has outdeg >= 1, so nothing
+    dangles).
+
+    Output: (node, rank) for every node appearing in ``edges``.
+
+    Scale shape (the Pregel-free formulation): per iteration ONE
+    edge-keyed shuffle (ranks join edges on src — ranks is node-sized,
+    so at web scale AQE broadcasts it against the big edge list or
+    co-partitions both on node id) followed by one map-side-combined
+    sum groupBy on dst.  ``iters`` is a fixed small constant; no
+    driver round-trips beyond the single node count.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    nodes = e.select(F.col("s").alias("node")).union(
+        e.select(F.col("t").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    base = (100 - damp_pct) * (mass // n) // 100
+    ranks = nodes.withColumn("rank", F.lit(mass // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(e, F.col("node") == F.col("s"))
+            .select(F.col("t").alias("node"), F.expr("rank div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"{damp_pct} * coalesce(inflow, 0L) div 100")
+            ).alias("rank"),
+        )
+        # truncate lineage: each iteration's plan would otherwise nest
+        # the previous one (same policy as connected_components)
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

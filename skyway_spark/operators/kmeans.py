@@ -39,6 +39,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_SCALE_BITS = 20
+LITERAL_BUDGET = 8192  # max k*dim int64 literals inlined into the plan:
+# beyond this (e.g. a k=4096 IVF coarse quantizer) the per-comparison
+# literal arrays blow codegen size limits -> auto-switch to a real
+# SparkContext.broadcast probed in vectorized numpy (VERDICT r2 #4,
+# same policy as operators/bloom.py / pip.py refine='auto')
 
 
 def _quantize(vec_col: Column, scale_bits: int) -> Column:
@@ -57,9 +62,30 @@ def _sq_dist(q: Column, centroid: list[int]) -> Column:
     )
 
 
-def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+def _assign(
+    qdf: DataFrame,
+    centroids: list[list[int]],
+    mode: str = "auto",
+    literal_budget: int = LITERAL_BUDGET,
+) -> DataFrame:
     """Add (cluster, dist): argmin over per-centroid integer squared
-    distances, ties to the lowest centroid id (struct ordering)."""
+    distances, ties to the lowest centroid id.
+
+    mode='literal' inlines the k*dim centroid values as Column
+    literals (scan-stage codegen, zero shuffle — right up to the plan
+    literal budget); mode='broadcast' ships them once per executor via
+    SparkContext.broadcast and computes the same int64 argmin in
+    Arrow-batched numpy (right for large k*dim coarse quantizers).
+    'auto' switches on k*dim > literal_budget.  Both paths are
+    bit-identical (ties: np.argmin takes the first minimum = lowest
+    cid, matching the struct-ordering argmin)."""
+    if mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"mode must be auto|literal|broadcast, got {mode!r}")
+    if mode == "auto":
+        k_dim = len(centroids) * (len(centroids[0]) if centroids else 0)
+        mode = "literal" if k_dim <= literal_budget else "broadcast"
+    if mode == "broadcast":
+        return _assign_broadcast(qdf, centroids)
     best = F.array_min(
         F.array(
             *[
@@ -76,6 +102,48 @@ def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
+def _assign_broadcast(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Broadcast-strategy assignment: the (k, dim) int64 centroid
+    matrix rides a real SparkContext.broadcast (off-plan, one torrent
+    transfer per executor); each Arrow batch computes per-centroid
+    squared distances with vectorized int64 numpy, looping over the k
+    centroids so peak memory is O(batch * k), never O(batch * k * dim).
+    Input/output schema matches the literal path exactly:
+    (vec_id, q) -> + (cluster int, dist long)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = qdf.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.int64))
+
+    def assign(batches):
+        cmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(
+                    cluster=pd.Series(dtype="int32"), dist=pd.Series(dtype="int64")
+                )
+                continue
+            qmat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            dists = np.empty((len(pdf), len(cmat)), dtype=np.int64)
+            for i in range(len(cmat)):
+                d = qmat - cmat[i]
+                dists[:, i] = (d * d).sum(axis=1)
+            cid = dists.argmin(axis=1)  # first min = lowest cid on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "q": pdf["q"],
+                    "cluster": cid.astype("int32"),
+                    "dist": dists[np.arange(len(pdf)), cid],
+                }
+            )
+
+    return qdf.mapInPandas(
+        assign, "vec_id long, q array<bigint>, cluster int, dist long"
+    )
+
+
 def kmeans_train(
     vectors: DataFrame,
     k: int = 8,
@@ -83,6 +151,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale_bits: int = DEFAULT_SCALE_BITS,
+    assign_mode: str = "auto",
 ) -> tuple[list[list[int]], DataFrame]:
     """Train ``iters`` Lloyd iterations from the k lowest-id vectors
     (deterministic init).  Returns (centroids, qdf) — the trained
@@ -96,7 +165,7 @@ def kmeans_train(
     dim = len(centroids[0])
     for _ in range(iters):
         stats = (
-            _assign(qdf, centroids)
+            _assign(qdf, centroids, mode=assign_mode)
             .select("cluster", F.posexplode("q").alias("d", "v"))
             .groupBy("cluster", "d")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
@@ -117,6 +186,7 @@ def kmeans_fit_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale_bits: int = DEFAULT_SCALE_BITS,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Train and return the final assignment: (vec_id, cluster, dist)
     with dist the integer squared distance in quantized units.
@@ -127,8 +197,12 @@ def kmeans_fit_assign(
     deliberate: at 10^12 rows the training sync points are the only
     passes worth pinning in cluster storage, and re-quantizing is two
     Column ops inside the output scan."""
-    centroids, qdf = kmeans_train(vectors, k, iters, id_col, vec_col, scale_bits)
-    out = _assign(qdf, centroids).select("vec_id", "cluster", "dist")
+    centroids, qdf = kmeans_train(
+        vectors, k, iters, id_col, vec_col, scale_bits, assign_mode
+    )
+    out = _assign(qdf, centroids, mode=assign_mode).select(
+        "vec_id", "cluster", "dist"
+    )
     qdf.unpersist()
     return out
 
@@ -143,6 +217,7 @@ def ivf_trained_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale_bits: int = DEFAULT_SCALE_BITS,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer (what
     similarity.ivf_topk's seeded-Gaussian centroids stand in for):
@@ -159,14 +234,16 @@ def ivf_trained_topk(
     """
     import math
 
-    centroids, qdf = kmeans_train(vectors, k_lists, iters, id_col, vec_col, scale_bits)
+    centroids, qdf = kmeans_train(
+        vectors, k_lists, iters, id_col, vec_col, scale_bits, assign_mode
+    )
     qq = [math.floor(float(x) * (1 << scale_bits)) for x in query]
     cdist = sorted(
         (sum((a - b) ** 2 for a, b in zip(qq, c)), i) for i, c in enumerate(centroids)
     )
     probe = [i for _, i in cdist[:nprobe]]
     out = (
-        _assign(qdf, centroids)
+        _assign(qdf, centroids, mode=assign_mode)
         .where(F.col("cluster").isin(probe))
         .select(
             "vec_id",

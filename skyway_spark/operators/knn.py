@@ -110,3 +110,64 @@ def knn_join(
             F.col("rank"),
         )
     )
+
+
+def snap_to_sites(
+    points: DataFrame,
+    sites: DataFrame,
+    res: int,
+    ring: int = 1,
+    point_id: str = "point_id",
+    site_id: str = "site_id",
+) -> DataFrame:
+    """Map-matching primitive: snap every point to its nearest SITE
+    (way node / POI / road vertex) among the candidates in the point's
+    (2*ring+1)^2 cell neighborhood at resolution ``res``.
+
+    Both inputs carry integer CENTIDEGREE coordinates (lat_c, lon_c)
+    alongside the double lat/lon used for cell assignment, so the
+    distance is exact int64 planar math — d2 = dlat_c^2 + dlon_c^2 —
+    and the argmin (ties to the lowest site id) is engine-exact.
+    Points whose neighborhood holds no site produce no row (bounded-
+    radius contract, same as the kNN operator).
+
+    Scale shape: sites keyed by their cell once; each point explodes
+    to its ring cells (row-local array op) and candidates come from an
+    int64 cell EQUI-join — shuffle by cell only (or broadcast when the
+    site side is dimension-sized, the typical road-network case).  The
+    argmin is one map-side-combined min(struct) groupBy on the point
+    id; coordinates are ints end-to-end, no text/geometry payload.
+    """
+    p = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col("lat_c").alias("__plat"),
+        F.col("lon_c").alias("__plon"),
+        F.explode(
+            cells.k_ring(
+                cells.cell_encode(F.col("lat"), F.col("lon"), res), res, ring
+            )
+        ).alias("__cell"),
+    )
+    s = sites.select(
+        F.col(site_id).alias("__sid"),
+        F.col("lat_c").alias("__slat"),
+        F.col("lon_c").alias("__slon"),
+        cells.cell_encode(F.col("lat"), F.col("lon"), res).alias("__cell"),
+    )
+    d2 = (F.col("__plat") - F.col("__slat")) * (
+        F.col("__plat") - F.col("__slat")
+    ) + (F.col("__plon") - F.col("__slon")) * (F.col("__plon") - F.col("__slon"))
+    best = (
+        p.join(s, "__cell")
+        .select(
+            "__pid",
+            F.struct(d2.alias("d2"), F.col("__sid").alias("sid")).alias("__c"),
+        )
+        .groupBy("__pid")
+        .agg(F.min("__c").alias("__b"))
+    )
+    return best.select(
+        F.col("__pid").alias(point_id),
+        F.col("__b.sid").alias(site_id),
+        F.col("__b.d2").alias("d2"),
+    )

@@ -173,3 +173,48 @@ def bottom_k_sample(
         ))
         .drop("__b")
     )
+
+
+def weighted_bottom_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY-k deterministic WEIGHTED sample: priority-sampling with
+    integer priorities prio = hash(id) div weight, keeping the k rows
+    with the SMALLEST priority (ties by id).  A row with twice the
+    weight halves its priority, so inclusion odds scale ~linearly with
+    weight (the integer-arithmetic analogue of A-ES weighted reservoir
+    sampling's u^(1/w) key, chosen over it because log/pow floats are
+    not engine-exact).  Rows with weight <= 0 are excluded (zero
+    inclusion probability), mirroring the A-ES convention.
+
+    Same composition law as bottom_k_sample: the weighted bottom-k of
+    a union is the bottom-k of per-shard bottom-ks, so incremental
+    loads sample without revisiting old shards.
+
+    Scale shape: orderBy+limit -> TakeOrderedAndProject (per-partition
+    k-heaps + driver merge of k rows); the weight math is scan-stage
+    Column arithmetic.  Output adds (priority, sample_rank).
+    """
+    from pyspark.sql import Window
+
+    # hash div weight: both operands non-negative, so Spark `div` and
+    # DuckDB // agree (floor == truncate on non-negatives)
+    prio = F.expr(
+        f"pmod(pmod(cast({id_col} as bigint), {PRIME}) * {_A} + {_B}, {PRIME})"
+        f" div cast({weight_col} as bigint)"
+    )
+    ordered = (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("priority", prio)
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return ordered.withColumn(
+        "sample_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        ),
+    )

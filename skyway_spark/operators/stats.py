@@ -55,3 +55,75 @@ def group_moments(
         F.floor(m * float(mean_scale)).alias("mean_milli"),
         F.floor(var * float(var_scale)).alias("var_micro"),
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    ps: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """EXACT per-group percentiles (type-1 / lower discontinuous
+    definition): for percentile p the result is the value at sorted
+    rank ceil(n*p/100) = (n*p + 99) div 100, ordering by
+    (value, id) so ties are deterministic.  No interpolation — engine
+    quantile builtins disagree on interpolation rules, the explicit
+    rank formula is bit-exact everywhere.
+
+    Output: (grp, p, n, value) — one row per (group, percentile).
+
+    Scale shape: ONE keyed sort-shuffle (window partitioned by group)
+    computes rank + group count together; the percentile fan-out and
+    rank filter are row-local.  At web scale a skewed group sorts in
+    parallel within its partition range (range-partitioned sort), and
+    only one row per (group, p) survives the filter — the output is
+    group-count sized.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+    )
+    pcol = F.explode(F.array(*[F.lit(int(p)) for p in ps])).alias("p")
+    return (
+        ranked.select("grp", "v", "rn", "n", pcol)
+        .where(F.col("rn") == F.expr("(n * p + 99) div 100"))
+        .select("grp", "p", "n", F.col("v").alias("value"))
+    )
+
+
+def histogram_int(
+    df: DataFrame,
+    value_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Fixed-width histogram over a non-negative integer column with
+    exact parts-per-million shares: bin = v div width,
+    ppm = (10^6 * count) div total — all integer division, engine-
+    exact.
+
+    Output: (bin, lo, n, ppm) where lo = bin * width.
+
+    Scale shape: one map-side-combined groupBy (output is bin-count
+    sized); the total rides back on a broadcast of the 1-row grand
+    aggregate, not a second scan of the data (the counts table is
+    reused).
+    """
+    counts = (
+        df.select(F.expr(f"cast({value_col} as bigint) div {bin_width}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # reused: per-bin rows + grand total
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bin",
+        (F.col("bin") * bin_width).alias("lo"),
+        "n",
+        F.expr("1000000 * n div tot").alias("ppm"),
+    )

@@ -369,3 +369,159 @@ def collocations(
         .orderBy(F.col("lift_micro").desc(), F.col("gram").asc())
         .limit(top_k)
     )
+
+
+def dedup_chunks_rewrite(
+    docs: DataFrame,
+    window: int = 8,
+    min_repeat: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-corpus duplicated-chunk REMOVAL with byte-exact rebuilt
+    text (the RefinedWeb/CCNet line-dedup step, on token chunks): chop
+    each doc into consecutive ``window``-token chunks, drop every
+    chunk whose exact text occurs >= ``min_repeat`` times corpus-wide,
+    and re-join the surviving chunks (plus the sub-window token tail)
+    with single spaces.  Unlike boilerplate_windows (which only
+    counts), this emits the cleaned text — the actual training-corpus
+    transformation.
+
+    Output: (doc_id, n_chunks, n_dropped, cleaned_text).
+
+    Scale shape: chunk occurrence counts come from ONE map-side-
+    combined groupBy on the chunk hash; the per-doc dropped-POSITION
+    list flows back through an id-keyed join carrying only ints —
+    the document text itself never shuffles (it stays in the scan
+    stage, rewritten in place by array HOFs on the original row).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.floor(F.size(toks) / window).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.when(n_chunks > 0, chunk_arr)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__ch"),
+    )
+    exploded = base.select(
+        "doc_id", F.posexplode("__ch").alias("pos", "__c")
+    ).select("doc_id", "pos", F.xxhash64("__c").alias("h"))
+    hot = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_repeat)
+        .select("h")
+    )
+    drops = (
+        exploded.join(hot, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__drop"))
+    )
+    joined = base.join(drops, "doc_id", "left").withColumn(
+        "__drop", F.coalesce("__drop", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__ch"), lambda c, i: ~F.array_contains(F.col("__drop"), i)
+    )
+    tail_start = F.size("__ch") * window + 1
+    tail = F.slice(
+        F.col("__toks"), tail_start, F.size("__toks") - F.size("__ch") * window
+    )
+    return joined.select(
+        "doc_id",
+        F.size("__ch").alias("n_chunks"),
+        F.size("__drop").alias("n_dropped"),
+        F.array_join(F.concat(kept, tail), " ").alias("cleaned_text"),
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_checkpoints: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct-type
+    count after processing docs in id order, sampled at
+    ``n_checkpoints`` evenly spaced doc-id thresholds
+    cp_i = max_id * i div n  (integer division, engine-exact).
+
+    Output: (i, cp, n_docs, vocab) — docs processed and types seen at
+    each checkpoint.
+
+    Scale shape: each term collapses to its FIRST doc id with one
+    map-side-combined min-groupBy (vocab-sized output, not corpus-
+    sized); the checkpoint fan-out is a small non-equi join of the
+    vocab table against n scalar thresholds, aggregated immediately —
+    the corpus is scanned once.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    first = toks.groupBy("term").agg(F.min("did").alias("fd"))
+    bounds = docs.agg(F.max(F.col(id_col)).alias("mx"))
+    cps = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_checkpoints))).alias("i"), "mx"
+    ).select("i", F.expr(f"mx * i div {n_checkpoints}").alias("cp"))
+    vocab = (
+        first.crossJoin(F.broadcast(cps))
+        .where(F.col("fd") <= F.col("cp"))
+        .groupBy("i", "cp")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    ndocs = docs.select(F.col(id_col).alias("did")).crossJoin(
+        F.broadcast(cps)
+    ).where(F.col("did") <= F.col("cp")).groupBy("i", "cp").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return ndocs.join(vocab, ["i", "cp"], "left").select(
+        "i", "cp", "n_docs", F.coalesce("vocab", F.lit(0)).alias("vocab")
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    scale_bits: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-bigram language-model quality score per document — the
+    cheap stand-in for perplexity filtering (CCNet uses a KenLM; the
+    shape is identical): P(b|a) is estimated from corpus counts as
+    c(ab)/c(a·), each conditional quantized to
+    q = (2^scale_bits * c(ab)) div c(a·)  (integer division — no
+    float log/division, so the score is bit-exact on any engine),
+    and the doc score is the integer mean of its bigram q values.
+
+    c(a·) counts token a in FIRST-of-bigram position (i.e. every
+    non-final token), so sum_b c(ab) = c(a·) exactly and q <= 2^bits.
+
+    Output: (doc_id, n_bigrams, lm_q) for docs with >= 1 bigram.
+
+    Scale shape: both count tables are vocabulary-sized aggregates
+    (map-side combined) — at web scale they broadcast; the corpus
+    explodes once into (doc_id, bigram) rows that join the counts by
+    bigram key and re-aggregate per doc.  No text shuffles: grams are
+    short strings, the heavy doc body stays in the scan.
+    """
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams(F.col(text_col), 2)).alias("bg"),
+    ).withColumn("a", F.split("bg", " ")[0])
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy(F.col("a").alias("tok")).agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(c2, "bg")
+        .join(c1, bg["a"] == c1["tok"])
+        .select("doc_id", F.expr(f"({1 << scale_bits} * c2) div c1").alias("q"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(q) div count(1)").alias("lm_q"),
+    )

@@ -87,3 +87,114 @@ def segment_trips(
             F.sum("step_cm").alias("path_cm"),
         )
     )
+
+
+def stay_points(
+    points: DataFrame,
+    res: int,
+    min_pts: int = 2,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Stay-point (dwell) detection, the companion primitive to
+    segment_trips: within each entity's time-ordered stream, a STAY is
+    a maximal run of >= ``min_pts`` consecutive points falling in the
+    SAME grid cell at resolution ``res`` (the cell-grid form of the
+    classic distance-threshold stay-point definition — grid side plays
+    the role of the dwell radius, so detection is pure integer math
+    and engine-exact).
+
+    Output: (entity, stay_seq, cell, n_points, first_id, last_id)
+    with ``stay_seq`` the 1-based index of the run among the entity's
+    ALL runs (ordered by time) — deterministic, oracle-checkable.
+
+    Scale shape: identical to segment_trips — ONE keyed window
+    shuffle (lag + cumulative run id share a partitioning/ordering, so
+    Catalyst plans a single sort+window stage), then a narrow
+    (entity, run) rollup filtered to dense runs.  Lookback state is
+    one row; lat/lon drop before the agg.
+    """
+    from skyway_spark.functions import cells
+
+    w = Window.partitionBy("entity").orderBy("__ts", "pid")
+    flagged = points.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("pid"),
+        cells.cell_encode(F.col(lat_col), F.col(lon_col), res).alias("cell"),
+    ).withColumn(
+        "brk",
+        (
+            F.lag("cell").over(w).isNull()
+            | (F.lag("cell").over(w) != F.col("cell"))
+        ).cast("int"),
+    ).withColumn(
+        "stay_seq",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("entity", "stay_seq", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("pid").alias("first_id"),
+            F.max("pid").alias("last_id"),
+        )
+        .where(F.col("n_points") >= min_pts)
+    )
+
+
+def geofence_transitions(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 5,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Geofence ENTER/EXIT/SWITCH event stream — the alerting primitive
+    on top of the spatial join: per entity, time-ordered, emit a row
+    whenever the containing region changes.  Region per point is the
+    MINIMUM polygon_id containing it (deterministic under overlaps),
+    -1 when outside every fence; pre-history counts as outside, so the
+    first in-fence point emits an ENTER.
+
+    Output: (entity, ts, point_id, from_region, to_region, kind) with
+    kind in {'enter','exit','switch'}.
+
+    Scale shape: the containment test is the broadcast cell-bucketed
+    PIP join (operators/pip.py — polygons are dimension-sized by the
+    same contract); region-per-point is a map-side-combined min-groupBy
+    on the point id; the ONLY data-sized shuffle is the per-entity
+    window (one sort, lag-1 state).  Emitted transitions are a
+    vanishing fraction of input rows.
+    """
+    from pyspark.sql import Window
+
+    from skyway_spark.operators.pip import point_in_polygon
+
+    hits = (
+        point_in_polygon(points, polygons, res=res, point_id=id_col)
+        .groupBy(id_col)
+        .agg(F.min("polygon_id").alias("__r"))
+    )
+    regioned = points.join(hits, id_col, "left").withColumn(
+        "region", F.coalesce(F.col("__r"), F.lit(-1)).cast("long")
+    )
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col), F.col(id_col))
+    out = regioned.withColumn(
+        "from_region", F.coalesce(F.lag("region").over(w), F.lit(-1)).cast("long")
+    ).where(F.col("from_region") != F.col("region"))
+    return out.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("point_id"),
+        "from_region",
+        F.col("region").alias("to_region"),
+        F.when(F.col("region") == -1, "exit")
+        .when(F.col("from_region") == -1, "enter")
+        .otherwise("switch")
+        .alias("kind"),
+    )

@@ -85,3 +85,48 @@ def url_host_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
         F.countDistinct("canon").alias("n_canonical"),
         F.min("canon").alias("first_url"),
     )
+
+
+def host_suffixes(host: Column, max_labels: int = 6) -> Column:
+    """array of the host's dot-suffixes, most-specific first:
+    ``a.b.example.com`` -> [a.b.example.com, b.example.com,
+    example.com, com] (capped at ``max_labels`` labels).  The standard
+    key expansion for suffix-set membership (public-suffix lists,
+    domain blocklists) — turns "host ends with .d OR equals d" into a
+    plain equi-join."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    idx = F.sequence(F.least(n, F.lit(max_labels)), F.lit(1), F.lit(-1))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(labels, n - i + 1, i), ".")
+    )
+
+
+def filter_blocklist(
+    docs: DataFrame,
+    blocklist: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop documents whose url host falls under any blocklisted
+    domain SUFFIX (host == d or host ends with ``.d`` — the standard
+    domain-blocklist semantics).  Returns the kept rows unchanged.
+
+    Scale shape: the host explodes into its <= 6 dot-suffixes and the
+    drop test is a broadcast LEFT ANTI equi-join against the blocklist
+    — works unchanged when the blocklist is 10^6 domains (a few MB
+    broadcast), where a per-domain LIKE chain or literal-array scan
+    would not.  The suffix explode is a row-local array op; only
+    (row-key, suffix) pairs enter the join, never the document body —
+    and the anti-join keys back to the row by Spark's monotonic id,
+    so callers need no unique column.
+    """
+    spark = docs.sparkSession
+    bl = spark.createDataFrame(
+        [(d.lower(),) for d in blocklist], "sfx string"
+    )
+    keyed = docs.withColumn("__rk", F.monotonically_increasing_id())
+    sfx = keyed.select(
+        "__rk", F.explode(host_suffixes(host_of(F.col(url_col)))).alias("sfx")
+    )
+    blocked = sfx.join(F.broadcast(bl), "sfx").select("__rk").distinct()
+    return keyed.join(blocked, "__rk", "left_anti").drop("__rk")

@@ -14,6 +14,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 
 import __spark_entry__ as entrymod
 from skyway_spark.plans.session import get_spark
@@ -29,6 +30,89 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _spark_type_token(dt) -> str:
+    """Canonical dtype token for a Spark DataType, comparable against
+    _arrow_type_token.  Width-sensitive for ints/floats because the
+    driver's hash canonicalization distinguishes int32/int64/decimal128
+    (both rounds' only gate reds were DuckDB HUGEINT leaks that the old
+    .df() materialization silently coerced to float64 — VERDICT r2 #2)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ByteType):
+        return "i8"
+    if isinstance(dt, T.ShortType):
+        return "i16"
+    if isinstance(dt, T.IntegerType):
+        return "i32"
+    if isinstance(dt, T.LongType):
+        return "i64"
+    if isinstance(dt, T.FloatType):
+        return "f32"
+    if isinstance(dt, T.DoubleType):
+        return "f64"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DecimalType):
+        return f"dec({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_type_token(dt.elementType)}>"
+    return "other"
+
+
+def _arrow_type_token(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return f"i{t.bit_width}"
+    if pa.types.is_float32(t):
+        return "f32"
+    if pa.types.is_float64(t):
+        return "f64"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_decimal(t):
+        return f"dec({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_type_token(t.value_type)}>"
+    return "other"
+
+
+def strict_dtype_problems(spark_schema, oracle_tbl: pa.Table) -> list[str]:
+    """Fail on any dtype divergence the driver's hash would see.  The
+    oracle side MUST come from fetch_arrow_table(): .df() coerces
+    HUGEINT->float64 and hides exactly the bug class that produced both
+    rounds' driver reds (q_raster_tiles et al.)."""
+    problems = []
+    spark_tok = {f.name: _spark_type_token(f.dataType) for f in spark_schema.fields}
+    for field in oracle_tbl.schema:
+        otok = _arrow_type_token(field.type)
+        stok = spark_tok.get(field.name)
+        if otok.startswith("dec("):
+            problems.append(
+                f"oracle column {field.name!r} is {field.type} (DECIMAL/HUGEINT "
+                f"leak — wrap the result, e.g. (SUM(...))::BIGINT)"
+            )
+        elif stok is not None and stok != otok:
+            problems.append(
+                f"dtype mismatch on {field.name!r}: spark {stok} vs oracle {otok}"
+            )
+    return problems
 
 
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
@@ -83,7 +167,9 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf).toPandas()
+            sdf_spark = fn(spark, sf)
+            spark_schema = sdf_spark.schema
+            sdf = sdf_spark.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
@@ -94,12 +180,14 @@ def main() -> int:
                 print(f"WARN  {name}: zero rows")
             continue
         try:
-            odf = con.execute(oracles[name]).df()
+            oracle_tbl = con.execute(oracles[name]).fetch_arrow_table()
+            odf = oracle_tbl.to_pandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
             continue
-        problems = compare(name, sdf, odf)
+        problems = strict_dtype_problems(spark_schema, oracle_tbl)
+        problems += compare(name, sdf, odf)
         if problems:
             failures += 1
             print(f"FAIL  {name}: " + "; ".join(problems))
