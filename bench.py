@@ -133,6 +133,11 @@ BENCH_QUERIES = [
     "q_cms_heavy_hitters",
     "q_weighted_sample",
     "q_geofence",
+    "q_semdedup",
+    "q_hash_classifier",
+    "q_dsir_resample",
+    "q_bellman_cells",
+    "q_winnow",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -437,3 +437,83 @@ def levenshtein_verify_pairs(
             ).alias("verified"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): hash every char ``k``-gram of the
+    lowercased text, slide a ``w``-hash window, keep the MINIMUM hash
+    of each window — the selected set is position-robust (any shared
+    substring of length >= k+w-1 guarantees a shared fingerprint) and
+    ~1/w the size of the full shingle set.
+
+    Output per doc: (id, n_kgrams, n_windows, n_fps, fp_chk) where
+    n_fps counts the distinct selected fingerprints and fp_chk is an
+    order-canonical fold checksum over the SORTED fingerprint set (the
+    same chk idiom as the geometry queries) — pinning the exact set
+    without shipping arrays.  The cross-doc application is the usual
+    one: explode fingerprints, equi-join on fp, verify candidates
+    (operators/dedup.levenshtein_verify_pairs) — same banding shape as
+    minhash LSH with the window guarantee instead of a probability.
+
+    Scale shape: hashes, window minima, distinct and checksum are all
+    row-local Column HOFs in the scan stage — ZERO shuffles; the
+    fingerprint table this feeds is (id, fp) longs, never text.
+    """
+    # STAGED projections, deliberately: higher-order functions are
+    # interpreted (no whole-stage codegen) and Spark's subexpression
+    # elimination does not reach inside lambda bodies, so an inlined
+    # `hashes` expression would be RE-COMPUTED for every window
+    # position — O(len^2 * k) interpreted lambda calls (measured:
+    # seconds per 300-char row).  Materializing codes -> hashes -> fps
+    # as separate select stages makes each array a column VALUE
+    # computed once per row; all stages still fuse into the one scan
+    # (projections, no shuffle).
+    t = F.lower(F.col(text_col))
+    s1 = docs.select(
+        F.col(id_col),
+        _char_codes(t).alias("__codes"),
+        F.greatest(F.length(t) - F.lit(k - 1), F.lit(0)).alias("__nk"),
+    )
+    hashes = F.when(
+        F.col("__nk") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__nk")),
+            lambda i: _fold_hash(F.slice(F.col("__codes"), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    s2 = s1.select(id_col, "__nk", hashes.alias("__hashes"))
+    s3 = s2.select(
+        id_col,
+        "__nk",
+        F.greatest(F.size(F.col("__hashes")) - F.lit(w - 1), F.lit(0)).alias("__nw"),
+        "__hashes",
+    )
+    fps = F.when(
+        F.col("__nw") >= 1,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nw")),
+                    lambda j: F.array_min(F.slice(F.col("__hashes"), j, w)),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    s4 = s3.select(id_col, "__nk", "__nw", fps.alias("__fps"))
+    chk = F.aggregate(
+        F.col("__fps"), F.lit(0).cast("long"), lambda a, b: (a * 31 + b) % HASH_MOD
+    )
+    return s4.select(
+        F.col(id_col),
+        F.col("__nk").cast("int").alias("n_kgrams"),
+        F.col("__nw").cast("int").alias("n_windows"),
+        F.size("__fps").alias("n_fps"),
+        chk.alias("fp_chk"),
+    )

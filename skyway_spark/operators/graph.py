@@ -234,3 +234,71 @@ def pagerank_int(
         # the previous one (same policy as connected_components)
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+BF_INF = 1 << 62  # unreachable sentinel: INF + max_weight stays < 2^63
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: list[int],
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Bounded-hop single/multi-source shortest paths by synchronous
+    Bellman-Ford relaxation: (node, dist) for every node reachable
+    from ``sources`` within ``iters`` relaxation rounds, dist the
+    exact integer path weight.
+
+    All-integer (int64 weights, min-combine, INF = 2^62 sentinel so no
+    NULL three-valued-logic divergence between engines), so ``iters``
+    rounds are bit-exact and a SQL oracle chains the same rounds as
+    CTEs.  With ``weight_col`` None each edge weighs
+    1 + ((src + dst) % 7) — a deterministic synthetic toll; pass a
+    real column for road-network costs.
+
+    Scale shape (identical to pagerank_int's Pregel-free loop): per
+    round ONE edge-keyed shuffle (the node-sized frontier joins edges
+    on src — AQE broadcasts it when small, co-partitions when not)
+    plus one map-side-combined min-groupBy on dst; no driver
+    round-trips at all (sources are ids, not data).  Lineage is
+    truncated per round so ``iters`` stays O(1) plan depth.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else (F.lit(1) + (F.col("s") + F.col("t")) % 7).cast("long")
+    )
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"), w.alias("w"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    dist = nodes.withColumn(
+        "dist",
+        F.when(F.col("node").isin([int(s) for s in sources]), F.lit(0))
+        .otherwise(F.lit(BF_INF))
+        .cast("long"),
+    ).localCheckpoint(eager=False)
+    for _ in range(iters):
+        relax = (
+            dist.where(F.col("dist") < BF_INF)
+            .join(e, F.col("node") == F.col("s"))
+            .select(F.col("t").alias("node"), (F.col("dist") + F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.min("c").alias("cand"))
+        )
+        dist = (
+            dist.join(relax, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("dist"), F.coalesce(F.col("cand"), F.lit(BF_INF))).alias(
+                    "dist"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist.where(F.col("dist") < BF_INF)

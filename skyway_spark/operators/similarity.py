@@ -188,3 +188,67 @@ def pairwise_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    tau: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+    assign_mode: str = "auto",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate marking: (vec_id,
+    cluster, keep) for EVERY input vector, keep = false iff a
+    LOWER-id vector in the same k-means cluster lies within integer
+    squared distance ``tau`` (quantized 2^scale_bits units).
+
+    The public recipe (Abbas et al. 2023, "SemDeDup"): cluster the
+    embedding space, then compare pairs only WITHIN a cluster — the
+    clustering bounds the candidate set exactly like LSH banding does
+    for minhash, so the pair join is sum(c_i^2) instead of n^2.  The
+    keep rule here is the deterministic variant (drop anything with a
+    smaller-id near neighbor) so the survivor set is engine-exact and
+    independent of iteration order — a SQL oracle can replay it.
+
+    Scale shape: training is operators/kmeans.py (per-iteration driver
+    sync = k*dim longs); the pair stage shuffles (cluster, id, qvec)
+    once on the cluster key — at 10^12 rows cluster count grows with
+    the corpus (k ~ n/avg_cluster), keeping per-cluster blocks bounded,
+    and the quantized vectors are int64 arrays (no text, no floats).
+    The self-join is cluster-equi (no cross product); drops flow back
+    as an id-only anti-join, the corpus itself is never re-shuffled.
+    """
+    from skyway_spark.operators.kmeans import _assign, kmeans_train
+
+    centroids, qdf = kmeans_train(
+        vectors, k, iters, id_col, vec_col, scale_bits, assign_mode
+    )
+    assigned = _assign(qdf, centroids, mode=assign_mode).select(
+        "vec_id", "cluster", "q"
+    )
+    qdf.unpersist()
+    x, y = assigned.alias("x"), assigned.alias("y")
+    sq = F.aggregate(
+        F.zip_with(F.col("x.q"), F.col("y.q"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") > F.col("y.vec_id")),
+        )
+        .where(sq <= F.lit(int(tau)))
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left") \
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )

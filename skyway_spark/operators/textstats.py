@@ -525,3 +525,45 @@ def bigram_lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("sum(q) div count(1)").alias("lm_q"),
     )
+
+
+def hash_feature_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """FastText-shaped hashed n-gram linear scorer: (id, n_grams,
+    score, quality) — the quality-classifier primitive every public
+    curation recipe (CCNet, Gopher, DSIR) applies corpus-wide.
+
+    Each word n-gram hashes into a weight via the repo's portable fold
+    + LCG family and the document score is the int64 SUM of its gram
+    weights; quality = score > 0.  A real deployment would learn the
+    bucket weights offline and broadcast them (operators/bloom.py's
+    auto literal/broadcast switch applies verbatim — the weight table
+    IS a Bloom-shaped int array); the fixed LCG weights here keep the
+    contract engine-exact with zero training-data dependency.
+
+    Scale shape: tokens, grams, hashes, weights, and the sum are all
+    row-local Column HOFs inside the scan stage — ZERO shuffles, zero
+    Python; at 100 TB this is a pure map over the corpus.
+    """
+    from skyway_spark.operators.bloom import _A1, _B1, _gram_hash
+    from skyway_spark.operators.dedup import PRIME
+
+    grams = ngrams(F.col(text_col), n)
+    weight = lambda g: (  # noqa: E731
+        F.pmod(F.pmod(_gram_hash(g), F.lit(PRIME)) * _A1 + _B1, F.lit(PRIME))
+        % F.lit(2001)
+        - F.lit(1000)
+    )
+    score = F.aggregate(
+        F.transform(grams, weight), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        score.alias("score"),
+        (score > 0).alias("quality"),
+    )

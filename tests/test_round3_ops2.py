@@ -1,0 +1,212 @@
+"""Round-3 batch-2 operators vs direct Python mirrors: semantic
+dedup, hashed n-gram classifier, Bellman-Ford, winnowing
+fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skyway_spark.operators.dedup import HASH_MOD, PRIME, winnow_fingerprints
+from skyway_spark.operators.graph import BF_INF, bellman_ford
+from skyway_spark.operators.similarity import semantic_dedup
+from skyway_spark.operators.textstats import hash_feature_score
+
+A1, B1 = 1_103_515_245, 12_345
+
+
+def fold(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % HASH_MOD
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+
+def py_winnow(text: str, k: int = 8, w: int = 4):
+    t = text.lower()
+    nk = max(len(t) - k + 1, 0)
+    hashes = [fold(t[i : i + k]) for i in range(nk)]
+    nw = max(len(hashes) - w + 1, 0)
+    fps = sorted({min(hashes[j : j + w]) for j in range(nw)})
+    chk = 0
+    for f in fps:
+        chk = (chk * 31 + f) % HASH_MOD
+    return nk, nw, len(fps), chk
+
+
+WINNOW_DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick BROWN fox jumps over the lazy dog"),  # case-folds to same
+    (3, "completely different content with words here"),
+    (4, "short"),  # len < k -> no kgrams
+    (5, ""),  # empty
+    (6, "exactly8"),  # len == k -> one kgram, no window (w=4)
+]
+
+
+def test_winnow_matches_python_mirror(spark):
+    df = spark.createDataFrame(WINNOW_DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_kgrams, r.n_windows, r.n_fps, r.fp_chk)
+        for r in winnow_fingerprints(df).collect()
+    }
+    for doc_id, text in WINNOW_DOCS:
+        assert got[doc_id] == py_winnow(text), (doc_id, text)
+
+
+def test_winnow_case_insensitive_and_shared_substring(spark):
+    df = spark.createDataFrame(WINNOW_DOCS, "doc_id long, text string")
+    got = {r.doc_id: r.fp_chk for r in winnow_fingerprints(df).collect()}
+    # case-folded identical docs -> identical fingerprint sets
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_winnow_substring_guarantee(spark):
+    # any shared substring of length >= k+w-1 guarantees a shared
+    # fingerprint (the winnowing theorem); verify via the mirror sets
+    k, w = 8, 4
+    shared = "a very distinctive shared fragment"
+    a, b = "XX " + shared + " YYY", "zzzz " + shared + " qq"
+
+    def fps(text):
+        t = text.lower()
+        hs = [fold(t[i : i + k]) for i in range(len(t) - k + 1)]
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    assert fps(a) & fps(b)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in winnow_fingerprints(df).collect()}
+    assert rows[1].n_fps == len(fps(a)) and rows[2].n_fps == len(fps(b))
+
+
+# ---------------------------------------------------------------------------
+# hashed n-gram classifier
+# ---------------------------------------------------------------------------
+
+
+def py_hash_score(text: str, n: int = 2):
+    toks = [t for t in text.strip().split()] if text.strip() else [""]
+    grams = (
+        [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if len(toks) >= n
+        else []
+    )
+    score = 0
+    for g in grams:
+        score += ((fold(g) % PRIME) * A1 + B1) % PRIME % 2001 - 1000
+    return len(grams), score
+
+
+def test_hash_classifier_matches_python_mirror(spark):
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "one"),
+        (3, ""),
+        (4, "  padded   tokens  here "),
+        (5, "repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in hash_feature_score(df).collect()}
+    for doc_id, text in docs:
+        ng, score = py_hash_score(text)
+        r = got[doc_id]
+        assert (r.n_grams, r.score, r.quality) == (ng, score, score > 0), text
+
+
+# ---------------------------------------------------------------------------
+# Bellman-Ford
+# ---------------------------------------------------------------------------
+
+
+def test_bellman_ford_hand_graph(spark):
+    # 1 -2-> 2 -3-> 3 ; 1 -10-> 3 ; 3 -1-> 4 ; 5 isolated via edge to 6
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 3), (1, 3, 10), (3, 4, 1), (5, 6, 1)],
+        "src long, dst long, w long",
+    )
+    got = {
+        r.node: r.dist
+        for r in bellman_ford(edges, [1], iters=3, weight_col="w").collect()
+    }
+    # 3 rounds: 1->2 (2), 1->2->3 (5) beats direct 10, 1->2->3->4 (6)
+    assert got == {1: 0, 2: 2, 3: 5, 4: 6}
+
+
+def test_bellman_ford_iteration_bound(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, w long"
+    )
+    got1 = {
+        r.node: r.dist
+        for r in bellman_ford(edges, [1], iters=1, weight_col="w").collect()
+    }
+    assert got1 == {1: 0, 2: 1}  # nodes 3,4 unreached in one round
+    got3 = {
+        r.node: r.dist
+        for r in bellman_ford(edges, [1], iters=3, weight_col="w").collect()
+    }
+    assert got3 == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bellman_ford_default_toll_and_multi_source(spark):
+    edges = spark.createDataFrame([(10, 11), (11, 12)], "src long, dst long")
+    got = {r.node: r.dist for r in bellman_ford(edges, [10, 12], iters=2).collect()}
+    assert got[10] == 0 and got[12] == 0
+    assert got[11] == 1 + (10 + 11) % 7
+    assert BF_INF not in got.values()
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semantic_dedup_drops_higher_id_near_dupes(spark):
+    base = [0.5] * 4
+    far = [-0.9, 0.8, -0.7, 0.6]
+    vecs = [(1, base), (2, base), (3, far), (4, [x + 1e-7 for x in base])]
+    df = _emb_df(spark, vecs)
+    # tau=0: only bit-identical quantized vectors collide (1,2 and 4 —
+    # 1e-7 vanishes under floor at 2^20)
+    got = {r.vec_id: r.keep for r in semantic_dedup(df, tau=0, k=1, iters=1).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_semantic_dedup_tau_widens_and_lowest_id_survives(spark):
+    vecs = [(1, [0.0] * 4), (2, [0.001] * 4), (3, [0.5] * 4)]
+    df = _emb_df(spark, vecs)
+    strict = {r.vec_id: r.keep for r in semantic_dedup(df, tau=0, k=1, iters=1).collect()}
+    assert strict == {1: True, 2: True, 3: True}
+    # quantized delta per dim = floor(0.001*2^20) = 1048 -> sq dist 4*1048^2
+    loose = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(df, tau=4 * 1048**2, k=1, iters=1).collect()
+    }
+    assert loose == {1: True, 2: False, 3: True}
+
+
+def test_semantic_dedup_cluster_blocks_pairing(spark):
+    # two tight groups far apart; k=2 separates them, so cross-group
+    # pairs are never even candidates — but within-group dupes drop
+    g1, g2 = [0.9] * 4, [-0.9] * 4
+    vecs = [(1, g1), (2, g1), (3, g2), (4, g2)]
+    df = _emb_df(spark, vecs)
+    out = semantic_dedup(df, tau=10, k=2, iters=2).collect()
+    keep = {r.vec_id: r.keep for r in out}
+    clusters = {r.vec_id: r.cluster for r in out}
+    assert keep == {1: True, 2: False, 3: True, 4: False}
+    assert clusters[1] == clusters[2] and clusters[3] == clusters[4]
+    assert clusters[1] != clusters[3]
