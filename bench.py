@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q_dsir_resample",
     "q_bellman_cells",
     "q_winnow",
+    "q_hilbert",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -388,3 +388,72 @@ def tile_xy_np(lat, lon, z: int) -> tuple[np.ndarray, np.ndarray]:
         np.clip(tx, 0, n - 1).astype(np.int64),
         np.clip(ty, 0, n - 1).astype(np.int64),
     )
+
+
+def hilbert_key(lat: Column, lon: Column, order: int = 10) -> Column:
+    """Hilbert-curve key on a square 2^order x 2^order grid — the
+    data-layout clustering key with strictly better locality than
+    ``zorder_key`` (no Morton "seams": every consecutive pair of
+    Hilbert keys is a grid-adjacent pair, so range-partitioning a
+    100 TB table by hkey gives near-optimal file locality for bbox
+    scans; the public Delta/Iceberg layout literature measures
+    10-30 % fewer files touched vs Z-order).
+
+    The classic xy->d walk (Wikipedia "Hilbert curve", public domain
+    pseudocode) is a LOOP with carried (x, y, d) state — unrolling it
+    as plain Column expressions would duplicate the state expressions
+    2^order times (each level references x/y twice), so the loop runs
+    as ONE aggregate() fold over the descending level sequence with a
+    struct accumulator: the state is a VALUE per step, `order` (~10)
+    interpreted lambda steps per row, no expression blow-up.  All
+    integer ops — the SQL oracle unrolls the same levels as CTEs.
+    """
+    n = 1 << order
+    x0 = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(n - 1).cast("long"),
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))),
+        ),
+    )
+    y0 = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(n - 1).cast("long"),
+            F.floor((F.lit(90.0) - lat) / F.lit(180.0) * F.lit(float(n))),
+        ),
+    )
+    init = F.struct(
+        x0.alias("x"), y0.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+
+    def step(acc, lvl):
+        s = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), lvl.cast("int")
+        )
+        rx = F.when(acc["x"].bitwiseAND(s) != 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) != 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        d2 = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
+        flip = (ry == 0) & (rx == 1)
+        newx = (
+            F.when(ry == 1, acc["x"])
+            .when(flip, s - 1 - acc["y"])
+            .otherwise(acc["y"])
+        )
+        newy = (
+            F.when(ry == 1, acc["y"])
+            .when(flip, s - 1 - acc["x"])
+            .otherwise(acc["x"])
+        )
+        return F.struct(newx.alias("x"), newy.alias("y"), d2.alias("d"))
+
+    return F.aggregate(
+        F.sequence(F.lit(order - 1), F.lit(0), F.lit(-1)),
+        init,
+        step,
+        lambda acc: acc["d"],
+    )

@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 # non-alphanumeric non-space char
 BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
+# n-gram feature-hash combiner for hash_feature_score: token-hash h1
+# (< 2^44) times 2^17-1 stays < 2^61 before the mod
+GRAM_MULT = (1 << 17) - 1
+
 # tiny per-language stopword marker sets (substring counted with
 # spaces around them so they are word matches)
 LANG_MARKERS = {
@@ -549,21 +553,42 @@ def hash_feature_score(
     row-local Column HOFs inside the scan stage — ZERO shuffles, zero
     Python; at 100 TB this is a pure map over the corpus.
     """
-    from skyway_spark.operators.bloom import _A1, _B1, _gram_hash
-    from skyway_spark.operators.dedup import PRIME
+    from skyway_spark.operators.bloom import _A1, _B1
+    from skyway_spark.operators.dedup import HASH_MOD, PRIME, text_hash
 
-    grams = ngrams(F.col(text_col), n)
+    # The gram feature hash COMBINES per-token fold hashes
+    # (h1 * GRAM_MULT + h2 ... mod 2^44) instead of re-folding the
+    # joined gram string: one char-level fold pass per document
+    # (staged ONCE — HOF lambdas are interpreted and un-CSE'd, see
+    # operators/dedup.winnow_fingerprints), then O(1) integer work per
+    # gram.  GRAM_MULT = 2^17-1 keeps h1 * mult < 2^61.
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    s1 = docs.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: text_hash(t)).alias("__th"),
+    )
+    nt = F.size(F.col("__th"))
+    gram_h = lambda i: F.aggregate(  # noqa: E731
+        F.slice(F.col("__th"), i + 1, n - 1),
+        F.element_at(F.col("__th"), i),
+        lambda acc, h: (acc * F.lit(GRAM_MULT) + h) % F.lit(HASH_MOD),
+    )
     weight = lambda g: (  # noqa: E731
-        F.pmod(F.pmod(_gram_hash(g), F.lit(PRIME)) * _A1 + _B1, F.lit(PRIME))
+        F.pmod(F.pmod(g, F.lit(PRIME)) * _A1 + _B1, F.lit(PRIME))
         % F.lit(2001)
         - F.lit(1000)
     )
+    grams_w = F.when(
+        nt >= n,
+        F.transform(F.sequence(F.lit(1), nt - F.lit(n - 1)), lambda i: weight(gram_h(i))),
+    ).otherwise(F.array().cast("array<long>"))
+    s2 = s1.select(id_col, grams_w.alias("__gw"))
     score = F.aggregate(
-        F.transform(grams, weight), F.lit(0).cast("long"), lambda s, v: s + v
+        F.col("__gw"), F.lit(0).cast("long"), lambda s, v: s + v
     )
-    return docs.select(
+    return s2.select(
         F.col(id_col),
-        F.size(grams).alias("n_grams"),
+        F.size("__gw").alias("n_grams"),
         score.alias("score"),
         (score > 0).alias("quality"),
     )

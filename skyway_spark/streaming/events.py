@@ -218,6 +218,27 @@ def run_bounded(
     q.awaitTermination()
 
 
+def run_bounded_complete(stream_df: DataFrame, name: str) -> None:
+    """Drain all available input once in COMPLETE mode into the
+    in-memory sink table ``name`` — for unwatermarked streaming
+    aggregations (sketch registers, running counters) whose full
+    result is re-emitted per trigger.  Sketch maintenance is the
+    canonical use: HLL's register max and CMS's counter sum are
+    commutative-idempotent/associative combines, so the streaming
+    aggregation state IS the sketch and stream==batch holds exactly
+    (pinned by tests/test_streaming_sketches.py).  In production the
+    complete-mode sink would be a foreachBatch merge into the sketch
+    store; memory sink keeps the test harness engine-only."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 TRIP_OUTPUT_DDL = (
     "user_id long, n_points long, first_id long, last_id long, path_cm long"
 )

@@ -91,15 +91,19 @@ def test_winnow_substring_guarantee(spark):
 
 
 def py_hash_score(text: str, n: int = 2):
+    from skyway_spark.operators.textstats import GRAM_MULT
+
     toks = [t for t in text.strip().split()] if text.strip() else [""]
+    th = [fold(t) for t in toks]
     grams = (
-        [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-        if len(toks) >= n
-        else []
+        [th[i : i + n] for i in range(len(th) - n + 1)] if len(th) >= n else []
     )
     score = 0
-    for g in grams:
-        score += ((fold(g) % PRIME) * A1 + B1) % PRIME % 2001 - 1000
+    for hs in grams:
+        g = hs[0]
+        for h in hs[1:]:
+            g = (g * GRAM_MULT + h) % HASH_MOD
+        score += ((g % PRIME) * A1 + B1) % PRIME % 2001 - 1000
     return len(grams), score
 
 
@@ -210,3 +214,74 @@ def test_semantic_dedup_cluster_blocks_pairing(spark):
     assert keep == {1: True, 2: False, 3: True, 4: False}
     assert clusters[1] == clusters[2] and clusters[3] == clusters[4]
     assert clusters[1] != clusters[3]
+
+
+# ---------------------------------------------------------------------------
+# Hilbert keys
+# ---------------------------------------------------------------------------
+
+
+def py_xy2d(order: int, x: int, y: int) -> int:
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_walk(spark):
+    from skyway_spark.functions.cells import hilbert_key
+
+    order, n = 6, 64
+    pts = [(-85.0, -179.0), (0.0, 0.0), (48.85, 2.35), (89.9, 179.9),
+           (-90.0, -180.0), (37.77, -122.41), (90.0, 180.0)]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+        "i long, lat double, lon double",
+    )
+    rows = df.select(
+        "i", "lat", "lon",
+        hilbert_key(F.col("lat"), F.col("lon"), order).alias("h"),
+    ).collect()
+    for r in rows:
+        x = max(0, min(n - 1, int(((r.lon + 180.0) / 360.0) * n)))
+        y = max(0, min(n - 1, int(((90.0 - r.lat) / 180.0) * n)))
+        assert r.h == py_xy2d(order, x, y), (r.lat, r.lon)
+
+
+def test_hilbert_bijective_and_locality(spark):
+    """Every cell of the full 16x16 grid gets a distinct key covering
+    0..255, and consecutive keys are GRID-ADJACENT (the Hilbert
+    property Z-order lacks — its seams jump across the grid)."""
+    from skyway_spark.functions.cells import hilbert_key
+
+    order, n = 4, 16
+    # cell centers: lat/lon that land exactly in grid cell (i, j)
+    rows = [
+        (i * n + j, 90.0 - (i + 0.5) * 180.0 / n, (j + 0.5) * 360.0 / n - 180.0)
+        for i in range(n)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = df.select(
+        "lat", "lon", hilbert_key(F.col("lat"), F.col("lon"), order).alias("h")
+    ).collect()
+    keys = sorted(r.h for r in got)
+    assert keys == list(range(n * n))  # bijection onto 0..255
+    bykey = {
+        r.h: (
+            int(((r.lon + 180.0) / 360.0) * n),
+            int(((90.0 - r.lat) / 180.0) * n),
+        )
+        for r in got
+    }
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = bykey[d], bykey[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, bykey[d], bykey[d + 1])
