@@ -2409,6 +2409,34 @@ def q_hilbert(spark, sf):
     )
 
 
+def q_cdc_merge(spark, sf):
+    """Changelog apply (Iceberg/Delta MERGE semantics; OSM `.osc`
+    changeset-apply): a keyed upsert/delete log derived from events
+    replays onto the documents snapshot — latest seq wins per key,
+    deletes drop, upserts replace-or-insert.  One changelog key-window
+    + one anti-join; snapshot payload never shuffles."""
+    from skyway_spark.operators.cdc import apply_changelog
+
+    (docs,) = _tables(spark, sf, "documents")
+    (ev,) = _tables(spark, sf, "events")
+    snapshot = docs.select("doc_id", "lang", "source", "n_chars")
+    changes = ev.select(
+        (F.col("user_id") % 600).alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("event_type").alias("lang"),
+        F.concat(F.lit("ev-"), (F.col("user_id") % 7).cast("string")).alias(
+            "source"
+        ),
+        (F.col("user_id") + F.col("event_id")).alias("n_chars"),
+    )
+    # a day's changelog collapses to <= keyspace rows after the
+    # latest-wins window — broadcast the key set, snapshot moves 0 B
+    return apply_changelog(
+        snapshot, changes, ["doc_id"], "seq", "op", changelog_hint="broadcast"
+    )
+
+
 WINNOW_K, WINNOW_W = 8, 4
 
 
@@ -2478,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bellman_cells": q_bellman_cells,
         "q_winnow": q_winnow,
         "q_hilbert": q_hilbert,
+        "q_cdc_merge": q_cdc_merge,
         # -- re-sign: modules edited this round + flagship ---------------
         "q_minhash": q_minhash,
         "q_minhash_lsh": q_minhash_lsh,
@@ -2486,13 +2515,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_boilerplate": q_boilerplate,
         "q_url_host_stats": q_url_host_stats,
-        "q_knn": q_knn,
         "q_pages_pipeline": q_pages_pipeline,
         # ---- position 50+: driver-signed green in rounds 1-2 -----------
         # (q_pip/q_pip_agg/q_extract_entities/q_cell_assign rotate below
         # the cut: their modules are untouched this round and all four
         # are driver-signed green in CORRECTNESS_r02)
         "q_bm25": q_bm25,
+        "q_knn": q_knn,
         "q_top_ngrams": q_top_ngrams,
         "q_dedup_keep": q_dedup_keep,
         "q_rep_quality": q_rep_quality,
@@ -2964,7 +2993,7 @@ def _ann_topk_sql(k: int = 10, n_planes: int = 12, bands: int = 3) -> str:
                    round({dot_lit(QUERY_VEC)} / ({norm} * {_QNORM!r}), 6) AS cos_sim
             FROM cand)
         SELECT vec_id, cos_sim,
-               row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+               (row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC))::INT AS rank
         FROM scored
         QUALIFY rank <= {k}
     """
@@ -3198,7 +3227,7 @@ def _ivf_topk_sql(k: int = 10, n_centroids: int = 8, nprobe: int = 2, seed: int 
                    round({dot_lit(QUERY_VEC)} / ({norm} * {_QNORM!r}), 6) AS cos_sim
             FROM cand)
         SELECT vec_id, cos_sim,
-               row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+               (row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC))::INT AS rank
         FROM scored
         QUALIFY rank <= {k}
     """
@@ -3883,7 +3912,7 @@ def oracle_sql() -> dict[str, str]:
             a AS (
                 SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day
                 FROM events)
-            SELECT f.cohort_day,
+            SELECT f.cohort_day::TIMESTAMP AS cohort_day,
                    date_diff('day', f.cohort_day, a.act_day)::INT AS day_offset,
                    COUNT(DISTINCT a.user_id) AS n_users
             FROM a JOIN f USING (user_id)
@@ -3911,37 +3940,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(o_totalprice::DECIMAL(18,2)) OVER
                         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
-                   row_number() OVER w AS order_seq,
+                   (row_number() OVER w)::INT AS order_seq,
                    lag(o_orderkey) OVER w AS prev_orderkey,
-                   rank() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank,
-                   ntile(4) OVER w AS quartile
+                   (rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC))::INT AS price_rank,
+                   (ntile(4) OVER w)::INT AS quartile
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "q_string_funcs": """
             SELECT p_partkey,
                    upper(substring(p_name, 1, 8)) AS name8,
-                   length(p_name) AS name_len,
+                   length(p_name)::INT AS name_len,
                    replace(p_brand, 'Brand#', 'B') AS brand_short,
                    concat_ws('|', p_brand, p_type) AS brand_type,
                    (p_name LIKE '%gre%') AS has_gre,
                    string_split(p_type, ' ')[1] AS type_head,
-                   strpos(p_name, 'a') AS first_a,
+                   strpos(p_name, 'a')::INT AS first_a,
                    lpad(p_partkey::VARCHAR, 10, '0') AS key_pad
             FROM part
         """,
         "q_datetime_funcs": """
             SELECT o_orderkey,
-                   year(o_orderdate) AS y,
-                   quarter(o_orderdate) AS qtr,
-                   month(o_orderdate) AS m,
-                   dayofmonth(o_orderdate) AS dom,
-                   dayofweek(o_orderdate) + 1 AS dow,
-                   date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS days_before_98,
+                   year(o_orderdate)::INT AS y,
+                   quarter(o_orderdate)::INT AS qtr,
+                   month(o_orderdate)::INT AS m,
+                   dayofmonth(o_orderdate)::INT AS dom,
+                   (dayofweek(o_orderdate) + 1)::INT AS dow,
+                   date_diff('day', o_orderdate::DATE, DATE '1998-01-01')::INT AS days_before_98,
                    strftime(o_orderdate, '%Y-%m') AS ym,
                    strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
-                   date_trunc('month', o_orderdate) AS month_start
+                   date_trunc('month', o_orderdate)::TIMESTAMP AS month_start
             FROM orders
             WHERE o_orderkey % 7 = 0
         """,
@@ -3955,7 +3984,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q_lateral_view": """
-            SELECT p_partkey AS id, u.pos - 1 AS pos, u.node_ref
+            SELECT p_partkey AS id, (u.pos - 1)::INT AS pos, u.node_ref
             FROM part,
                  LATERAL (SELECT unnest([p_partkey, p_partkey + 1]) AS node_ref,
                                  generate_subscripts([p_partkey, p_partkey + 1], 1) AS pos) u
@@ -4105,9 +4134,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_token_stats": f"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
-                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens,
-                   len(text) AS n_chars_actual,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::INT AS ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::INT AS bpe_tokens,
+                   len(text)::INT AS n_chars_actual,
                    list_reduce(list_prepend(0::BIGINT,
                        list_transform(regexp_split_to_array(trim(text), '\\s+'),
                                       tok -> {_sql_token_hash('tok')})),
@@ -4145,7 +4174,7 @@ def oracle_sql() -> dict[str, str]:
                        round({q_emb_elem} / ({norm} * {_QNORM!r}), 6) AS cos_sim
                 FROM embeddings, q)
             SELECT vec_id, cos_sim,
-                   row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+                   (row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC))::INT AS rank
             FROM s
             QUALIFY rank <= 10
         """,
@@ -4354,7 +4383,7 @@ def oracle_sql() -> dict[str, str]:
                        list(lat::DOUBLE ORDER BY i) AS lats,
                        list(lon::DOUBLE ORDER BY i) AS lons
                 FROM v GROUP BY 1, 2)
-            SELECT pid AS polygon_id, role AS ring_role,
+            SELECT pid::BIGINT AS polygon_id, role AS ring_role,
                    abs(list_reduce(
                        list_prepend(0.0::DOUBLE,
                            list_transform(range(1, len(lats)),
@@ -4425,7 +4454,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_rank_funcs": """
             SELECT l_orderkey, l_linenumber, l_returnflag,
-                   dense_rank() OVER w AS drank,
+                   (dense_rank() OVER w)::INT AS drank,
                    percent_rank() OVER w AS prank,
                    cume_dist() OVER w AS cdist
             FROM lineitem
@@ -4505,10 +4534,10 @@ def oracle_sql() -> dict[str, str]:
             d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
             SELECT doc_id, term, tf, df, rank FROM (
                 SELECT tf.doc_id, tf.term, tf.tf, d.df,
-                       row_number() OVER (
+                       (row_number() OVER (
                            PARTITION BY tf.doc_id
                            ORDER BY tf.tf DESC, d.df ASC, tf.term ASC
-                       ) AS rank
+                       ))::INT AS rank
                 FROM tf JOIN d USING (term))
             WHERE rank <= 3
         """,
@@ -4526,7 +4555,7 @@ def oracle_sql() -> dict[str, str]:
         "q_range_join": f"""
             WITH pts AS ({_POINTS_SQL}),
             q(site_id, qlat, qlon) AS (VALUES {", ".join(f"({i}, {a!r}, {b!r})" for i, a, b in KNN_QUERIES)})
-            SELECT q.site_id, p.event_id
+            SELECT q.site_id::BIGINT AS site_id, p.event_id
             FROM pts p CROSS JOIN q
             WHERE {_haversine_sql('p.lat', 'p.lon', 'q.qlat', 'q.qlon')} <= {RANGE_RADIUS!r}
         """,
@@ -4550,8 +4579,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.query_id, p.event_id,
                        {_haversine_sql('p.lat', 'p.lon', 'q.qlat', 'q.qlon')} AS dist
                 FROM pts p CROSS JOIN q)
-            SELECT query_id, event_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS rank
+            SELECT query_id::BIGINT AS query_id, event_id,
+                   (row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC))::INT AS rank
             FROM d
             WHERE dist <= {KNN_RADIUS!r}
             QUALIFY rank <= {KNN_K}
@@ -4715,7 +4744,7 @@ def oracle_sql() -> dict[str, str]:
                      + COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0) AS score
                 FROM s GROUP BY 1)
             SELECT doc_id, score,
-                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                   (row_number() OVER (ORDER BY score DESC, doc_id))::INT AS rank
             FROM agg
             QUALIFY rank <= 20
         """,
@@ -4948,6 +4977,27 @@ def oracle_sql() -> dict[str, str]:
         "q_bellman_cells": _bellman_sql(),
         "q_winnow": _winnow_sql(),
         "q_hilbert": _hilbert_sql(),
+        "q_cdc_merge": """
+            WITH ch AS (
+                SELECT (user_id % 600) AS doc_id, event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            ELSE 'U' END AS op,
+                       event_type AS lang,
+                       'ev-' || (user_id % 7)::VARCHAR AS source,
+                       (user_id + event_id)::BIGINT AS n_chars
+                FROM events),
+            latest AS (
+                SELECT * FROM ch
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                    ORDER BY seq DESC, op DESC) = 1)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM latest l
+                              WHERE l.doc_id = d.doc_id)
+            UNION ALL
+            SELECT doc_id, lang, source, n_chars
+            FROM latest WHERE op = 'U'
+        """,
         "q_curation_pipeline": _curation_sql(),
         "q_bottomk_sample": """
             SELECT doc_id, lang,

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_bellman_cells",
     "q_winnow",
     "q_hilbert",
+    "q_cdc_merge",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -1,0 +1,78 @@
+"""Changelog application (CDC merge): the MERGE INTO / upsert
+semantics of Iceberg/Delta/Hudi as a pure DataFrame transformation.
+
+A changelog is a stream of keyed rows carrying ``op`` = 'U' (upsert,
+full payload) or 'D' (delete) and a monotone ``seq`` (commit LSN,
+Kafka offset, event id).  Applying it to a snapshot yields the table
+state after the last change: latest-wins per key, deletes remove,
+upserts replace-or-insert.
+
+The reference engine (skyway, a single-pass converter) has no
+analogue; in OSM terms this is exactly the `.osc` changeset-apply
+operation its ecosystem performs upstream (osmium apply-changes), so
+a user of the reference gets the missing half of the workflow here.
+
+Scale shape: ONE key-shuffle of the changelog (window per key keeps
+only the max-seq row — map-side nothing, but the changelog is the
+small side by construction), then one key anti-join against the
+snapshot (AQE broadcasts the surviving change keys when small) and a
+union.  The snapshot is never window-sorted and its payload never
+shuffles — at 100 TB the big table moves zero bytes except through
+the anti-join's key comparison, which bucketing/partition-pruning on
+the key column turns into a local probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    changelog_hint: str = "auto",
+) -> DataFrame:
+    """Return the post-changelog table state.
+
+    ``changes`` must contain ``key_cols``, ``seq_col``, ``op_col`` and
+    every snapshot payload column (payload values on 'D' rows are
+    ignored).  Latest-wins per key by ``seq``; a seq tie breaks to 'U'
+    over 'D' (deterministic, and the safe direction: replay keeps
+    data).  Output columns == snapshot columns.
+
+    The latest-per-key slice is localCheckpoint'ed (lazy): it feeds
+    BOTH the anti-join keys and the upsert payload, and without the
+    pin Spark plans the key-window twice.  ``changelog_hint``:
+
+    - ``'broadcast'`` — hint the anti-join keys to broadcast: the big
+      snapshot moves ZERO bytes (right whenever the changelog batch
+      fits an executor, the overwhelmingly common case);
+    - ``'auto'`` — no hint; AQE/planner decides, degrading to a
+      co-partitioned join for pathological TB-scale changelogs.
+      (Never force-broadcast by default — the round-1 minhash lesson.)
+    """
+    if changelog_hint not in ("auto", "broadcast"):
+        raise ValueError(f"changelog_hint must be auto|broadcast, got {changelog_hint!r}")
+    payload = snapshot.columns
+    missing = [c for c in payload + [seq_col, op_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changelog missing columns: {missing}")
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=False)
+    )
+    keys = latest.select(*key_cols)
+    if changelog_hint == "broadcast":
+        keys = F.broadcast(keys)
+    survivors = snapshot.join(keys, list(key_cols), "left_anti")
+    upserts = latest.where(F.col(op_col) == "U").select(*payload)
+    return survivors.unionByName(upserts)

@@ -380,3 +380,65 @@ def test_pack_sequences_block_branch_shuffles_partials_only(spark):
     # single-partition block window — never a second corpus-wide one
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 3
     assert "HashAggregate" in plan  # partial agg (map-side combine) present
+
+
+def test_hash_classifier_zero_exchanges(spark, tmp_path_factory):
+    """The quality-scorer pass is a pure map: no Exchange anywhere,
+    and the parquet scan reads only (id, text)."""
+    from skyway_spark.operators.textstats import hash_feature_score
+
+    p = str(tmp_path_factory.mktemp("plans_cls") / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"tok{i} alpha beta", "en", "s", 10) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(p)
+    out = hash_feature_score(spark.read.parquet(p))
+    plan = _executed_plan(out)
+    assert "Exchange" not in plan, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "lang" not in read_schema[0], read_schema
+
+
+def test_winnow_zero_exchanges(spark, tmp_path_factory):
+    """Winnowing fingerprints: staged projections all fuse into the
+    one scan stage — no Exchange."""
+    from skyway_spark.operators.dedup import winnow_fingerprints
+
+    p = str(tmp_path_factory.mktemp("plans_win") / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "some web text content here") for i in range(20)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(p)
+    out = winnow_fingerprints(spark.read.parquet(p))
+    assert "Exchange" not in _executed_plan(out)
+
+
+def test_cdc_merge_snapshot_never_shuffles(spark, tmp_path_factory):
+    """apply_changelog: the changelog pays one key-window shuffle; the
+    snapshot side joins via BROADCAST anti-join (AQE) — no shuffle of
+    the big table's payload."""
+    from skyway_spark.operators.cdc import apply_changelog
+
+    base = tmp_path_factory.mktemp("plans_cdc")
+    snap_p, ch_p = str(base / "snap.parquet"), str(base / "ch.parquet")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5000)], "k long, v string"
+    ).write.mode("overwrite").parquet(snap_p)
+    spark.createDataFrame(
+        [(i, i, "U", "nv") for i in range(0, 50)],
+        "k long, seq long, op string, v string",
+    ).write.mode("overwrite").parquet(ch_p)
+    out = apply_changelog(
+        spark.read.parquet(snap_p),
+        spark.read.parquet(ch_p),
+        ["k"],
+        changelog_hint="broadcast",
+    )
+    plan = _executed_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # the ONLY non-broadcast exchange is the changelog key-window
+    # (computed once thanks to the localCheckpoint pin); the snapshot
+    # relation never shuffles
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "Broadcast" not in ln]
+    assert len(shuffles) <= 1, shuffles

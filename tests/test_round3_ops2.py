@@ -285,3 +285,62 @@ def test_hilbert_bijective_and_locality(spark):
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = bykey[d], bykey[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, bykey[d], bykey[d + 1])
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply
+# ---------------------------------------------------------------------------
+
+
+def test_apply_changelog_upsert_delete_insert(spark):
+    from skyway_spark.operators.cdc import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    ch = spark.createDataFrame(
+        [
+            (2, 10, "U", "b2"),   # update
+            (2, 11, "U", "b3"),   # later update wins
+            (3, 5, "D", "x"),     # delete (payload ignored)
+            (9, 7, "U", "new"),   # insert of unseen key
+            (1, 4, "D", "x"),
+            (1, 6, "U", "a2"),    # delete then re-insert: latest wins
+        ],
+        "k long, seq long, op string, v string",
+    )
+    got = {
+        (r.k, r.v)
+        for r in apply_changelog(snap, ch, ["k"], "seq", "op").collect()
+    }
+    assert got == {(1, "a2"), (2, "b3"), (9, "new")}
+
+
+def test_apply_changelog_seq_tie_prefers_upsert(spark):
+    from skyway_spark.operators.cdc import apply_changelog
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    ch = spark.createDataFrame(
+        [(1, 5, "D", "x"), (1, 5, "U", "kept")],
+        "k long, seq long, op string, v string",
+    )
+    got = apply_changelog(snap, ch, ["k"], "seq", "op").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "kept")]
+
+
+def test_apply_changelog_empty_log_is_identity(spark):
+    from skyway_spark.operators.cdc import apply_changelog
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    ch = spark.createDataFrame([], "k long, seq long, op string, v string")
+    got = {(r.k, r.v) for r in apply_changelog(snap, ch, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_apply_changelog_missing_payload_column_raises(spark):
+    from skyway_spark.operators.cdc import apply_changelog
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    ch = spark.createDataFrame([(1, 5, "U")], "k long, seq long, op string")
+    with pytest.raises(ValueError, match="missing columns"):
+        apply_changelog(snap, ch, ["k"])
