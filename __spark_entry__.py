@@ -2437,6 +2437,36 @@ def q_cdc_merge(spark, sf):
     )
 
 
+def q_group_sample(spark, sf):
+    """EXACTLY-20-per-language deterministic sample (per-group
+    bottom-k by id hash) — per-stratum caps with fixed output size,
+    one keyed window shuffle, no global sort."""
+    from skyway_spark.operators.sampling import group_bottom_k
+
+    (docs,) = _tables(spark, sf, "documents")
+    return group_bottom_k(docs.select("doc_id", "lang"), 20, "lang")
+
+
+def q_outliers(spark, sf):
+    """Robust per-source length outliers via integer-exact MAD
+    (modified z > ~3.5 as pure int64 cross-multiplication) — the
+    heavy-tail-safe anomaly pass mean/stddev z-scores get wrong."""
+    from skyway_spark.operators.stats import mad_outliers
+
+    (docs,) = _tables(spark, sf, "documents")
+    return mad_outliers(docs, "source", "n_chars", "doc_id")
+
+
+def q_covisit(spark, sf):
+    """Event-type co-occurrence across users (unordered pairs seen
+    together in >= 2 users' histories): distinct (entity, item) dedup
+    bounds the self-join fan-out to per-entity distinct items."""
+    from skyway_spark.operators.stats import cooccurrence_pairs
+
+    (ev,) = _tables(spark, sf, "events")
+    return cooccurrence_pairs(ev, "user_id", "event_type", min_count=2)
+
+
 WINNOW_K, WINNOW_W = 8, 4
 
 
@@ -2507,6 +2537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         "q_hilbert": q_hilbert,
         "q_cdc_merge": q_cdc_merge,
+        "q_group_sample": q_group_sample,
+        "q_outliers": q_outliers,
+        "q_covisit": q_covisit,
+        "q_pages_pipeline": q_pages_pipeline,
         # -- re-sign: modules edited this round + flagship ---------------
         "q_minhash": q_minhash,
         "q_minhash_lsh": q_minhash_lsh,
@@ -4977,6 +5011,46 @@ def oracle_sql() -> dict[str, str]:
         "q_bellman_cells": _bellman_sql(),
         "q_winnow": _winnow_sql(),
         "q_hilbert": _hilbert_sql(),
+        "q_group_sample": f"""
+            SELECT doc_id, lang, priority, sample_rank FROM (
+                SELECT doc_id, lang,
+                       (((doc_id % {_PR}) * 1103515245 + 12345) % {_PR})
+                           AS priority,
+                       (row_number() OVER (PARTITION BY lang
+                           ORDER BY (((doc_id % {_PR}) * 1103515245 + 12345)
+                                     % {_PR}), doc_id))::INT AS sample_rank
+                FROM documents)
+            WHERE sample_rank <= 20
+        """,
+        "q_outliers": """
+            WITH r AS (
+                SELECT source AS grp, doc_id AS id, n_chars::BIGINT AS v,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM documents),
+            med AS (SELECT grp, v AS med FROM r WHERE rn = (n + 1) // 2),
+            dev AS (
+                SELECT r.grp, r.id, r.v, m.med, abs(r.v - m.med) AS ad
+                FROM r JOIN med m USING (grp)),
+            r2 AS (
+                SELECT *, row_number() OVER (PARTITION BY grp
+                              ORDER BY ad, id) AS rn2,
+                       COUNT(*) OVER (PARTITION BY grp) AS n2
+                FROM dev),
+            mad AS (SELECT grp, ad AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2)
+            SELECT d.grp, d.id, d.v, d.med, a.mad,
+                   (d.ad * 1349 > 7000 * a.mad) AS is_outlier
+            FROM dev d JOIN mad a USING (grp)
+        """,
+        "q_covisit": """
+            WITH ei AS (
+                SELECT DISTINCT user_id AS e, event_type AS i FROM events)
+            SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_entities
+            FROM ei a JOIN ei b ON a.e = b.e AND a.i < b.i
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        """,
         "q_cdc_merge": """
             WITH ch AS (
                 SELECT (user_id % 600) AS doc_id, event_id AS seq,

@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "q_winnow",
     "q_hilbert",
     "q_cdc_merge",
+    "q_group_sample",
+    "q_outliers",
+    "q_covisit",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

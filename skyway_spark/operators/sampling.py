@@ -218,3 +218,36 @@ def weighted_bottom_k(
             Window.orderBy(F.col("priority").asc(), F.col(id_col).asc())
         ),
     )
+
+
+def group_bottom_k(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows PER GROUP, deterministically:
+    bottom-k by the LCG hash of the id within each group (ties by id)
+    — per-language / per-source caps for curation mixes, where a
+    global sample can't promise per-stratum counts and rate-based
+    stratified sampling can't promise exact sizes.
+
+    Engine- and partitioning-independent like the other samplers:
+    membership depends only on ids present in the group.  Output adds
+    (priority, sample_rank 1..k within group).
+
+    Scale shape: ONE keyed window shuffle (rank within group); no
+    global sort.  Skewed groups range-sort in parallel; output is
+    at most k rows per group.
+    """
+    from pyspark.sql import Window
+
+    prio = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(PRIME)) * _A + _B, F.lit(PRIME)
+    )
+    w = Window.partitionBy(group_col).orderBy("priority", id_col)
+    return (
+        df.withColumn("priority", prio)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -127,3 +127,100 @@ def histogram_int(
         "n",
         F.expr("1000000 * n div tot").alias("ppm"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    num: int = 7000,
+    den: int = 1349,
+) -> DataFrame:
+    """Robust per-group outlier flags via Median Absolute Deviation —
+    the outlier detector that survives the outliers themselves (mean/
+    stddev z-scores explode under heavy tails; web-scale length and
+    score columns ARE heavy-tailed).
+
+    Integer-exact: med = exact lower median (rank ceil(n/2) ordered by
+    (value, id)), mad = lower median of |x - med| (ties by id), and
+    the modified-z threshold |x - med| * den > num * mad is pure int64
+    cross-multiplication (den/num defaults approximate the textbook
+    0.6745*z > 3.5 rule).  mad = 0 (constant group) flags any
+    deviation, matching the convention.
+
+    Output: every input row as (grp, id, v, med, mad, is_outlier).
+
+    Scale shape: two keyed window sorts (values, then absolute
+    deviations) and one broadcast-sized join of per-group medians —
+    group-count rows — back to the corpus; the corpus shuffles on the
+    group key only.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+    )
+    med = ranked.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "grp", F.col("v").alias("med")
+    )
+    dev = ranked.join(F.broadcast(med), "grp").select(
+        "grp", "id", "v", "med", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    w2 = Window.partitionBy("grp").orderBy("ad", "id")
+    ranked2 = dev.select(
+        "*",
+        F.row_number().over(w2).alias("rn2"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n2"),
+    )
+    mad = ranked2.where(F.col("rn2") == F.expr("(n2 + 1) div 2")).select(
+        "grp", F.col("ad").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "grp").select(
+        "grp",
+        "id",
+        "v",
+        "med",
+        "mad",
+        (F.col("ad") * F.lit(den) > F.lit(num) * F.col("mad")).alias("is_outlier"),
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    entity_col: str,
+    item_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Item co-occurrence counts: for every unordered item pair
+    (a < b), in how many entities (users, sessions, documents) both
+    appear — the substrate of co-visitation recommenders and PMI-style
+    association mining.
+
+    Output: (item_a, item_b, n_entities), item_a < item_b,
+    n_entities >= min_count.
+
+    Scale shape: distinct (entity, item) first (map-side combined —
+    the dedup bounds fan-out by the DISTINCT item count per entity,
+    not event count), then a self-equi-join on entity and a count
+    groupBy.  Join fan-out is sum over entities of k_e^2 with k_e the
+    per-entity distinct-item count — bounded when item sets per entity
+    are (per-entity caps compose: feed this a per-group bottom-k
+    sample to hard-cap k_e).  The item VOCABULARY never shuffles as a
+    whole; only observed pairs do.
+    """
+    ei = df.select(
+        F.col(entity_col).alias("e"), F.col(item_col).alias("i")
+    ).distinct()
+    a, b = ei.alias("a"), ei.alias("b")
+    return (
+        a.join(b, (F.col("a.e") == F.col("b.e")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .where(F.col("n_entities") >= min_count)
+    )

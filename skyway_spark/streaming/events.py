@@ -354,3 +354,71 @@ def segment_trips_stream(
             "EventTimeTimeout",
         )
     )
+
+
+def latest_snapshot_version(spark, root: str) -> int:
+    """Highest committed snapshot version under ``root`` (-1 if none)."""
+    from pathlib import Path
+
+    versions = [
+        int(p.name[1:])
+        for p in Path(root).glob("v*")
+        if p.name[1:].isdigit() and (p / "_SUCCESS").exists()
+    ]
+    return max(versions, default=-1)
+
+
+def read_snapshot(spark, root: str) -> DataFrame:
+    """Read the latest committed snapshot version."""
+    v = latest_snapshot_version(spark, root)
+    if v < 0:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    return spark.read.parquet(f"{root}/v{v}")
+
+
+def apply_changelog_stream(
+    changes: DataFrame,
+    snapshot_root: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """Streaming CDC upsert: each micro-batch of changelog rows is
+    applied to the latest snapshot version and committed as a NEW
+    version directory (``v0``, ``v1``, ...) — copy-on-write table
+    semantics (the Hudi/Delta shape) with plain parquet + _SUCCESS
+    markers as the commit protocol, so nothing here depends on a table
+    format being installed.
+
+    Ordering contract: batch boundaries must respect per-key seq order
+    (true for CDC sources with per-key ordering, e.g. a keyed Kafka
+    topic); within a batch any order is fine (latest-seq-wins).  The
+    streamed final state then equals one batch apply of the whole log
+    — pinned by tests/test_streaming_sketches.py.
+
+    Scale shape: per batch, exactly apply_changelog's cost (changelog
+    key-window + broadcast anti-join) plus one snapshot rewrite; a
+    real deployment replaces the full rewrite with a format-native
+    row-level MERGE, but the dataflow — and this operator's join
+    shape — is identical.
+    """
+    from skyway_spark.operators.cdc import apply_changelog
+
+    def upsert(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = latest_snapshot_version(spark, snapshot_root)
+        if v < 0:
+            raise FileNotFoundError(f"no committed snapshot under {snapshot_root}")
+        snap = spark.read.parquet(f"{snapshot_root}/v{v}")
+        out = apply_changelog(
+            snap, batch_df, key_cols, seq_col, op_col, changelog_hint="broadcast"
+        )
+        out.write.mode("overwrite").parquet(f"{snapshot_root}/v{v + 1}")
+
+    return (
+        changes.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -344,3 +344,132 @@ def test_apply_changelog_missing_payload_column_raises(spark):
     ch = spark.createDataFrame([(1, 5, "U")], "k long, seq long, op string")
     with pytest.raises(ValueError, match="missing columns"):
         apply_changelog(snap, ch, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# per-group sampling, MAD outliers, co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def test_group_bottom_k_exact_sizes_and_determinism(spark):
+    from skyway_spark.operators.sampling import group_bottom_k
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = group_bottom_k(df, 5, "lang").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    assert {g: len(v) for g, v in by_grp.items()} == {"a": 5, "b": 5}
+    # determinism: repartitioned input picks the identical members
+    out2 = group_bottom_k(df.repartition(7), 5, "lang").collect()
+    assert {(r.lang, r.doc_id) for r in out2} == {(r.lang, r.doc_id) for r in out}
+    # small group: returns the whole group, never pads
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, lang string")
+    assert group_bottom_k(tiny, 5, "lang").count() == 2
+
+
+def test_mad_outliers_python_mirror(spark):
+    from skyway_spark.operators.stats import mad_outliers
+
+    vals = [10, 11, 12, 10, 11, 12, 10, 11, 500]  # one wild point
+    rows = [(i, "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.id: r for r in mad_outliers(df, "source", "n_chars", "doc_id").collect()}
+    sv = sorted((v, i) for i, v in enumerate(vals))
+    med = sv[(len(sv) + 1) // 2 - 1][0]
+    ads = sorted((abs(v - med), i) for i, v in enumerate(vals))
+    mad = ads[(len(ads) + 1) // 2 - 1][0]
+    for i, v in enumerate(vals):
+        r = got[i]
+        assert (r.med, r.mad) == (med, mad)
+        assert r.is_outlier == (abs(v - med) * 1349 > 7000 * mad), (i, v)
+    assert got[8].is_outlier and not got[0].is_outlier
+
+
+def test_mad_outliers_constant_group_flags_any_deviation(spark):
+    from skyway_spark.operators.stats import mad_outliers
+
+    rows = [(i, "g", 7) for i in range(9)] + [(9, "g", 8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.id: r.is_outlier for r in
+           mad_outliers(df, "source", "n_chars", "doc_id").collect()}
+    assert got[9] is True and not any(got[i] for i in range(9))
+
+
+def test_cooccurrence_pairs_counts_and_ordering(spark):
+    from skyway_spark.operators.stats import cooccurrence_pairs
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),  # duplicate (1,y) must not double-count
+        (2, "x"), (2, "y"), (2, "z"),
+        (3, "y"), (3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        (r.item_a, r.item_b): r.n_entities
+        for r in cooccurrence_pairs(df, "user_id", "event_type").collect()
+    }
+    assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 2}
+    assert all(a < b for a, b in got)
+    filtered = {
+        (r.item_a, r.item_b)
+        for r in cooccurrence_pairs(df, "user_id", "event_type", min_count=2).collect()
+    }
+    assert filtered == {("x", "y"), ("y", "z")}
+
+
+def test_apply_changelog_versioned_out_of_order_converges(spark):
+    """Permutation law: replaying the same changelog in ANY batch
+    order converges to the same state when seqs travel with rows."""
+    from skyway_spark.operators.cdc import apply_changelog_versioned
+
+    snap0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "k long, seq long, v string"
+    )
+    ddl = "k long, seq long, op string, v string"
+    batches = [
+        [(1, 20, "U", "a2")],          # fresh update
+        [(1, 15, "U", "stale")],       # stale update: must not override seq 20
+        [(2, 5, "D", "x")],            # stale delete: must not delete
+        [(3, 30, "U", "new")],         # insert
+        [(3, 25, "D", "x")],           # stale delete of the insert
+    ]
+    # representative permutations (fixed, not exhaustive — each Spark
+    # job chain is expensive): in-order, fully reversed, stale-first,
+    # insert-delete inversions, interleaved
+    perms = [
+        (0, 1, 2, 3, 4),
+        (4, 3, 2, 1, 0),
+        (1, 0, 2, 4, 3),
+        (3, 4, 0, 1, 2),
+        (2, 4, 1, 3, 0),
+        (4, 1, 3, 0, 2),
+    ]
+    finals = set()
+    for perm in perms:
+        snap = snap0
+        for i in perm:
+            snap = apply_changelog_versioned(
+                snap, spark.createDataFrame(batches[i], ddl), ["k"]
+            )
+        finals.add(frozenset((r.k, r.seq, r.v) for r in snap.collect()))
+    assert finals == {frozenset({(1, 20, "a2"), (2, 11, "b"), (3, 30, "new")})}
+
+
+def test_apply_changelog_versioned_fresh_delete_and_tie(spark):
+    from skyway_spark.operators.cdc import apply_changelog_versioned
+
+    snap = spark.createDataFrame([(1, 10, "a")], "k long, seq long, v string")
+    ch = spark.createDataFrame(
+        [(1, 11, "D", "x"), (1, 10, "U", "tie")],
+        "k long, seq long, op string, v string",
+    )
+    # latest per key = seq 11 delete; it beats snapshot seq 10 -> gone
+    assert apply_changelog_versioned(snap, ch, ["k"]).count() == 0
+    tie_only = spark.createDataFrame(
+        [(1, 10, "U", "tie")], "k long, seq long, op string, v string"
+    )
+    # equal seq does NOT win (strictly-greater rule)
+    got = apply_changelog_versioned(snap, tie_only, ["k"]).collect()
+    assert [(r.k, r.seq, r.v) for r in got] == [(1, 10, "a")]

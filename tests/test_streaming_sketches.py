@@ -81,3 +81,51 @@ def test_streaming_cms_counters_equal_batch(spark, tmp_path):
         ), w=256).collect()
     }
     assert est_s == est_b and est_s["alpha"] >= 60
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC upsert (copy-on-write snapshot versions)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cdc_equals_batch_apply(spark, tmp_path):
+    from skyway_spark.operators.cdc import apply_changelog
+    from skyway_spark.streaming.events import (
+        apply_changelog_stream,
+        latest_snapshot_version,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(k, f"v{k}") for k in range(10)], "k long, v string"
+    ).write.mode("overwrite").parquet(root + "/v0")
+
+    ch_ddl = "k long, seq long, op string, v string"
+    ch_dir = str(tmp_path / "changes")
+    # two files -> two micro-batches (maxFilesPerTrigger=1); keys are
+    # disjoint across files so batch order cannot matter
+    f1 = [(1, 1, "U", "a1"), (1, 2, "U", "a2"), (2, 3, "D", "x")]
+    f2 = [(5, 4, "D", "x"), (20, 5, "U", "new"), (6, 6, "U", "b6")]
+    spark.createDataFrame(f1, ch_ddl).coalesce(1).write.mode("overwrite").parquet(ch_dir)
+    spark.createDataFrame(f2, ch_ddl).coalesce(1).write.mode("append").parquet(ch_dir)
+
+    stream = (
+        spark.readStream.schema(ch_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ch_dir)
+    )
+    q = apply_changelog_stream(stream, root, ["k"], str(tmp_path / "cdc_ck"))
+    q.awaitTermination()
+
+    assert latest_snapshot_version(spark, root) == 2  # one version per batch
+    got = {(r.k, r.v) for r in read_snapshot(spark, root).collect()}
+    batch = apply_changelog(
+        spark.read.parquet(root + "/v0"),
+        spark.createDataFrame(f1 + f2, ch_ddl),
+        ["k"],
+    )
+    want = {(r.k, r.v) for r in batch.collect()}
+    assert got == want
+    assert (1, "a2") in got and (20, "new") in got
+    assert not any(k in (2, 5) for k, _ in got)
