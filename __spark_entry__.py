@@ -2418,22 +2418,12 @@ def q_cdc_merge(spark, sf):
     from skyway_spark.operators.cdc import apply_changelog
 
     (docs,) = _tables(spark, sf, "documents")
-    (ev,) = _tables(spark, sf, "events")
     snapshot = docs.select("doc_id", "lang", "source", "n_chars")
-    changes = ev.select(
-        (F.col("user_id") % 600).alias("doc_id"),
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-        F.col("event_type").alias("lang"),
-        F.concat(F.lit("ev-"), (F.col("user_id") % 7).cast("string")).alias(
-            "source"
-        ),
-        (F.col("user_id") + F.col("event_id")).alias("n_chars"),
-    )
     # a day's changelog collapses to <= keyspace rows after the
     # latest-wins window — broadcast the key set, snapshot moves 0 B
     return apply_changelog(
-        snapshot, changes, ["doc_id"], "seq", "op", changelog_hint="broadcast"
+        snapshot, _cdc_changes(spark, sf), ["doc_id"], "seq", "op",
+        changelog_hint="broadcast",
     )
 
 
@@ -2465,6 +2455,39 @@ def q_covisit(spark, sf):
 
     (ev,) = _tables(spark, sf, "events")
     return cooccurrence_pairs(ev, "user_id", "event_type", min_count=2)
+
+
+def _cdc_changes(spark, sf):
+    (ev,) = _tables(spark, sf, "events")
+    return ev.select(
+        (F.col("user_id") % 600).alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("event_type").alias("lang"),
+        F.concat(F.lit("ev-"), (F.col("user_id") % 7).cast("string")).alias(
+            "source"
+        ),
+        (F.col("user_id") + F.col("event_id")).alias("n_chars"),
+    )
+
+
+def q_scd2(spark, sf):
+    """Type-2 SCD history from the same changelog as q_cdc_merge: one
+    row per (key, version) with [valid_from, valid_to) in seq units —
+    time travel by seq; one keyed lead() window."""
+    from skyway_spark.operators.cdc import changelog_to_scd2
+
+    return changelog_to_scd2(_cdc_changes(spark, sf), ["doc_id"])
+
+
+def q_bpe_pairs(spark, sf):
+    """One BPE merge-step candidate scan: corpus-wide adjacent char-
+    pair counts within tokens, top-20 by (count desc, pair) — the
+    tokenizer-training primitive; only the pair alphabet shuffles."""
+    from skyway_spark.operators.textstats import bpe_pair_counts
+
+    (docs,) = _tables(spark, sf, "documents")
+    return bpe_pair_counts(docs, top_n=20)
 
 
 WINNOW_K, WINNOW_W = 8, 4
@@ -2540,6 +2563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_sample": q_group_sample,
         "q_outliers": q_outliers,
         "q_covisit": q_covisit,
+        "q_scd2": q_scd2,
+        "q_bpe_pairs": q_bpe_pairs,
         "q_pages_pipeline": q_pages_pipeline,
         # -- re-sign: modules edited this round + flagship ---------------
         "q_minhash": q_minhash,
@@ -5050,6 +5075,36 @@ def oracle_sql() -> dict[str, str]:
             FROM ei a JOIN ei b ON a.e = b.e AND a.i < b.i
             GROUP BY 1, 2
             HAVING COUNT(*) >= 2
+        """,
+        "q_scd2": """
+            WITH ch AS (
+                SELECT (user_id % 600) AS doc_id, event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            ELSE 'U' END AS op,
+                       event_type AS lang,
+                       'ev-' || (user_id % 7)::VARCHAR AS source,
+                       (user_id + event_id)::BIGINT AS n_chars
+                FROM events),
+            h AS (
+                SELECT doc_id, seq, op, lang, source, n_chars,
+                       lead(seq) OVER (PARTITION BY doc_id
+                                       ORDER BY seq) AS valid_to
+                FROM ch)
+            SELECT doc_id, lang, source, n_chars,
+                   seq AS valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM h WHERE op = 'U'
+        """,
+        "q_bpe_pairs": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents),
+            p AS (
+                SELECT substring(tok, i::INT, 2) AS pair
+                FROM toks, unnest(range(1, len(tok))) AS u(i)
+                WHERE len(tok) > 1)
+            SELECT pair, COUNT(*) AS n FROM p
+            GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
         """,
         "q_cdc_merge": """
             WITH ch AS (

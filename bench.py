@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "q_group_sample",
     "q_outliers",
     "q_covisit",
+    "q_scd2",
+    "q_bpe_pairs",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

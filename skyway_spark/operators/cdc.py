@@ -131,3 +131,40 @@ def apply_changelog_versioned(
     # change-only 'D' rows (key absent from snapshot) fall under
     # `dropped` too, so the single filter covers deletes and no-ops
     return j.where(~dropped).select(*out_cols)
+
+
+def changelog_to_scd2(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a
+    changelog: one row per (key, version) with its validity interval
+    [valid_from, valid_to) in seq units — valid_to is the next
+    change's seq for that key, NULL while current.  Delete rows close
+    the previous interval and emit no payload row (is_current handles
+    the "deleted now" case by absence).
+
+    Together with apply_changelog/apply_changelog_versioned this
+    completes the CDC triad: latest state, versioned state, and full
+    history with time travel by seq (`WHERE valid_from <= s AND
+    (valid_to IS NULL OR valid_to > s)`).
+
+    Scale shape: ONE keyed window (lead over seq per key) — the
+    changelog shuffles once on the key, payload included; history
+    builds are offline compactions, not hot-path lookups.
+    """
+    payload = [c for c in changes.columns if c != op_col]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
+    with_next = changes.select(
+        *payload,
+        F.col(op_col).alias("__op"),
+        F.lead(F.col(seq_col)).over(w).alias("valid_to"),
+    )
+    return with_next.where(F.col("__op") == "U").select(
+        *[c for c in payload if c != seq_col],
+        F.col(seq_col).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -592,3 +592,42 @@ def hash_feature_score(
         score.alias("score"),
         (score > 0).alias("quality"),
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair counts within whitespace
+    tokens — the candidate-scoring scan of ONE BPE merge step (the
+    tokenizer-training primitive: each merge iteration re-runs this
+    over the current symbol sequences; at 100 TB this scan IS the
+    cost of training a tokenizer, and it is embarrassingly parallel).
+
+    Output: top ``top_n`` (pair, n) by count desc, pair asc —
+    deterministic total order.
+
+    Scale shape: tokens explode row-locally, each token's pairs come
+    from one small per-token HOF (evaluated once — the token is a
+    column value post-explode), and the ONLY shuffle is the map-side-
+    combined count groupBy whose key space is bounded by the symbol-
+    pair alphabet, not the corpus.  Top-n is TakeOrderedAndProject.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 1)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

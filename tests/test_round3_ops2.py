@@ -473,3 +473,48 @@ def test_apply_changelog_versioned_fresh_delete_and_tie(spark):
     # equal seq does NOT win (strictly-greater rule)
     got = apply_changelog_versioned(snap, tie_only, ["k"]).collect()
     assert [(r.k, r.seq, r.v) for r in got] == [(1, 10, "a")]
+
+
+def test_changelog_to_scd2_intervals(spark):
+    from skyway_spark.operators.cdc import changelog_to_scd2
+
+    ch = spark.createDataFrame(
+        [
+            (1, 10, "U", "a1"),
+            (1, 20, "U", "a2"),
+            (1, 30, "D", "x"),   # closes a2's interval, emits nothing
+            (2, 5, "U", "b"),
+        ],
+        "k long, seq long, op string, v string",
+    )
+    got = {
+        (r.k, r.v): (r.valid_from, r.valid_to, r.is_current)
+        for r in changelog_to_scd2(ch, ["k"]).collect()
+    }
+    assert got == {
+        (1, "a1"): (10, 20, False),
+        (1, "a2"): (20, 30, False),  # closed by the delete, not current
+        (2, "b"): (5, None, True),
+    }
+    # time travel at seq 25: exactly the rows whose interval covers 25
+    alive_at_25 = {kv for kv, (f, t, _) in got.items() if f <= 25 and (t is None or t > 25)}
+    assert alive_at_25 == {(1, "a2"), (2, "b")}
+
+
+def test_bpe_pair_counts_hand_corpus(spark):
+    from collections import Counter
+
+    from skyway_spark.operators.textstats import bpe_pair_counts
+
+    docs = [(1, "abab ab"), (2, "abc  cc"), (3, "x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = Counter()
+    for _, text in docs:
+        for tok in text.split():
+            if len(tok) > 1:
+                for i in range(len(tok) - 1):
+                    want[tok[i : i + 2]] += 1
+    got = {r.pair: r.n for r in bpe_pair_counts(df, top_n=50).collect()}
+    assert got == dict(want)
+    # 'ab' dominates: abab has 2 ('ab','ba' -> ab twice? positions ab,ba,ab), plus ab, abc
+    assert got["ab"] == 4 and "x" not in got
