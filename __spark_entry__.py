@@ -2490,6 +2490,23 @@ def q_bpe_pairs(spark, sf):
     return bpe_pair_counts(docs, top_n=20)
 
 
+def q_winnow_decontam(spark, sf):
+    """Benchmark decontamination by winnowing fingerprints (every
+    doc_id % 50 == 0 doc is 'benchmark'): per corpus doc, how much of
+    its OWN fingerprint set benchmark fingerprints cover, flagged at
+    >= 60% coverage (integer cross-multiply) — substring-robust where
+    exact-window contamination is tokenization-bound; both sides
+    reduce to (id, fp) longs before the join, text never shuffles."""
+    from skyway_spark.operators.dedup import winnow_decontaminate
+
+    (docs,) = _tables(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return winnow_decontaminate(
+        corpus, bench, k=WINNOW_K, w=WINNOW_W, share_pct=60
+    )
+
+
 WINNOW_K, WINNOW_W = 8, 4
 
 
@@ -2565,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_covisit": q_covisit,
         "q_scd2": q_scd2,
         "q_bpe_pairs": q_bpe_pairs,
+        "q_winnow_decontam": q_winnow_decontam,
         "q_pages_pipeline": q_pages_pipeline,
         # -- re-sign: modules edited this round + flagship ---------------
         "q_minhash": q_minhash,
@@ -3613,11 +3631,10 @@ def _hilbert_sql(order: int | None = None) -> str:
     """
 
 
-def _winnow_sql(k: int | None = None, w: int | None = None) -> str:
-    """operators/dedup.winnow_fingerprints mirror: same char-fold
-    k-gram hashes over lower(text), same window minima, same sorted
-    distinct set and fold checksum."""
-    k, w = k or WINNOW_K, w or WINNOW_W
+def _winnow_cte(k: int, w: int) -> str:
+    """Shared winnowing CTE prefix ending in
+    f(doc_id, nk, nw, fps) — used by the q_winnow summary oracle and
+    the q_winnow_decontam join oracle."""
     fold = (
         f"list_reduce(list_prepend(0::BIGINT, "
         f"list_transform(range(0, {k}), "
@@ -3647,11 +3664,47 @@ def _winnow_sql(k: int | None = None, w: int | None = None) -> str:
                                  j -> list_min(hashes[j:j+{w - 1}]))))
                         ELSE []::BIGINT[] END AS fps
             FROM sel)
+    """
+
+
+def _winnow_sql(k: int | None = None, w: int | None = None) -> str:
+    """operators/dedup.winnow_fingerprints mirror: same char-fold
+    k-gram hashes over lower(text), same window minima, same sorted
+    distinct set and fold checksum."""
+    k, w = k or WINNOW_K, w or WINNOW_W
+    return _winnow_cte(k, w) + f"""
         SELECT doc_id, nk AS n_kgrams, nw AS n_windows,
                len(fps)::INT AS n_fps,
                list_reduce(list_prepend(0::BIGINT, fps),
                            (a, b) -> (a * 31 + b) % {_HM}) AS fp_chk
         FROM f
+    """
+
+
+def _winnow_decontam_sql(
+    k: int | None = None, w: int | None = None, share_pct: int = 60
+) -> str:
+    """operators/dedup.winnow_decontaminate mirror over the doc_id %
+    50 == 0 benchmark split: coverage-normalized integer flag."""
+    k, w = k or WINNOW_K, w or WINNOW_W
+    return _winnow_cte(k, w) + f"""
+        , fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        counts AS (
+            SELECT doc_id, COUNT(*) AS n_fps FROM fp
+            WHERE doc_id % 50 != 0 GROUP BY 1),
+        hits AS (
+            SELECT c.doc_id,
+                   COUNT(DISTINCT c.fp) AS n_shared_fps,
+                   COUNT(DISTINCT b.doc_id) AS n_bench_docs
+            FROM fp c JOIN fp b ON c.fp = b.fp
+            WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 != 0
+            GROUP BY c.doc_id)
+        SELECT n.doc_id, n.n_fps,
+               COALESCE(h.n_shared_fps, 0) AS n_shared_fps,
+               COALESCE(h.n_bench_docs, 0) AS n_bench_docs,
+               COALESCE(h.n_shared_fps, 0) * 100
+                   >= n.n_fps * {share_pct} AS flagged
+        FROM counts n LEFT JOIN hits h USING (doc_id)
     """
 
 
@@ -5095,6 +5148,7 @@ def oracle_sql() -> dict[str, str]:
                    valid_to IS NULL AS is_current
             FROM h WHERE op = 'U'
         """,
+        "q_winnow_decontam": _winnow_decontam_sql(),
         "q_bpe_pairs": """
             WITH toks AS (
                 SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok

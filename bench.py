@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q_covisit",
     "q_scd2",
     "q_bpe_pairs",
+    "q_winnow_decontam",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

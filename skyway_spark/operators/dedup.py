@@ -439,6 +439,50 @@ def levenshtein_verify_pairs(
     )
 
 
+def _winnow_fps(
+    docs: DataFrame,
+    k: int,
+    w: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared staged pipeline: (id, __nk, __nw, __fps sorted-distinct
+    fingerprint array) — see winnow_fingerprints for the algorithm and
+    the staging rationale."""
+    t = F.lower(F.col(text_col))
+    s1 = docs.select(
+        F.col(id_col),
+        _char_codes(t).alias("__codes"),
+        F.greatest(F.length(t) - F.lit(k - 1), F.lit(0)).alias("__nk"),
+    )
+    hashes = F.when(
+        F.col("__nk") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__nk")),
+            lambda i: _fold_hash(F.slice(F.col("__codes"), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    s2 = s1.select(id_col, "__nk", hashes.alias("__hashes"))
+    s3 = s2.select(
+        id_col,
+        "__nk",
+        F.greatest(F.size(F.col("__hashes")) - F.lit(w - 1), F.lit(0)).alias("__nw"),
+        "__hashes",
+    )
+    fps = F.when(
+        F.col("__nw") >= 1,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nw")),
+                    lambda j: F.array_min(F.slice(F.col("__hashes"), j, w)),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return s3.select(id_col, "__nk", "__nw", fps.alias("__fps"))
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 8,
@@ -475,38 +519,7 @@ def winnow_fingerprints(
     # as separate select stages makes each array a column VALUE
     # computed once per row; all stages still fuse into the one scan
     # (projections, no shuffle).
-    t = F.lower(F.col(text_col))
-    s1 = docs.select(
-        F.col(id_col),
-        _char_codes(t).alias("__codes"),
-        F.greatest(F.length(t) - F.lit(k - 1), F.lit(0)).alias("__nk"),
-    )
-    hashes = F.when(
-        F.col("__nk") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.col("__nk")),
-            lambda i: _fold_hash(F.slice(F.col("__codes"), i, k)),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    s2 = s1.select(id_col, "__nk", hashes.alias("__hashes"))
-    s3 = s2.select(
-        id_col,
-        "__nk",
-        F.greatest(F.size(F.col("__hashes")) - F.lit(w - 1), F.lit(0)).alias("__nw"),
-        "__hashes",
-    )
-    fps = F.when(
-        F.col("__nw") >= 1,
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("__nw")),
-                    lambda j: F.array_min(F.slice(F.col("__hashes"), j, w)),
-                )
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    s4 = s3.select(id_col, "__nk", "__nw", fps.alias("__fps"))
+    s4 = _winnow_fps(docs, k, w, id_col, text_col)
     chk = F.aggregate(
         F.col("__fps"), F.lit(0).cast("long"), lambda a, b: (a * 31 + b) % HASH_MOD
     )
@@ -516,4 +529,88 @@ def winnow_fingerprints(
         F.col("__nw").cast("int").alias("n_windows"),
         F.size("__fps").alias("n_fps"),
         chk.alias("fp_chk"),
+    )
+
+
+def winnow_fp_table(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exploded fingerprint table (id, fp) — one row per distinct
+    selected fingerprint per document; the join substrate for
+    fingerprint-based dedup and decontamination.
+
+    The fps array is localCheckpoint-pinned BEFORE the explode: the
+    optimizer merges projections under a Generate regardless of
+    reference counts, which re-inlines the staged hash pipeline into
+    the window-min lambda — O(len^2 * k) interpreted evaluation
+    (winnow_fingerprints' staging survives only because its summary
+    output keeps multiple references alive; explode keeps one).  The
+    size() column in the pinned frame preserves the double reference
+    so the checkpoint itself materializes from the staged plan.  At
+    scale the fingerprint table is exactly what you'd persist anyway.
+    """
+    pinned = (
+        _winnow_fps(docs, k, w, id_col, text_col)
+        .select(id_col, F.size("__fps").alias("__n_fps"), "__fps")
+        .localCheckpoint(eager=False)
+    )
+    return pinned.select(id_col, F.explode("__fps").alias("fp"))
+
+
+def winnow_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    share_pct: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by winnowing fingerprints: score
+    every corpus document by how much of ITS OWN fingerprint set is
+    covered by benchmark fingerprints, flag at coverage >=
+    ``share_pct`` percent (integer cross-multiply — no float ratio).
+    Coverage-normalized, because raw shared counts just measure
+    document length / vocabulary commonality; near-complete coverage
+    is what verbatim benchmark leakage looks like.  The winnowing
+    guarantee makes this SUBSTRING-robust where exact-window
+    contamination (operators/textstats.contamination) is
+    token-window-exact and the Bloom variant is probabilistic: any
+    verbatim overlap of length >= k+w-1 chars is caught regardless of
+    position or tokenization.
+
+    Output, one row per corpus doc: (doc_id, n_fps, n_shared_fps,
+    n_bench_docs, flagged).
+
+    Scale shape: both sides reduce to (id, fp) long pairs in their
+    scan stages (text never shuffles); the benchmark side is
+    benchmark-sized (broadcastable — left to AQE, never forced); the
+    flag join is fp-equi and the joins/aggregates all carry longs.
+    """
+    cf = winnow_fp_table(corpus, k, w, id_col, text_col)
+    bf = winnow_fp_table(benchmark, k, w, id_col, text_col).select(
+        F.col(id_col).alias("__bid"), "fp"
+    )
+    counts = cf.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
+    hits = (
+        cf.join(bf, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("fp").alias("n_shared_fps"),
+            F.count_distinct("__bid").alias("n_bench_docs"),
+        )
+    )
+    return counts.join(hits, id_col, "left").select(
+        id_col,
+        "n_fps",
+        F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
+        F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
+        (
+            F.coalesce("n_shared_fps", F.lit(0)) * 100
+            >= F.col("n_fps") * F.lit(share_pct)
+        ).alias("flagged"),
     )

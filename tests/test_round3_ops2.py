@@ -518,3 +518,26 @@ def test_bpe_pair_counts_hand_corpus(spark):
     assert got == dict(want)
     # 'ab' dominates: abab has 2 ('ab','ba' -> ab twice? positions ab,ba,ab), plus ab, abc
     assert got["ab"] == 4 and "x" not in got
+
+
+def test_winnow_decontaminate_catches_planted_leak(spark):
+    from skyway_spark.operators.dedup import winnow_decontaminate
+
+    bench_text = "the secret benchmark passage that must never leak into training"
+    corpus = spark.createDataFrame(
+        [
+            (1, "PREFIX junk " + bench_text + " SUFFIX junk"),  # verbatim leak
+            (2, "an entirely unrelated document about mountains and rivers"),
+            (3, bench_text.upper()),  # case-variant leak (lowercased match)
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {r.doc_id: r for r in winnow_decontaminate(corpus, bench).collect()}
+    assert len(got) == 3  # one row per corpus doc
+    assert got[1].flagged and got[3].flagged
+    assert not got[2].flagged and got[2].n_shared_fps == 0
+    assert got[1].n_bench_docs == 1
+    # coverage math: flagged iff shared*100 >= n_fps*60
+    for r in got.values():
+        assert r.flagged == (r.n_shared_fps * 100 >= r.n_fps * 60)
