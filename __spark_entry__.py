@@ -2519,6 +2519,67 @@ def q_winnow(spark, sf):
     return dedup.winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
 
 
+LINKED_PAGES_N = 1500
+
+
+def _linked_pages(spark):
+    from skyway_spark.sources.generate import generate_linked_pages
+
+    return generate_linked_pages(spark, LINKED_PAGES_N)
+
+
+def q_link_graph(spark, sf):
+    """Host-level link graph from raw html bytes: decode + JVM regexp
+    href extraction in the scan stage (operators/weblinks.extract_links,
+    zero shuffles), then ONE map-side-combined groupBy on the
+    (src_host, dst_host) pair — the shuffle is edge-vocabulary-sized,
+    never corpus-sized.  Deterministic linked-pages fixture mirrored
+    arithmetically in SQL (_linked_pages_sql)."""
+    from skyway_spark.operators import weblinks
+
+    return weblinks.host_graph(weblinks.extract_links(_linked_pages(spark)))
+
+
+def q_anchor_terms(spark, sf):
+    """Top-2 anchor-text terms per target host (the classic anchor
+    signal for target-page description): explode anchor words, count
+    by (host, term), rank inside the vocabulary-sized aggregate."""
+    from skyway_spark.operators import weblinks
+
+    return weblinks.anchor_terms(
+        weblinks.extract_links(_linked_pages(spark)), top=2
+    )
+
+
+def q_dom_stats(spark, sf):
+    """Per-host markup census (tag / anchor counts, html bytes, text
+    chars) — exact integer sums; the markup-to-text ratio is the
+    standard boilerplate feature for web corpora.  The oracle derives
+    the same totals from the generation arithmetic, independently of
+    Spark's regexp_count path."""
+    from skyway_spark.operators import weblinks
+
+    return weblinks.dom_stats(_linked_pages(spark))
+
+
+def q_host_rank(spark, sf):
+    """PageRank over the extracted host graph (distinct directed
+    host->host edges from the anchor hrefs) via the engine-exact
+    integer mass-passing of operators/graph.pagerank_int — same
+    quantization contract as q_pagerank_cells, new substrate: the web
+    link graph instead of the spatial cell grid."""
+    from skyway_spark.operators import weblinks
+    from skyway_spark.operators.graph import pagerank_int
+
+    links = weblinks.extract_links(_linked_pages(spark))
+    edges = links.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).distinct()
+    return pagerank_int(edges, iters=3).select(
+        F.col("node").alias("host"), F.col("rank").alias("pr")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -2684,6 +2745,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_way_lengths": q_way_lengths,
         "q_relation_rollup": q_relation_rollup,
         "q_embed_neardup": q_embed_neardup,
+        # -- round-3 late additions (will lead the round-4 window) -------
+        "q_link_graph": q_link_graph,
+        "q_anchor_terms": q_anchor_terms,
+        "q_dom_stats": q_dom_stats,
+        "q_host_rank": q_host_rank,
     }
 
 
@@ -2929,7 +2995,13 @@ def _bellman_sql(iters: int = 3) -> str:
         """
 
 
-def _pagerank_sql(iters: int = 3, mass: int = 10**12, damp_pct: int = 85) -> str:
+def _pagerank_sql(
+    iters: int = 3,
+    mass: int = 10**12,
+    damp_pct: int = 85,
+    graph_ctes: str | None = None,
+    node_alias: str = "cell",
+) -> str:
     """SQL mirror of operators/graph.pagerank_int over the dense-cell
     symmetric 8-neighbor graph (same dense/xy/e CTEs as the
     q_grid_dbscan oracle, but keeping BOTH edge directions):
@@ -2939,7 +3011,7 @@ def _pagerank_sql(iters: int = 3, mass: int = 10**12, damp_pct: int = 85) -> str
     every step int64 floor division of non-negative values (DuckDB //
     truncation == floor here), SUMs cast back to BIGINT to avoid the
     HUGEINT hash trap."""
-    graph = _grid_graph_sql() + f""",
+    graph = (graph_ctes if graph_ctes is not None else _grid_graph_sql()) + f""",
             deg AS (SELECT s AS node, COUNT(*) AS deg FROM e GROUP BY 1),
             params AS (
                 SELECT ({mass} // COUNT(*))::BIGINT AS r0v,
@@ -2962,7 +3034,7 @@ def _pagerank_sql(iters: int = 3, mass: int = 10**12, damp_pct: int = 85) -> str
                 FROM nodes v LEFT JOIN f{i} f USING (node))"""
     return f"""
             WITH {graph}{steps}
-            SELECT node AS cell, rank AS pr FROM r{iters}
+            SELECT node AS {node_alias}, rank AS pr FROM r{iters}
         """
 
 
@@ -3165,6 +3237,39 @@ def _page_mentions_sql(n_rows: int) -> str:
             FROM range(0, {n_rows}) t(i)
             CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j)
             WHERE ({n_mentions}) > j
+"""
+
+
+def _linked_links_sql(n_rows: int) -> str:
+    """SQL mirror of generate_linked_pages' anchor stream for row ids
+    [0, n_rows): one row per emitted ``<a href>`` tag with its ordinal
+    j, source/target hosts and urls, and anchor text — derived from
+    the generation arithmetic, independent of Spark's regexp path."""
+    from skyway_spark.sources import generate as g
+
+    P = g.PAGE_PRIME
+    H = g.LINK_HOSTS
+    words = "['" + "', '".join(g._LINK_WORDS) + "']"
+
+    def phj(base: str) -> str:
+        salt = f"(({base} + j)::BIGINT)"
+        f1 = f"((i % {P}) * {g._PH_A1} + ({salt} * {g._PH_B1}) % {P} + 1) % {P}"
+        f2 = f"((i % {P}) * {g._PH_A2} + ({salt} * {g._PH_B2}) % {P} + 3) % {P}"
+        return f"(({f1}) * ({f2})) % {P}"
+
+    nl = f"({_ph_sql('i', 81)}) % 4"
+    t = f"(({phj('90')}) % {n_rows})"
+    w = f"({words})[(({phj('97')}) % {len(g._LINK_WORDS)} + 1)::INT]"
+    return f"""
+            SELECT i, j,
+                   'https://h' || (i % {H}) || '.example/p/' || i AS src_url,
+                   'h' || (i % {H}) || '.example' AS src_host,
+                   'https://h' || ({t} % {H}) || '.example/p/' || {t} AS href,
+                   'h' || ({t} % {H}) || '.example' AS dst_host,
+                   {w} || ' place ' || {t} AS anchor
+            FROM range(0, {n_rows}) s(i)
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+            WHERE ({nl}) > j
 """
 
 
@@ -5595,4 +5700,57 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'switch' END AS kind
             FROM lagd WHERE from_region != region
         """,
+        "q_link_graph": f"""
+            WITH l AS ({_linked_links_sql(LINKED_PAGES_N)})
+            SELECT src_host, dst_host, COUNT(*) AS n_links,
+                   COUNT(DISTINCT src_url) AS n_pages
+            FROM l GROUP BY 1, 2
+        """,
+        "q_anchor_terms": f"""
+            WITH l AS ({_linked_links_sql(LINKED_PAGES_N)}),
+            words AS (
+                SELECT dst_host, unnest(string_split(anchor, ' ')) AS term
+                FROM l),
+            c AS (
+                SELECT dst_host, term, COUNT(*) AS n
+                FROM words WHERE term != '' GROUP BY 1, 2),
+            r AS (
+                SELECT dst_host, term, n,
+                       (row_number() OVER (
+                           PARTITION BY dst_host
+                           ORDER BY n DESC, term ASC))::INT AS rk
+                FROM c)
+            SELECT dst_host, term, n, rk FROM r WHERE rk <= 2
+        """,
+        "q_dom_stats": f"""
+            WITH base AS (
+                SELECT i,
+                       'h' || (i % 40) || '.example' AS src_host,
+                       length('Page ' || i || ' of h' || (i % 40)
+                              || '.example.') AS tchars,
+                       ({_ph_sql('i', 81)}) % 4 AS nl
+                FROM range(0, {LINKED_PAGES_N}) s(i)),
+            l AS ({_linked_links_sql(LINKED_PAGES_N)}),
+            tag_len AS (
+                SELECT i, (SUM(length('<a href="' || href || '">'
+                               || anchor || '</a>')))::BIGINT AS tl
+                FROM l GROUP BY 1),
+            per_page AS (
+                SELECT b.src_host, b.nl, b.tchars,
+                       33 + b.tchars + COALESCE(t.tl, 0) AS hbytes
+                FROM base b LEFT JOIN tag_len t USING (i))
+            SELECT src_host, COUNT(*) AS n_pages,
+                   (SUM(3 + nl))::BIGINT AS n_tags,
+                   (SUM(nl))::BIGINT AS n_links,
+                   (SUM(hbytes))::BIGINT AS html_bytes,
+                   (SUM(tchars))::BIGINT AS text_chars
+            FROM per_page GROUP BY 1
+        """,
+        "q_host_rank": _pagerank_sql(
+            graph_ctes=f"""
+            l AS ({_linked_links_sql(LINKED_PAGES_N)}),
+            e AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM l),
+            nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e)""",
+            node_alias="host",
+        ),
     }

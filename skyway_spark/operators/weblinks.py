@@ -1,0 +1,112 @@
+"""Web link-graph operators over Common-Crawl-style pages: href
+extraction from raw ``html`` bytes, host-level graph aggregation,
+anchor-text mining, and DOM/markup statistics.
+
+This is the webtext face of the north rule's spatial-join engine: the
+same pages table whose ``text`` feeds geo-entity extraction
+(operators/extract.py) carries an ``html:binary`` column whose anchor
+tags induce the host graph that ranking / crawl-frontier / quality
+pipelines need.  Reference parity: skyway itself has no link
+extraction (it is an OSM converter); these operators are north-rule
+additions in the style of its tag-selector pipelines
+(`/root/reference/src/filters/mod.rs` consumes per-element tag maps
+the way these consume per-page href lists).
+
+Scale shape:
+- ``extract_links`` is pure scan-stage Column work (decode + JVM
+  regexp + explode) — zero shuffles, codegen throughout, linear in
+  corpus bytes; at 10^12 pages it rides the same parquet scan as every
+  other per-page operator.
+- ``host_graph`` / ``anchor_terms`` shuffle only (host, host) /
+  (host, word) pairs — the post-explode aggregate is map-side
+  combined, so the shuffle is edge-vocabulary-sized, never
+  corpus-sized.
+- ``dom_stats`` is one map-side-combined groupBy on host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_A_TAG = r'<a href="([^"]+)">([^<]*)</a>'
+_HOST = r"^https?://([^/]+)[/$]?"
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(src_url, src_host, link_no, href, dst_host, anchor) — one row
+    per ``<a href>`` tag in ``html``, in document order.  ``html`` is
+    decoded UTF-8 in the scan stage; both regexp passes (tag split,
+    group extraction) stay inside whole-stage codegen."""
+    tags = pages.select(
+        F.col("url").alias("src_url"),
+        F.regexp_extract(F.col("url"), _HOST, 1).alias("src_host"),
+        F.posexplode(
+            F.regexp_extract_all(F.decode(F.col("html"), "utf-8"), F.lit(_A_TAG), 0)
+        ).alias("link_no", "tag"),
+    )
+    return tags.select(
+        "src_url",
+        "src_host",
+        "link_no",
+        F.regexp_extract(F.col("tag"), _A_TAG, 1).alias("href"),
+        F.regexp_extract(F.regexp_extract(F.col("tag"), _A_TAG, 1), _HOST, 1).alias(
+            "dst_host"
+        ),
+        F.regexp_extract(F.col("tag"), _A_TAG, 2).alias("anchor"),
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links, n_pages) — the host-level edge
+    list with multiplicity and distinct-source-page support.  One
+    map-side-combined shuffle keyed by the host pair."""
+    return links.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src_url").alias("n_pages"),
+    )
+
+
+def anchor_terms(links: DataFrame, top: int = 2) -> DataFrame:
+    """(dst_host, term, n, rk) — the ``top`` most frequent anchor-text
+    words pointing at each host (tie-break: lexicographic term), the
+    classic anchor-text signal for target-page description.  Shuffles
+    (host, word) counts, then a host-partitioned window over the
+    aggregate (vocabulary-sized, never corpus-sized)."""
+    from pyspark.sql import Window
+
+    words = links.select(
+        "dst_host", F.explode(F.split(F.col("anchor"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    counts = words.groupBy("dst_host", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("term"))
+    return counts.select(
+        "dst_host", "term", "n", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= top)
+
+
+def dom_stats(pages: DataFrame) -> DataFrame:
+    """(src_host, n_pages, n_tags, n_links, html_bytes, text_chars) —
+    per-host markup census: total opening tags, anchor tags, raw html
+    bytes and extracted-text length.  The markup-to-text ratio these
+    carry is the standard boilerplate/quality feature for web corpora;
+    kept as exact integer sums so downstream thresholds are
+    engine-portable.  Single map-side-combined groupBy."""
+    h = F.decode(F.col("html"), "utf-8")
+    return (
+        pages.select(
+            F.regexp_extract(F.col("url"), _HOST, 1).alias("src_host"),
+            F.regexp_count(h, F.lit(r"<[a-z]+")).cast("long").alias("tags"),
+            F.regexp_count(h, F.lit(r"<a href")).cast("long").alias("links"),
+            F.length(F.col("html")).cast("long").alias("hbytes"),
+            F.length(F.col("text")).cast("long").alias("tchars"),
+        )
+        .groupBy("src_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("tags").alias("n_tags"),
+            F.sum("links").alias("n_links"),
+            F.sum("hbytes").alias("html_bytes"),
+            F.sum("tchars").alias("text_chars"),
+        )
+    )

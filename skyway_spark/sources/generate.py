@@ -283,3 +283,72 @@ def generate_polygons(spark: SparkSession, n_scatter=35, seed=42) -> DataFrame:
     """~40 polygons: 5 covering the hot-city disks (salting exercise),
     the rest scattered; mix of convex / concave / one with a hole."""
     return spark.createDataFrame(polygon_rows(n_scatter, seed), POLYGONS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# linked pages — distributed, deterministic web-graph fixture
+# ---------------------------------------------------------------------------
+
+LINK_HOSTS = 40
+_LINK_WORDS = ("visit", "see", "map", "guide", "info")
+
+
+def generate_linked_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """Common-Crawl-style pages whose ``html`` carries 0-3 deterministic
+    ``<a href>`` anchors to other pages in the same corpus — the
+    substrate for the web link-graph operators (href extraction, host
+    graph, anchor-text mining).  Same portable arithmetic contract as
+    ``generate_pages``: every draw is the quadratic hash ``_ph`` mod the
+    Mersenne prime, so the identical link stream is derivable in plain
+    SQL on any engine (``_linked_pages_sql`` in __spark_entry__), and
+    output is independent of parallelism.
+
+    Page ``i`` lives on host ``h{i % LINK_HOSTS}.example``; link ``j``
+    (emitted while ``_ph(i, 81) % 4 > j``) targets page
+    ``t = _ph(i, 90 + j) % n_rows`` with anchor text
+    ``"{word} place {t}"``.  Schema matches the BASELINE.json pages
+    input_hint: (url, warc_ts, html:binary, text, lang).
+    """
+    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    src_host = F.concat(F.lit("h"), F.pmod(i, F.lit(LINK_HOSTS)).cast("string"), F.lit(".example"))
+
+    n_links = (_ph(i, 81) % 4).cast("int")
+
+    def atag(j: int):
+        t = _ph(i, 90 + j) % n_rows
+        word = F.element_at(
+            F.array(*[F.lit(w) for w in _LINK_WORDS]),
+            (_ph(i, 97 + j) % len(_LINK_WORDS)).cast("int") + 1,
+        )
+        href = F.concat(
+            F.lit("https://h"), F.pmod(t, F.lit(LINK_HOSTS)).cast("string"),
+            F.lit(".example/p/"), t.cast("string"),
+        )
+        anchor = F.concat(word, F.lit(" place "), t.cast("string"))
+        return F.concat(F.lit('<a href="'), href, F.lit('">'), anchor, F.lit("</a>"))
+
+    links = F.concat(
+        *[F.when(n_links > j, atag(j)).otherwise(F.lit("")) for j in range(3)]
+    )
+    prose = F.concat(
+        F.lit("Page "), i.cast("string"), F.lit(" of "), src_host, F.lit(".")
+    )
+    lv = _ph(i, 2)
+    lang = (
+        F.when(lv < (PAGE_PRIME * 90) // 100, "en")
+        .when(lv < (PAGE_PRIME * 94) // 100, "de")
+        .when(lv < (PAGE_PRIME * 98) // 100, "fr")
+        .otherwise("und")
+    )
+    ts0 = F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
+    return df.select(
+        F.concat(F.lit("https://"), src_host, F.lit("/p/"), i.cast("string")).alias("url"),
+        F.timestamp_add("SECOND", i.cast("int"), ts0).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), prose, F.lit("</p>"), links, F.lit("</body></html>")),
+            "utf-8",
+        ).alias("html"),
+        prose.alias("text"),
+        lang.alias("lang"),
+    )
