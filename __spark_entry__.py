@@ -2580,6 +2580,85 @@ def q_host_rank(spark, sf):
     )
 
 
+def q_morans_i(spark, sf):
+    """Global Moran's I spatial autocorrelation (rook contiguity) over
+    the integer event-cell grid — engine-exact integer deviations
+    z_i = n*x_i - S, so the numerator / denominator are int64 and only
+    the final index is one identically-ordered double division
+    (operators/spatialstats.py)."""
+    from skyway_spark.operators import spatialstats
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        (((F.col("user_id") * 7919) % 17000) / F.lit(100)).cast("long").alias("cx"),
+        (((F.col("event_id") * 104729) % 36000) / F.lit(100)).cast("long").alias("cy"),
+    )
+    return spatialstats.morans_i(spatialstats.cell_counts(pts))
+
+
+def q_containment_pairs(spark, sf):
+    """Asymmetric n-gram containment near-dup pairs (short-doc-inside-
+    long-doc signal Jaccard dilutes): intersections counted FROM the
+    gram-keyed self-join with a max-df stop-gram cap; integer threshold
+    inequality (operators/dedup.ngram_containment_pairs)."""
+    (docs,) = _tables(spark, sf, "documents")
+    return dedup.ngram_containment_pairs(docs, n=3, threshold_pct=80)
+
+
+def q_lm_coverage(spark, sf):
+    """Cross-corpus bigram-LM scoring, CCNet shape: model estimated on
+    the train split (doc_id % 5 != 0), held-out docs scored against it
+    with OOV bigrams counted, all integer-quantized
+    (operators/textstats.lm_cross_score)."""
+    (docs,) = _tables(spark, sf, "documents")
+    return textstats.lm_cross_score(
+        docs.where(F.col("doc_id") % 5 != 0), docs.where(F.col("doc_id") % 5 == 0)
+    )
+
+
+def q_snapshot_diff(spark, sf):
+    """Changelog between two keyed snapshots (the inverse of
+    q_cdc_merge): per-customer 1994 vs 1995 order aggregates diffed by
+    ONE co-partitioned full-outer join into I/U/D rows
+    (operators/cdc.snapshot_diff)."""
+    from skyway_spark.operators import cdc
+
+    (orders,) = _tables(spark, sf, "orders")
+
+    def snap(y: int):
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= f"{y}-01-01")
+                & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderdate").alias("last_date"),
+            )
+        )
+
+    return cdc.snapshot_diff(
+        snap(1994), snap(1995), ["o_custkey"], ["n_orders", "last_date"]
+    )
+
+
+ADAPTIVE_BASE_Z, ADAPTIVE_MAX_Z, ADAPTIVE_T = 4, 6, 60
+
+
+def q_adaptive_tiles(spark, sf):
+    """Adaptive quadtree tiling of the skewed event points: tiles over
+    the count budget split into children until max_z — the skew-aware
+    spatial partition map.  One corpus-sized aggregate at max_z, then
+    tile-table-sized rollups and semi-joins (operators/tiles.adaptive_tiles)."""
+    return tiles.adaptive_tiles(
+        _event_points(spark, sf),
+        base_z=ADAPTIVE_BASE_Z,
+        max_z=ADAPTIVE_MAX_Z,
+        threshold=ADAPTIVE_T,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -2750,6 +2829,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_terms": q_anchor_terms,
         "q_dom_stats": q_dom_stats,
         "q_host_rank": q_host_rank,
+        "q_morans_i": q_morans_i,
+        "q_containment_pairs": q_containment_pairs,
+        "q_lm_coverage": q_lm_coverage,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_adaptive_tiles": q_adaptive_tiles,
     }
 
 
@@ -3271,6 +3355,41 @@ def _linked_links_sql(n_rows: int) -> str:
             CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
             WHERE ({nl}) > j
 """
+
+
+def _adaptive_tiles_sql() -> str:
+    """SQL mirror of operators/tiles.adaptive_tiles over the event
+    points: aggregate once at max_z, integer rollups to base_z, then
+    keep tiles within the budget and descend through overflowing
+    parents."""
+    bz, mz, t = ADAPTIVE_BASE_Z, ADAPTIVE_MAX_Z, ADAPTIVE_T
+    tx, ty = _tile_xy_sql("lat", "lon", mz)
+    ctes = [
+        f"pts AS ({_POINTS_SQL})",
+        f"t{mz} AS (SELECT {tx} AS x, {ty} AS y, COUNT(*) AS n FROM pts GROUP BY 1, 2)",
+    ]
+    for z in range(mz - 1, bz - 1, -1):
+        ctes.append(
+            f"t{z} AS (SELECT x // 2 AS x, y // 2 AS y, (SUM(n))::BIGINT AS n "
+            f"FROM t{z + 1} GROUP BY 1, 2)"
+        )
+    parts = [f"SELECT {bz} AS z, x, y, n FROM t{bz} WHERE n <= {t}"]
+    ctes.append(f"ov{bz} AS (SELECT x, y FROM t{bz} WHERE n > {t})")
+    for z in range(bz + 1, mz + 1):
+        ctes.append(
+            f"l{z} AS (SELECT t{z}.x, t{z}.y, t{z}.n FROM t{z} "
+            f"JOIN ov{z - 1} o ON t{z}.x // 2 = o.x AND t{z}.y // 2 = o.y)"
+        )
+        if z == mz:
+            parts.append(f"SELECT {z} AS z, x, y, n FROM l{z}")
+        else:
+            parts.append(f"SELECT {z} AS z, x, y, n FROM l{z} WHERE n <= {t}")
+            ctes.append(f"ov{z} AS (SELECT x, y FROM l{z} WHERE n > {t})")
+    return (
+        "WITH " + ",\n            ".join(ctes)
+        + "\n            SELECT z::INT AS z, x, y, n AS n_points FROM ("
+        + " UNION ALL ".join(parts) + ") leaves"
+    )
 
 
 def _gen_polygon_edges_values() -> str:
@@ -5746,6 +5865,103 @@ def oracle_sql() -> dict[str, str]:
                    (SUM(tchars))::BIGINT AS text_chars
             FROM per_page GROUP BY 1
         """,
+        "q_morans_i": """
+            WITH pts AS (
+                SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                       ((event_id * 104729) % 36000) // 100 AS cy
+                FROM events),
+            cells AS (SELECT cx, cy, COUNT(*) AS x FROM pts GROUP BY 1, 2),
+            tot AS (SELECT COUNT(*) AS n, (SUM(x))::BIGINT AS s FROM cells),
+            z AS (SELECT cx, cy,
+                         (SELECT n FROM tot) * x - (SELECT s FROM tot) AS z
+                  FROM cells),
+            half AS (
+                SELECT COUNT(*) AS hp,
+                       COALESCE((SUM(a.z * b.z))::BIGINT, 0) AS hnum
+                FROM z a JOIN z b
+                  ON (a.cx + 1 = b.cx AND a.cy = b.cy)
+                  OR (a.cx = b.cx AND a.cy + 1 = b.cy)),
+            den AS (SELECT (SELECT n FROM tot) AS n_cells,
+                           (SUM(z * z))::BIGINT AS den_z
+                    FROM z)
+            SELECT n_cells, hp * 2 AS w_pairs, hnum * 2 AS num_z, den_z,
+                   (n_cells::DOUBLE * (hnum * 2)::DOUBLE)
+                       / ((hp * 2)::DOUBLE * den_z::DOUBLE) AS morans_i
+            FROM den CROSS JOIN half
+        """,
+        "q_containment_pairs": f"""
+            WITH th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS h FROM documents),
+            sh AS (SELECT doc_id, list_distinct(list_transform(
+                       range(1, greatest(len(h) - 2, 1) + 1),
+                       i -> ((h[i] * 31 + coalesce(h[i+1], 0)) % {_HM} * 31
+                             + coalesce(h[i+2], 0)) % {_HM})) AS g
+                   FROM th),
+            e AS (SELECT doc_id AS id, unnest(g) AS gram FROM sh),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM e GROUP BY 1),
+            dfc AS (SELECT gram FROM e GROUP BY gram HAVING COUNT(*) <= 64),
+            k AS (SELECT e.id, e.gram FROM e JOIN dfc USING (gram)),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                FROM k a JOIN k b USING (gram)
+                WHERE a.id < b.id GROUP BY 1, 2)
+            SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b
+            FROM inter
+            JOIN sizes sa ON sa.id = inter.id_a
+            JOIN sizes sb ON sb.id = inter.id_b
+            WHERE inter * 100 >= 80 * least(sa.sz, sb.sz)
+        """,
+        "q_lm_coverage": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents),
+            tb AS (SELECT doc_id, tk[i] AS a, tk[i] || ' ' || tk[i+1] AS g
+                   FROM toks, unnest(range(1, len(tk))) AS u(i)),
+            trainb AS (SELECT * FROM tb WHERE doc_id % 5 != 0),
+            c2 AS (SELECT g, COUNT(*) AS c2 FROM trainb GROUP BY 1),
+            c1 AS (SELECT a, COUNT(*) AS c1 FROM trainb GROUP BY 1),
+            model AS (SELECT c2.g, (1048576 * c2.c2) // c1.c1 AS q
+                      FROM c2 JOIN c1 ON string_split(c2.g, ' ')[1] = c1.a),
+            s AS (SELECT doc_id, q
+                  FROM (SELECT doc_id, g FROM tb WHERE doc_id % 5 = 0) cand
+                  LEFT JOIN model USING (g))
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   (SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_oov,
+                   ((SUM(COALESCE(q, 0)))::BIGINT // COUNT(*)) AS lm_q
+            FROM s GROUP BY 1
+        """,
+        "q_snapshot_diff": """
+            WITH o94 AS (
+                SELECT o_custkey, COUNT(*) AS n_orders,
+                       MAX(o_orderdate) AS last_date
+                FROM orders
+                WHERE o_orderdate >= '1994-01-01' AND o_orderdate < '1995-01-01'
+                GROUP BY 1),
+            o95 AS (
+                SELECT o_custkey, COUNT(*) AS n_orders,
+                       MAX(o_orderdate) AS last_date
+                FROM orders
+                WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+                GROUP BY 1),
+            j AS (
+                SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+                       a.n_orders AS old_n_orders, a.last_date AS old_last_date,
+                       b.n_orders AS new_n_orders, b.last_date AS new_last_date,
+                       a.o_custkey IS NOT NULL AS in_old,
+                       b.o_custkey IS NOT NULL AS in_new
+                FROM o94 a FULL OUTER JOIN o95 b ON a.o_custkey = b.o_custkey)
+            SELECT o_custkey, old_n_orders, old_last_date,
+                   new_n_orders, new_last_date, op
+            FROM (SELECT *,
+                         CASE WHEN NOT in_old THEN 'I'
+                              WHEN NOT in_new THEN 'D'
+                              WHEN old_n_orders IS DISTINCT FROM new_n_orders
+                                OR old_last_date IS DISTINCT FROM new_last_date
+                              THEN 'U' END AS op
+                  FROM j) t
+            WHERE op IS NOT NULL
+        """,
+        "q_adaptive_tiles": _adaptive_tiles_sql(),
         "q_host_rank": _pagerank_sql(
             graph_ctes=f"""
             l AS ({_linked_links_sql(LINKED_PAGES_N)}),

@@ -168,3 +168,49 @@ def changelog_to_scd2(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Changelog BETWEEN two keyed snapshots — the inverse of
+    ``apply_changelog``: emit op 'I' for keys only in ``new``, 'D' for
+    keys only in ``old``, 'U' for keys present in both whose compared
+    columns differ (null-safe).  Unchanged keys are dropped.
+
+    Output: keys + op + old_/new_-prefixed compare columns.
+
+    Scale shape: ONE full-outer sort-merge join co-partitioned on the
+    key (both sides shuffle once on the same key, so AQE can plan a
+    skew-split); compare columns ride the join row — no second pass,
+    no driver collection.  At 100 TB this is the standard
+    snapshot-reconciliation shape (table-format diff, backfill
+    validation), linear in the larger snapshot.
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .drop("__in_old", "__in_new")
+    )

@@ -614,3 +614,57 @@ def winnow_decontaminate(
             >= F.col("n_fps") * F.lit(share_pct)
         ).alias("flagged"),
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by n-gram CONTAINMENT
+    c(A,B) = |A∩B| / min(|A|,|B|) — the signal Jaccard misses when a
+    short document is embedded inside a longer one (boilerplate
+    wrappers, quoted articles): Jaccard dilutes by the union, max
+    containment stays 1.0.
+
+    Output: (id_a, id_b, inter, size_a, size_b) with id_a < id_b and
+    inter * 100 >= threshold_pct * min(size_a, size_b) — the integer
+    inequality keeps the threshold engine-exact (no float division).
+
+    Scale shape: intersections are computed FROM the join, not by
+    comparing gram arrays — documents explode once into distinct
+    (gram_hash, id) rows (gram hashes are int64; text never leaves the
+    scan), the self-join on the gram key yields one row per shared
+    gram per pair, and a map-side-combined groupBy on the pair counts
+    |A∩B| directly.  Stop-gram guard: grams shared by more than
+    ``max_df`` documents are dropped before the join (they would
+    square in the pair count while carrying no dedup signal) — the
+    standard posting-list cap from the dedup literature.
+    """
+    max_df = 64
+    g = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingle_hashes(F.col(text_col), n)).alias("gram"),
+    )
+    sizes = g.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    g_kept = g.join(df_counts.where(F.col("df") <= max_df), "gram")
+    a = g_kept.select(F.col("gram"), F.col("__id").alias("id_a"))
+    b = g_kept.select(F.col("gram"), F.col("__id").alias("id_b"))
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+        .where(
+            F.col("inter") * 100
+            >= F.lit(threshold_pct) * F.least("size_a", "size_b")
+        )
+        .select("id_a", "id_b", "inter", "size_a", "size_b")
+    )

@@ -1,0 +1,82 @@
+"""Spatial statistics over cell grids: global spatial autocorrelation
+(Moran's I) and local hot-spot counterparts, computed engine-exactly.
+
+North-rule addition (the reference is a format converter and has no
+analytics); the substrate is the same integer cell grid the
+clustering / heatmap / pagerank operators use.
+
+Exactness contract: with x_i the integer cell statistic, n the cell
+count and S = sum x, the mean-centered deviation is kept as the
+integer z_i = n*x_i - S (the true deviation scaled by n), so the
+Moran numerator/denominator
+
+    num = sum_{i~j} z_i z_j        (over symmetric neighbor pairs)
+    den = sum_i z_i^2
+    I   = (n / W) * num / den      (W = number of neighbor pairs)
+
+are exact int64 on any engine; only the final I is a double, produced
+by one identically-ordered cast-and-divide on both sides.
+
+Scale shape: the corpus shuffles ONCE into cell counts; everything
+after runs on the aggregate-sized cell table — the rook-neighbor
+pairing is TWO equi-joins on shifted cell keys (never a theta join),
+and the global totals ride a broadcast single-row crossJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cell_counts(points: DataFrame, cx: str = "cx", cy: str = "cy") -> DataFrame:
+    """(cx, cy, x) — events per integer grid cell; the single
+    corpus-sized shuffle of every statistic below."""
+    return points.groupBy(cx, cy).agg(F.count(F.lit(1)).alias("x"))
+
+
+def morans_i(cells: DataFrame) -> DataFrame:
+    """Global Moran's I with rook (4-neighbor) contiguity over occupied
+    cells.  Input: (cx, cy, x) integer cell counts.  Output single row
+    (n_cells, w_pairs, num_z, den_z, morans_i).
+
+    Neighbor pairs are found by joining the cell table against itself
+    on (cx+1, cy) and on (cx, cy+1) — each an equi-join on the shifted
+    key, counted once per unordered pair then doubled for the
+    symmetric-weights convention.
+    """
+    totals = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    z = (
+        cells.crossJoin(F.broadcast(totals))
+        .select("cx", "cy", (F.col("n") * F.col("x") - F.col("s")).alias("z"), "n")
+    )
+    a = z.select(
+        F.col("cx").alias("ax"), F.col("cy").alias("ay"), F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"), F.col("z").alias("zb")
+    )
+    east = a.join(b, (F.col("ax") + 1 == F.col("bx")) & (F.col("ay") == F.col("by")))
+    north = a.join(b, (F.col("ax") == F.col("bx")) & (F.col("ay") + 1 == F.col("by")))
+    half = east.unionByName(north).agg(
+        F.count(F.lit(1)).alias("hp"),
+        F.coalesce(F.sum(F.col("za") * F.col("zb")), F.lit(0)).alias("hnum"),
+    )
+    den = z.agg(
+        F.max("n").alias("n_cells"), F.sum(F.col("z") * F.col("z")).alias("den_z")
+    )
+    return (
+        den.crossJoin(F.broadcast(half))
+        .select(
+            F.col("n_cells"),
+            (F.col("hp") * 2).alias("w_pairs"),
+            (F.col("hnum") * 2).alias("num_z"),
+            F.col("den_z"),
+            (
+                (F.col("n_cells").cast("double") * (F.col("hnum") * 2).cast("double"))
+                / ((F.col("hp") * 2).cast("double") * F.col("den_z").cast("double"))
+            ).alias("morans_i"),
+        )
+    )

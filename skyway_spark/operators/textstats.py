@@ -631,3 +631,50 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+def lm_cross_score(
+    train: DataFrame,
+    candidates: DataFrame,
+    scale_bits: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus bigram-LM scoring — the CCNet workflow shape: the
+    model is estimated on a REFERENCE corpus (``train``), candidate
+    documents are scored against it, and out-of-vocabulary bigrams are
+    counted rather than smoothed away (the OOV rate is itself the
+    quality feature; a doc the reference LM has never seen is either
+    novel or garbage, and the pair (lm_q, n_oov) separates the two).
+
+    Same integer quantization as ``bigram_lm_scores``: in-vocab bigram
+    ab scores q = (2^scale_bits * c(ab)) div c(a·) from TRAIN counts,
+    OOV bigrams score 0 and increment n_oov.
+
+    Output: (doc_id, n_bigrams, n_oov, lm_q) for candidates with >= 1
+    bigram, lm_q = integer mean over all bigrams (OOV included as 0).
+
+    Scale shape: train count tables are vocabulary-sized aggregates
+    that broadcast; candidates explode once into (doc_id, bigram) rows
+    LEFT-joined to the model — no candidate text shuffles, and the
+    train corpus is scanned exactly twice (c2, c1), both map-side
+    combined.
+    """
+    tb = train.select(F.explode(ngrams(F.col(text_col), 2)).alias("bg")).withColumn(
+        "a", F.split("bg", " ")[0]
+    )
+    c2 = tb.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = tb.groupBy(F.col("a").alias("tok")).agg(F.count(F.lit(1)).alias("c1"))
+    model = c2.withColumn("a", F.split("bg", " ")[0]).join(
+        c1, F.col("a") == F.col("tok")
+    ).select("bg", F.expr(f"({1 << scale_bits} * c2) div c1").alias("q"))
+    cb = candidates.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams(F.col(text_col), 2)).alias("bg"),
+    )
+    scored = cb.join(model, "bg", "left")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("q").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.expr("sum(coalesce(q, 0)) div count(1)").alias("lm_q"),
+    )

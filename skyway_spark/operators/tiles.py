@@ -182,3 +182,74 @@ def vectorize_raster(
         )
         .drop("__isl")
     )
+
+
+def adaptive_tiles(
+    points: DataFrame,
+    base_z: int,
+    max_z: int,
+    threshold: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Adaptive quadtree tiling: start from ``base_z``; any tile whose
+    point count exceeds ``threshold`` is replaced by its four children,
+    recursively until ``max_z``.  The result is the variable-depth
+    tile set that balances partition sizes under spatial skew — the
+    load-map an autoscaling tile service (or a skew-aware spatial
+    partitioner) materializes.
+
+    Output: (z, x, y, n_points) — leaves of the quadtree, counts > 0.
+
+    Scale shape: the corpus aggregates ONCE at ``max_z`` (the only
+    corpus-sized shuffle); every coarser level is an integer
+    floor-division rollup of the previous aggregate (tile-table-sized,
+    map-side combined), and the split decision is a broadcast-sized
+    semi/anti join between adjacent levels — the refinement loop never
+    rescans the points.
+    """
+    if not base_z <= max_z:
+        raise ValueError("need base_z <= max_z")
+    finest = assign_tiles(points, max_z, lat, lon).groupBy("tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    levels = {max_z: finest.select(
+        F.lit(max_z).alias("z"), F.col("tile_x").alias("x"),
+        F.col("tile_y").alias("y"), "n_points",
+    )}
+    for z in range(max_z - 1, base_z - 1, -1):
+        child = levels[z + 1]
+        levels[z] = (
+            child.groupBy(
+                (F.col("x") / 2).cast("long").alias("x"),
+                (F.col("y") / 2).cast("long").alias("y"),
+            )
+            .agg(F.sum("n_points").alias("n_points"))
+            .select(F.lit(z).alias("z"), "x", "y", "n_points")
+        )
+    # walk down: keep a tile if it fits the budget (or is at max_z) AND
+    # every ancestor strictly above it overflowed
+    keep = levels[base_z].where(
+        (F.col("n_points") <= threshold) | (F.lit(base_z == max_z))
+    )
+    out = [keep]
+    overflow = levels[base_z].where(F.col("n_points") > threshold)
+    for z in range(base_z + 1, max_z + 1):
+        parents = overflow.select(
+            F.col("x").alias("px"), F.col("y").alias("py")
+        )
+        lvl = levels[z].join(
+            F.broadcast(parents),
+            ((F.col("x") / 2).cast("long") == F.col("px"))
+            & ((F.col("y") / 2).cast("long") == F.col("py")),
+            "left_semi",
+        )
+        if z == max_z:
+            out.append(lvl)
+            break
+        out.append(lvl.where(F.col("n_points") <= threshold))
+        overflow = lvl.where(F.col("n_points") > threshold)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -142,6 +142,31 @@ class CheckpointManager:
                 return spark.read.parquet(snap["dir"])
         raise KeyError(f"stage {name!r} has no snapshot {snapshot_id}")
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_id: int,
+        to_id: int,
+        keys: list[str],
+        compare_cols: list[str],
+    ) -> DataFrame:
+        """Incremental scan: the keyed changelog (op I/U/D + old_/new_
+        columns) between two snapshots of a stage — the
+        Iceberg-changelog-style read that lets a downstream consumer
+        process only what moved between checkpoints instead of
+        rescanning the table.  One co-partitioned full-outer join
+        (operators/cdc.snapshot_diff); both snapshots stream from
+        their parquet, nothing driver-side."""
+        from skyway_spark.operators.cdc import snapshot_diff
+
+        return snapshot_diff(
+            self.read_snapshot(spark, name, from_id),
+            self.read_snapshot(spark, name, to_id),
+            keys,
+            compare_cols,
+        )
+
     def expire_snapshots(self, name: str, keep: int = 1) -> list[int]:
         """Drop all but the newest ``keep`` snapshots (never the
         current one); returns expired ids."""

@@ -154,13 +154,20 @@ def join_streams_interval(
     right_ts: str = "ts",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: right events within
+    """Stream-stream interval join: right events within
     [left_ts, left_ts + within] for the same key. Both sides carry
     watermarks and the join condition bounds event-time range, so
     Spark can evict join state — the requirement for an unbounded
     stream-stream join to run with finite memory. Output columns:
-    key, l_ts, l_id, r_ts, r_id."""
+    key, l_ts, l_id, r_ts, r_id.
+
+    ``how='left_outer'`` additionally emits null-padded rows for left
+    events that never matched, once the watermark passes their join
+    window (Spark requires exactly this watermark + event-time-bound
+    combination for outer stream-stream joins); the batch-mode
+    equivalent is a plain left join, which the parity test pins."""
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("l_ts"),
@@ -176,7 +183,7 @@ def join_streams_interval(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("__k").alias(key), "l_ts", "l_id", "r_ts", "r_id"
     )
 
