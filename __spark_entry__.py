@@ -2580,6 +2580,23 @@ def q_host_rank(spark, sf):
     )
 
 
+def q_crawl_frontier(spark, sf):
+    """Crawl-frontier scheduling over the extracted link graph: a
+    partial crawl (url id % 3 != 0) anti-joined against its own
+    outlinks yields the uncrawled frontier, ranked by referring-host
+    diversity then in-link count — one anti-join, one vocabulary-sized
+    aggregate, one TakeOrdered top-k (operators/weblinks.crawl_frontier)."""
+    from skyway_spark.operators import weblinks
+
+    pages = _linked_pages(spark)
+    crawled = pages.where(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") % 3 != 0
+    )
+    return weblinks.crawl_frontier(
+        weblinks.extract_links(crawled), crawled.select("url"), k=50
+    )
+
+
 def q_morans_i(spark, sf):
     """Global Moran's I spatial autocorrelation (rook contiguity) over
     the integer event-cell grid — engine-exact integer deviations
@@ -2834,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_coverage": q_lm_coverage,
         "q_snapshot_diff": q_snapshot_diff,
         "q_adaptive_tiles": q_adaptive_tiles,
+        "q_crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -5962,6 +5980,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE op IS NOT NULL
         """,
         "q_adaptive_tiles": _adaptive_tiles_sql(),
+        "q_crawl_frontier": f"""
+            WITH l AS ({_linked_links_sql(LINKED_PAGES_N)})
+            SELECT href, COUNT(DISTINCT src_host) AS n_hosts,
+                   COUNT(*) AS n_refs
+            FROM l
+            WHERE i % 3 != 0
+              AND CAST(regexp_extract(href, '/p/(\\d+)$', 1) AS BIGINT) % 3 = 0
+            GROUP BY href
+            ORDER BY n_hosts DESC, n_refs DESC, href ASC
+            LIMIT 50
+        """,
         "q_host_rank": _pagerank_sql(
             graph_ctes=f"""
             l AS ({_linked_links_sql(LINKED_PAGES_N)}),

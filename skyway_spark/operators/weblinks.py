@@ -110,3 +110,30 @@ def dom_stats(pages: DataFrame) -> DataFrame:
             F.sum("tchars").alias("text_chars"),
         )
     )
+
+
+def crawl_frontier(links: DataFrame, crawled_urls: DataFrame, k: int = 50) -> DataFrame:
+    """Crawl-frontier scheduling: the top-``k`` uncrawled target URLs
+    ranked by (distinct referring hosts DESC, total in-links DESC,
+    url ASC) — the standard indegree-diversity priority for what to
+    fetch next.
+
+    Output: (href, n_hosts, n_refs) — exactly ``k`` rows (or fewer if
+    the frontier is smaller); the tie-break chain ends on the unique
+    url, so the cut is deterministic on any engine.
+
+    Scale shape: one left-anti join keyed by url against the crawled
+    set (AQE broadcasts whichever side is small; at web scale both
+    sides co-partition on the url hash), one map-side-combined groupBy
+    on the frontier url, and a TakeOrdered top-k — the full frontier is
+    never globally sorted."""
+    cand = links.join(
+        crawled_urls.select(F.col("url").alias("href")), "href", "left_anti"
+    )
+    scores = cand.groupBy("href").agg(
+        F.countDistinct("src_host").alias("n_hosts"),
+        F.count(F.lit(1)).alias("n_refs"),
+    )
+    return scores.orderBy(
+        F.desc("n_hosts"), F.desc("n_refs"), F.asc("href")
+    ).limit(k)

@@ -429,3 +429,102 @@ def apply_changelog_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+GEOFENCE_OUTPUT_DDL = (
+    "entity bigint, ts timestamp, point_id bigint, "
+    "from_region bigint, to_region bigint, kind string"
+)
+_GEOFENCE_STATE_DDL = "last_us bigint, last_region bigint"
+
+
+def geofence_stream(
+    points: DataFrame,
+    polygons: DataFrame,
+    watermark: str = "2 hours",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming counterpart of trajectory.geofence_transitions:
+    enter/exit/switch alerts as points arrive.
+
+    The containment stage is STATELESS — the fence set is
+    dimension-sized (same contract as the operators/pip broadcast
+    path), so region-per-point compiles to the literal-edge ray-cast
+    Column with the batch operator's exact arithmetic; region is the
+    MINIMUM containing polygon_id, -1 outside.  The only streaming
+    state is one (last_ts, last_region) pair per entity
+    (applyInPandasWithState), making state size O(entities), never
+    O(events).  Stream == batch on time-ordered arrival (single-batch
+    or ordered multi-batch input; the standard streaming-sessionizer
+    contract), pinned in tests.
+    """
+    import pandas as pd  # local import: workers deserialize the closure
+
+    from skyway_spark.operators.pip import _odd_crossings, _rings_lit
+
+    rows = polygons.select(
+        "polygon_id", "ring", F.col("ring_role").alias("role")
+    ).collect()
+    outers: dict[int, list] = {}
+    holes: dict[int, list] = {}
+    for r in rows:
+        ys = [float(p["lat"]) for p in r["ring"]]
+        xs = [float(p["lon"]) for p in r["ring"]]
+        tgt = outers if r["role"] == "outer" else holes
+        tgt.setdefault(int(r["polygon_id"]), []).append((ys, xs))
+
+    lat_c, lon_c = F.col("lat"), F.col("lon")
+    region = F.lit(None).cast("long")
+    for pid in sorted(outers, reverse=True):  # smallest containing pid wins
+        inside = F.lit(False)
+        for ring in outers[pid]:
+            inside = inside | _odd_crossings(
+                F.element_at(_rings_lit([ring]), 1), lat_c, lon_c
+            )
+        for ring in holes.get(pid, []):
+            inside = inside & ~_odd_crossings(
+                F.element_at(_rings_lit([ring]), 1), lat_c, lon_c
+            )
+        region = F.when(inside, F.lit(pid).cast("long")).otherwise(region)
+
+    regioned = points.withWatermark(ts_col, watermark).select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("point_id"),
+        F.coalesce(region, F.lit(-1)).cast("long").alias("region"),
+    )
+
+    def fn(key, pdf_iter, state):
+        prev_us, prev_region = (state.get if state.exists else (-1, -1))
+        chunks = list(pdf_iter)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "point_id"])
+        out = {k: [] for k in ("ts", "point_id", "from_region", "to_region", "kind")}
+        us = pdf["ts"].astype("int64") // 1000
+        for t, pid_, reg, ts_val in zip(us, pdf["point_id"], pdf["region"], pdf["ts"]):
+            reg = int(reg)
+            if reg != prev_region:
+                kind = (
+                    "exit" if reg == -1 else ("enter" if prev_region == -1 else "switch")
+                )
+                out["ts"].append(ts_val)
+                out["point_id"].append(int(pid_))
+                out["from_region"].append(prev_region)
+                out["to_region"].append(reg)
+                out["kind"].append(kind)
+            prev_region = reg
+            prev_us = int(t)
+        state.update((prev_us, prev_region))
+        if out["ts"]:
+            yield pd.DataFrame({"entity": [key[0]] * len(out["ts"]), **out})
+
+    return regioned.groupBy("entity").applyInPandasWithState(
+        fn,
+        GEOFENCE_OUTPUT_DDL,
+        _GEOFENCE_STATE_DDL,
+        "append",
+        "NoTimeout",
+    )

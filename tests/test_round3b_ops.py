@@ -270,3 +270,149 @@ def test_stream_stream_left_outer_join_parity(spark, tmp_path):
     assert got == want and want
     # the outer rows are the point: some views must be null-padded
     assert any(r_id is None for _, _, r_id in got)
+
+
+# ---------------------------------------------------------------------------
+# streaming geofence
+# ---------------------------------------------------------------------------
+
+
+def test_geofence_stream_matches_batch(spark, tmp_path):
+    """Streaming enter/exit/switch == batch geofence_transitions on
+    time-ordered single-batch input (the containment Column shares the
+    batch operator's exact ray-cast arithmetic)."""
+    from skyway_spark.operators.trajectory import geofence_transitions
+    from skyway_spark.schema import POLYGONS_SCHEMA
+    from skyway_spark.streaming.events import geofence_stream, run_bounded
+
+    fences = [
+        (0, "f0", [{"lat": -20.0, "lon": -20.0}, {"lat": -20.0, "lon": 60.0},
+                   {"lat": 60.0, "lon": 60.0}, {"lat": 60.0, "lon": -20.0},
+                   {"lat": -20.0, "lon": -20.0}], "outer"),
+        (1, "f1", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 179.0},
+                   {"lat": 80.0, "lon": 179.0}, {"lat": 80.0, "lon": 0.0},
+                   {"lat": 0.0, "lon": 0.0}], "outer"),
+    ]
+    polys = spark.createDataFrame(fences, POLYGONS_SCHEMA)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts_cols = [
+        "event_id", "user_id", "ts",
+        ((F.col("user_id") * 7919) % 17000 / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+    ]
+    want = {
+        (r.entity, r.point_id, r.from_region, r.to_region, r.kind)
+        for r in geofence_transitions(ev.select(*pts_cols), polys, res=4).collect()
+    }
+
+    in_dir = str(tmp_path / "gf_in")
+    ev.coalesce(1).write.parquet(in_dir)
+    from skyway_spark.streaming.events import read_events_stream
+
+    stream_pts = read_events_stream(spark, in_dir).select(*pts_cols)
+    out_dir = str(tmp_path / "gf_out")
+    run_bounded(
+        geofence_stream(stream_pts, polys), str(tmp_path / "gf_ck"), out_dir
+    )
+    got = {
+        (r.entity, r.point_id, r.from_region, r.to_region, r.kind)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want and want
+    assert {k for *_, k in got} == {"enter", "exit", "switch"}
+
+
+def test_geofence_stream_state_spans_batches(spark, tmp_path):
+    """A user inside a fence at the end of batch 1 must NOT re-emit
+    'enter' in batch 2 — the cross-trigger state is the point."""
+    from skyway_spark.schema import POLYGONS_SCHEMA
+    from skyway_spark.streaming.events import geofence_stream, run_bounded
+
+    polys = spark.createDataFrame(
+        [(0, "f", [{"lat": -10.0, "lon": -10.0}, {"lat": -10.0, "lon": 10.0},
+                   {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": -10.0},
+                   {"lat": -10.0, "lon": -10.0}], "outer")],
+        POLYGONS_SCHEMA,
+    )
+    import datetime as dt2
+
+    t0 = dt2.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "view", 0.0, "{}", 0.0, 0.0),          # inside
+        (2, t0 + dt2.timedelta(minutes=1), 7, "view", 0.0, "{}", 0.0, 1.0),  # inside
+        (3, t0 + dt2.timedelta(minutes=2), 7, "view", 0.0, "{}", 50.0, 50.0),  # outside
+    ]
+    ddl = ("event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string, lat double, lon double")
+    in_dir = tmp_path / "gf2_in"
+    in_dir.mkdir()
+    # one file per event -> maxFilesPerTrigger forces separate batches
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], ddl).coalesce(1).write.parquet(
+            str(in_dir / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "b*"))
+        .select("event_id", "user_id", "ts", "lat", "lon")
+    )
+    out_dir = str(tmp_path / "gf2_out")
+    run_bounded(geofence_stream(stream, polys), str(tmp_path / "gf2_ck"), out_dir)
+    got = sorted(
+        (r.point_id, r.from_region, r.to_region, r.kind)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # exactly one enter (event 1) and one exit (event 3); event 2 is
+    # silent because state remembers region 0 across triggers
+    assert got == [(1, -1, 0, "enter"), (3, 0, -1, "exit")]
+
+
+# ---------------------------------------------------------------------------
+# crawl frontier + plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_frontier_excludes_crawled(spark):
+    from skyway_spark.operators import weblinks
+    from skyway_spark.sources.generate import generate_linked_pages
+
+    pages = generate_linked_pages(spark, 300)
+    crawled = pages.where(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") % 3 != 0
+    )
+    links = weblinks.extract_links(crawled)
+    out = weblinks.crawl_frontier(links, crawled.select("url"), k=10).collect()
+    assert 0 < len(out) <= 10
+    crawled_urls = {r.url for r in crawled.select("url").collect()}
+    for r in out:
+        assert r.href not in crawled_urls
+        assert r.n_hosts <= r.n_refs
+    # ranking is (n_hosts desc, n_refs desc, href asc)
+    keys = [(-r.n_hosts, -r.n_refs, r.href) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_new_op_plan_shapes(spark):
+    """Scale-shape pins: containment pair-join is a shuffle hash/merge
+    join on the gram key (no BNLJ/cartesian); morans_i has no
+    CartesianProduct; adaptive_tiles rescans its input once."""
+    from pyspark.sql import Row as R
+
+    docs = spark.createDataFrame(
+        [R(doc_id=i, text=f"w{i} x{i} y{i} z{i} common words here") for i in range(20)]
+    )
+    plan = (
+        dedup.ngram_containment_pairs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    cells_df = spark.createDataFrame(
+        [R(cx=i % 5, cy=i // 5, x=i + 1) for i in range(25)]
+    )
+    mplan = (
+        spatialstats.morans_i(cells_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in mplan
