@@ -2597,6 +2597,64 @@ def q_crawl_frontier(spark, sf):
     )
 
 
+def q_map_match(spark, sf):
+    """Map-matching to road SEGMENTS (edge-level upgrade of
+    q_snap_nodes): nearest segment by exact rational point-to-segment
+    distance (num/den int64, clamped projection), candidates from the
+    3x3 cell neighborhood of either endpoint; argmin tie-chain ends on
+    the unique segment id (operators/knn.match_to_segments).  The road
+    network derives closed-form from part (10-node ways of every third
+    partkey), so the oracle recomputes the full candidate set."""
+    from pyspark.sql import Window
+
+    from skyway_spark.operators.knn import match_to_segments
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("user_id") * 7919) % 17000 - 8500).alias("lat_c"),
+        ((F.col("event_id") * 104729) % 36000 - 18000).alias("lon_c"),
+    ).select(
+        "event_id",
+        "lat_c",
+        "lon_c",
+        (F.col("lat_c") / 100.0).alias("lat"),
+        (F.col("lon_c") / 100.0).alias("lon"),
+    )
+    (part,) = _tables(spark, sf, "part")
+    nodes = part.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("node_id"),
+        (F.col("p_partkey") / F.lit(30)).cast("long").alias("way_id"),
+        (((F.col("p_partkey") % 170) - 85) * 100).alias("ay_c"),
+        (((F.col("p_partkey") % 360) - 180) * 100).alias("ax_c"),
+    )
+    w = Window.partitionBy("way_id").orderBy("node_id")
+    segs = (
+        nodes.select(
+            "node_id",
+            "way_id",
+            "ay_c",
+            "ax_c",
+            F.lead("ay_c").over(w).alias("by_c"),
+            F.lead("ax_c").over(w).alias("bx_c"),
+        )
+        .where(F.col("by_c").isNotNull())
+        .select(
+            F.col("node_id").alias("seg_id"),
+            "way_id",
+            "ay_c",
+            "ax_c",
+            "by_c",
+            "bx_c",
+            (F.col("ay_c") / 100.0).alias("alat"),
+            (F.col("ax_c") / 100.0).alias("alon"),
+            (F.col("by_c") / 100.0).alias("blat"),
+            (F.col("bx_c") / 100.0).alias("blon"),
+        )
+    )
+    return match_to_segments(pts, segs, res=4, ring=1, point_id="event_id")
+
+
 def q_morans_i(spark, sf):
     """Global Moran's I spatial autocorrelation (rook contiguity) over
     the integer event-cell grid — engine-exact integer deviations
@@ -2852,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff": q_snapshot_diff,
         "q_adaptive_tiles": q_adaptive_tiles,
         "q_crawl_frontier": q_crawl_frontier,
+        "q_map_match": q_map_match,
     }
 
 
@@ -5980,6 +6039,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE op IS NOT NULL
         """,
         "q_adaptive_tiles": _adaptive_tiles_sql(),
+        "q_map_match": """
+            WITH p AS (
+                SELECT event_id,
+                       (user_id * 7919) % 17000 - 8500 AS py,
+                       (event_id * 104729) % 36000 - 18000 AS px
+                FROM events),
+            pc AS (
+                SELECT event_id, py, px,
+                       greatest(0, least(31, floor((px / 100.0 + 180.0)
+                           / 360.0 * 32.0)::BIGINT)) AS x,
+                       greatest(0, least(15, floor((90.0 - py / 100.0)
+                           / 180.0 * 16.0)::BIGINT)) AS y
+                FROM p),
+            n AS (
+                SELECT p_partkey AS node_id, p_partkey // 30 AS way_id,
+                       ((p_partkey % 170) - 85) * 100 AS yy,
+                       ((p_partkey % 360) - 180) * 100 AS xx
+                FROM part WHERE p_partkey % 3 = 0),
+            s AS (
+                SELECT node_id AS seg_id, way_id, yy AS ay, xx AS ax,
+                       lead(yy) OVER (PARTITION BY way_id ORDER BY node_id) AS y2,
+                       lead(xx) OVER (PARTITION BY way_id ORDER BY node_id) AS x2
+                FROM n),
+            s2 AS (
+                SELECT seg_id, way_id, ay, ax, y2, x2,
+                       greatest(0, least(31, floor((ax / 100.0 + 180.0)
+                           / 360.0 * 32.0)::BIGINT)) AS cax,
+                       greatest(0, least(15, floor((90.0 - ay / 100.0)
+                           / 180.0 * 16.0)::BIGINT)) AS cay,
+                       greatest(0, least(31, floor((x2 / 100.0 + 180.0)
+                           / 360.0 * 32.0)::BIGINT)) AS cbx,
+                       greatest(0, least(15, floor((90.0 - y2 / 100.0)
+                           / 180.0 * 16.0)::BIGINT)) AS cby
+                FROM s WHERE y2 IS NOT NULL),
+            cand AS (
+                SELECT pc.event_id, s2.seg_id, s2.way_id,
+                       (pc.py - s2.ay) * (s2.y2 - s2.ay)
+                     + (pc.px - s2.ax) * (s2.x2 - s2.ax) AS dot,
+                       (s2.y2 - s2.ay) * (s2.y2 - s2.ay)
+                     + (s2.x2 - s2.ax) * (s2.x2 - s2.ax) AS den0,
+                       (pc.py - s2.ay) * (pc.py - s2.ay)
+                     + (pc.px - s2.ax) * (pc.px - s2.ax) AS ap2,
+                       (pc.py - s2.y2) * (pc.py - s2.y2)
+                     + (pc.px - s2.x2) * (pc.px - s2.x2) AS bp2
+                FROM pc JOIN s2
+                  ON (least((pc.x - s2.cax + 32) % 32,
+                            (s2.cax - pc.x + 32) % 32) <= 1
+                      AND abs(pc.y - s2.cay) <= 1)
+                  OR (least((pc.x - s2.cbx + 32) % 32,
+                            (s2.cbx - pc.x + 32) % 32) <= 1
+                      AND abs(pc.y - s2.cby) <= 1)),
+            scored AS (
+                SELECT event_id, seg_id, way_id,
+                       CASE WHEN dot <= 0 THEN ap2
+                            WHEN dot >= den0 THEN bp2
+                            ELSE ap2 * den0 - dot * dot END AS num,
+                       CASE WHEN dot <= 0 OR dot >= den0
+                            THEN 1::BIGINT ELSE den0 END AS den
+                FROM cand),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_id
+                    ORDER BY num::DOUBLE / den::DOUBLE, num, den, seg_id) AS rk
+                FROM scored)
+            SELECT event_id, seg_id, way_id, num AS d2_num, den AS d2_den
+            FROM r WHERE rk = 1
+        """,
         "q_crawl_frontier": f"""
             WITH l AS ({_linked_links_sql(LINKED_PAGES_N)})
             SELECT href, COUNT(DISTINCT src_host) AS n_hosts,

@@ -416,3 +416,96 @@ def test_new_op_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in mplan
+
+
+# ---------------------------------------------------------------------------
+# map matching to segments
+# ---------------------------------------------------------------------------
+
+
+def test_match_to_segments_brute_force(spark):
+    """Spark argmin == exact-rational python argmin over the same
+    candidate set; segment distance never exceeds best endpoint
+    distance."""
+    from fractions import Fraction
+
+    from skyway_spark.functions import cells as cf
+    from skyway_spark.operators.knn import match_to_segments
+
+    segs_py = [
+        # seg_id, way_id, A(y,x), B(y,x)  (centidegrees)
+        (1, 0, (0, 0), (0, 1000)),
+        (2, 0, (0, 1000), (800, 1000)),
+        (3, 1, (-500, -500), (-500, -500)),  # degenerate zero-length
+        (4, 1, (2000, -3000), (2500, -2500)),
+    ]
+    pts_py = [
+        (10, (100, 500)),   # above the middle of seg 1
+        (11, (0, 1200)),    # past B of seg 1, near seg 2 start
+        (12, (-480, -520)), # near the degenerate segment
+        (13, (2400, -2600)),
+    ]
+    segs = spark.createDataFrame(
+        [
+            (s, w, ay, ax, by, bx, ay / 100.0, ax / 100.0, by / 100.0, bx / 100.0)
+            for s, w, (ay, ax), (by, bx) in segs_py
+        ],
+        "seg_id long, way_id long, ay_c long, ax_c long, by_c long, bx_c long,"
+        "alat double, alon double, blat double, blon double",
+    )
+    pts = spark.createDataFrame(
+        [(p, y, x, y / 100.0, x / 100.0) for p, (y, x) in pts_py],
+        "point_id long, lat_c long, lon_c long, lat double, lon double",
+    )
+    got = {
+        r.point_id: (r.seg_id, r.d2_num, r.d2_den)
+        for r in match_to_segments(pts, segs, res=4, ring=1).collect()
+    }
+
+    def seg_d2(py, px, ay, ax, by, bx):
+        dot = (py - ay) * (by - ay) + (px - ax) * (bx - ax)
+        den = (by - ay) ** 2 + (bx - ax) ** 2
+        if dot <= 0 or den == 0:
+            return ((py - ay) ** 2 + (px - ax) ** 2, 1)
+        if dot >= den:
+            return ((py - by) ** 2 + (px - bx) ** 2, 1)
+        return (((py - ay) ** 2 + (px - ax) ** 2) * den - dot * dot, den)
+
+    for pid, (py, px) in pts_py:
+        best = min(
+            (
+                (Fraction(*seg_d2(py, px, ay, ax, by, bx)), s)
+                for s, _, (ay, ax), (by, bx) in segs_py
+            ),
+        )
+        assert got[pid][0] == best[1], f"point {pid}"
+        assert Fraction(got[pid][1], got[pid][2]) == best[0]
+        # segment distance <= both endpoint distances
+        s, _, (ay, ax), (by, bx) = segs_py[best[1] - 1]
+        d_end = min((py - ay) ** 2 + (px - ax) ** 2, (py - by) ** 2 + (px - bx) ** 2)
+        assert Fraction(got[pid][1], got[pid][2]) <= d_end
+
+
+def test_match_to_segments_beats_vertex_snap(spark):
+    """A point near the middle of a long edge matches that edge with a
+    much smaller distance than the nearest vertex — the reason the
+    edge-level operator exists."""
+    from skyway_spark.operators.knn import match_to_segments, snap_to_sites
+
+    segs = spark.createDataFrame(
+        [(1, 0, 0, -2000, 0, 2000, 0.0, -20.0, 0.0, 20.0)],
+        "seg_id long, way_id long, ay_c long, ax_c long, by_c long, bx_c long,"
+        "alat double, alon double, blat double, blon double",
+    )
+    pts = spark.createDataFrame(
+        [(7, 50, 0, 0.5, 0.0)],
+        "point_id long, lat_c long, lon_c long, lat double, lon double",
+    )
+    m = match_to_segments(pts, segs, res=4, ring=1).first()
+    assert (m.d2_num, m.d2_den) == (50 * 50 * (4000 * 4000), 4000 * 4000)
+    sites = spark.createDataFrame(
+        [(1, 0, -2000, 0.0, -20.0), (2, 0, 2000, 0.0, 20.0)],
+        "site_id long, lat_c long, lon_c long, lat double, lon double",
+    )
+    v = snap_to_sites(pts, sites, res=4, ring=1).first()
+    assert v.d2 == 50 * 50 + 2000 * 2000  # vertex snap is ~1600x farther
