@@ -2671,6 +2671,41 @@ def q_morans_i(spark, sf):
     return spatialstats.morans_i(spatialstats.cell_counts(pts))
 
 
+def _event_cells_int(spark, sf):
+    (ev,) = _tables(spark, sf, "events")
+    return ev.select(
+        "ts",
+        (((F.col("user_id") * 7919) % 17000) / F.lit(100)).cast("long").alias("cx"),
+        (((F.col("event_id") * 104729) % 36000) / F.lit(100)).cast("long").alias("cy"),
+    )
+
+
+def q_hot_spots(spark, sf):
+    """Local hot/cold-spot map (Getis-Ord G_i* shape) over the event
+    cell grid: focal rook+self sums on the aggregate-sized cell table,
+    hot flag via the cross-multiplied integer inequality
+    nb_sum * n > n_nb * S (operators/spatialstats.hot_spots)."""
+    from skyway_spark.operators import spatialstats
+
+    pts = _event_cells_int(spark, sf).drop("ts")
+    return spatialstats.hot_spots(spatialstats.cell_counts(pts))
+
+
+def q_tile_diff(spark, sf):
+    """Space-time change detection: the per-cell event-count changelog
+    between the first and second half of January — operator
+    COMPOSITION: cdc.snapshot_diff keyed by the grid cell over two
+    spatialstats.cell_counts aggregates.  Cells that appear, vanish, or
+    change density surface as I/D/U rows."""
+    from skyway_spark.operators import spatialstats
+    from skyway_spark.operators.cdc import snapshot_diff
+
+    pts = _event_cells_int(spark, sf)
+    before = spatialstats.cell_counts(pts.where(F.col("ts") < "2024-01-15"))
+    after = spatialstats.cell_counts(pts.where(F.col("ts") >= "2024-01-15"))
+    return snapshot_diff(before, after, ["cx", "cy"], ["x"])
+
+
 def q_containment_pairs(spark, sf):
     """Asymmetric n-gram containment near-dup pairs (short-doc-inside-
     long-doc signal Jaccard dilutes): intersections counted FROM the
@@ -2911,6 +2946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_adaptive_tiles": q_adaptive_tiles,
         "q_crawl_frontier": q_crawl_frontier,
         "q_map_match": q_map_match,
+        "q_hot_spots": q_hot_spots,
+        "q_tile_diff": q_tile_diff,
     }
 
 
@@ -6039,6 +6076,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE op IS NOT NULL
         """,
         "q_adaptive_tiles": _adaptive_tiles_sql(),
+        "q_hot_spots": """
+            WITH pts AS (
+                SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                       ((event_id * 104729) % 36000) // 100 AS cy
+                FROM events),
+            cells AS (SELECT cx, cy, COUNT(*) AS x FROM pts GROUP BY 1, 2),
+            tot AS (SELECT COUNT(*) AS n, (SUM(x))::BIGINT AS s FROM cells),
+            nb AS (
+                SELECT a.cx, a.cy, (SUM(b.x))::BIGINT AS nb_sum,
+                       COUNT(*) AS n_nb
+                FROM cells a
+                JOIN (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)
+                  ON TRUE
+                JOIN cells b ON a.cx + o.dx = b.cx AND a.cy + o.dy = b.cy
+                GROUP BY 1, 2)
+            SELECT c.cx, c.cy, c.x, nb.nb_sum, nb.n_nb,
+                   nb.nb_sum * (SELECT n FROM tot)
+                       > nb.n_nb * (SELECT s FROM tot) AS hot
+            FROM cells c JOIN nb USING (cx, cy)
+        """,
+        "q_tile_diff": """
+            WITH pts AS (
+                SELECT ts,
+                       ((user_id * 7919) % 17000) // 100 AS cx,
+                       ((event_id * 104729) % 36000) // 100 AS cy
+                FROM events),
+            b AS (SELECT cx, cy, COUNT(*) AS x FROM pts
+                  WHERE ts < '2024-01-15' GROUP BY 1, 2),
+            a AS (SELECT cx, cy, COUNT(*) AS x FROM pts
+                  WHERE ts >= '2024-01-15' GROUP BY 1, 2),
+            j AS (
+                SELECT COALESCE(b.cx, a.cx) AS cx, COALESCE(b.cy, a.cy) AS cy,
+                       b.x AS old_x, a.x AS new_x,
+                       b.cx IS NOT NULL AS in_old, a.cx IS NOT NULL AS in_new
+                FROM b FULL OUTER JOIN a ON b.cx = a.cx AND b.cy = a.cy)
+            SELECT cx, cy, old_x, new_x, op
+            FROM (SELECT *,
+                         CASE WHEN NOT in_old THEN 'I'
+                              WHEN NOT in_new THEN 'D'
+                              WHEN old_x IS DISTINCT FROM new_x THEN 'U'
+                         END AS op
+                  FROM j) t
+            WHERE op IS NOT NULL
+        """,
         "q_map_match": """
             WITH p AS (
                 SELECT event_id,

@@ -80,3 +80,59 @@ def morans_i(cells: DataFrame) -> DataFrame:
             ).alias("morans_i"),
         )
     )
+
+
+def hot_spots(cells: DataFrame) -> DataFrame:
+    """Local hot/cold-spot detection (Getis-Ord G_i* shape, integer
+    arithmetic): for each occupied cell, the focal sum over its rook
+    neighborhood including itself, flagged hot when the local mean
+    exceeds the global mean — the comparison is cross-multiplied,
+    ``nb_sum * n_cells > n_nb * S``, so the flag is engine-exact with
+    no division.
+
+    Input: (cx, cy, x).  Output: (cx, cy, x, nb_sum, n_nb, hot) where
+    n_nb counts only OCCUPIED neighbors (empty cells contribute zero
+    mass and are excluded from the focal mean, the sparse-grid
+    convention).
+
+    Scale shape: the cell table (already aggregate-sized) explodes to
+    its 5 focal offsets (row-local), then ONE equi-join on the shifted
+    key and one map-side-combined groupBy — never a theta join, never
+    the corpus."""
+    totals = cells.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+        ]
+    )
+    probes = cells.select(
+        F.col("cx").alias("ox"),
+        F.col("cy").alias("oy"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "ox", "oy", (F.col("ox") + F.col("o.dx")).alias("nx"),
+        (F.col("oy") + F.col("o.dy")).alias("ny"),
+    )
+    nb = (
+        probes.join(
+            cells.select(
+                F.col("cx").alias("nx"), F.col("cy").alias("ny"), F.col("x").alias("nv")
+            ),
+            ["nx", "ny"],
+        )
+        .groupBy(F.col("ox").alias("cx"), F.col("oy").alias("cy"))
+        .agg(F.sum("nv").alias("nb_sum"), F.count(F.lit(1)).alias("n_nb"))
+    )
+    return (
+        cells.join(nb, ["cx", "cy"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cx",
+            "cy",
+            "x",
+            "nb_sum",
+            "n_nb",
+            (F.col("nb_sum") * F.col("n") > F.col("n_nb") * F.col("s")).alias("hot"),
+        )
+    )

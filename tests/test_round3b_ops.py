@@ -509,3 +509,23 @@ def test_match_to_segments_beats_vertex_snap(spark):
     )
     v = snap_to_sites(pts, sites, res=4, ring=1).first()
     assert v.d2 == 50 * 50 + 2000 * 2000  # vertex snap is ~1600x farther
+
+
+def test_hot_spots_bruteforce(spark):
+    grid = [(0, 0, 50), (0, 1, 40), (1, 0, 45), (5, 5, 1), (5, 6, 2), (9, 9, 1)]
+    df = spark.createDataFrame([Row(cx=a, cy=b, x=c) for a, b, c in grid])
+    got = {(r.cx, r.cy): r for r in spatialstats.hot_spots(df).collect()}
+    n, s = len(grid), sum(x for _, _, x in grid)
+    vals = {(a, b): c for a, b, c in grid}
+    assert set(got) == set(vals)
+    for (cx, cy), v in vals.items():
+        nbs = [
+            vals[k]
+            for k in [(cx, cy), (cx + 1, cy), (cx - 1, cy), (cx, cy + 1), (cx, cy - 1)]
+            if k in vals
+        ]
+        r = got[(cx, cy)]
+        assert (r.nb_sum, r.n_nb) == (sum(nbs), len(nbs))
+        assert r.hot == (sum(nbs) * n > len(nbs) * s)
+    # the dense block is hot, the sparse tail is not
+    assert got[(0, 0)].hot and not got[(5, 5)].hot
