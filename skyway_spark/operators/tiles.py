@@ -213,10 +213,16 @@ def adaptive_tiles(
     finest = assign_tiles(points, max_z, lat, lon).groupBy("tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n_points")
     )
+    # every level feeds three plan branches (keep, overflow, child
+    # semi-join) and each coarser level derives from the finer one —
+    # without localCheckpoint pins Catalyst re-plans the whole chain
+    # per reference and the corpus re-aggregates O(3^levels) times
+    # (the repo's multi-reference staging discipline; measured 22
+    # shuffles -> 1 corpus shuffle + tile-table-sized jobs)
     levels = {max_z: finest.select(
         F.lit(max_z).alias("z"), F.col("tile_x").alias("x"),
         F.col("tile_y").alias("y"), "n_points",
-    )}
+    ).localCheckpoint(eager=True)}
     for z in range(max_z - 1, base_z - 1, -1):
         child = levels[z + 1]
         levels[z] = (
@@ -226,6 +232,7 @@ def adaptive_tiles(
             )
             .agg(F.sum("n_points").alias("n_points"))
             .select(F.lit(z).alias("z"), "x", "y", "n_points")
+            .localCheckpoint(eager=True)
         )
     # walk down: keep a tile if it fits the budget (or is at max_z) AND
     # every ancestor strictly above it overflowed
