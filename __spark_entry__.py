@@ -2655,6 +2655,106 @@ def q_map_match(spark, sf):
     return match_to_segments(pts, segs, res=4, ring=1, point_id="event_id")
 
 
+PQ_M, PQ_K, PQ_ITERS = 4, 8, 2
+
+
+def q_pq_codes(spark, sf):
+    """Product quantization of the embeddings: m=4 independent
+    engine-exact integer k-means codebooks over the 16-dim sub-blocks
+    (operators/kmeans.pq_codes — same Lloyd contract as q_kmeans),
+    all 4 codes emitted in one output scan.  The oracle runs four
+    unrolled-Lloyd mirrors on embedding slices and joins them on
+    vec_id."""
+    from skyway_spark.operators.kmeans import pq_codes
+
+    (emb,) = _tables(spark, sf, "embeddings")
+    return pq_codes(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+
+
+def _pq_sql() -> str:
+    bs = 64 // PQ_M
+    parts = []
+    for j in range(PQ_M):
+        vec_expr = f"embedding[{j * bs + 1}:{(j + 1) * bs}]"
+        parts.append(
+            f"({_kmeans_sql(k=PQ_K, iters=PQ_ITERS, dim=bs, vec_expr=vec_expr)}) a{j}"
+        )
+    joins = parts[0] + "".join(
+        f" JOIN {p} USING (vec_id)" for p in parts[1:]
+    )
+    sel = ", ".join(
+        f"a{j}.cluster AS code_{j}, a{j}.dist AS dist_{j}" for j in range(PQ_M)
+    )
+    return f"SELECT vec_id, {sel} FROM {joins}"
+
+
+PQ_QUERY_ID, PQ_TOPK = 7, 10
+
+
+def q_pq_topk(spark, sf):
+    """PQ-ANN search via asymmetric distance computation: the query's
+    exact distances to every sub-centroid form an m x k table; each
+    corpus vector's approximate distance is the sum of m lookups
+    selected by its PQ codes — one scan + TakeOrdered, no joins
+    (operators/kmeans.pq_topk).  Oracle: the same codebooks unrolled
+    per block, distance tables via CROSS JOIN against the quantized
+    query row, table lookup as a cid equi-join."""
+    from skyway_spark.operators.kmeans import pq_topk
+
+    (emb,) = _tables(spark, sf, "embeddings")
+    return pq_topk(emb, query_id=PQ_QUERY_ID, topk=PQ_TOPK, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+
+
+def _pq_topk_sql() -> str:
+    bs = 64 // PQ_M
+    scale = float(1 << 20)
+    dparts = []
+    for j in range(PQ_M):
+        vec_expr = f"embedding[{j * bs + 1}:{(j + 1) * bs}]"
+        prefix, prev = _kmeans_cte_prefix(PQ_K, PQ_ITERS, bs, 20, vec_expr)
+        dparts.append(
+            f"""({prefix}
+            qv AS (SELECT list_transform({vec_expr},
+                       x -> floor(x::DOUBLE * {scale})::BIGINT) AS q
+                   FROM embeddings WHERE vec_id = {PQ_QUERY_ID})
+            SELECT c.cid, ({_kmeans_dist_sql('qv', 'c', bs)})::BIGINT AS qd
+            FROM {prev} c CROSS JOIN qv) d{j}"""
+        )
+    joins = f"({_pq_sql()}) e" + "".join(
+        f" JOIN {d} ON d{j}.cid = e.code_{j}" for j, d in enumerate(dparts)
+    )
+    s = " + ".join(f"d{j}.qd" for j in range(PQ_M))
+    return f"""
+        SELECT e.vec_id, ({s}) AS approx_dist FROM {joins}
+        ORDER BY approx_dist, e.vec_id LIMIT {PQ_TOPK}
+    """
+
+
+def q_line_raster(spark, sf):
+    """Road-density raster: integer DDA walk of every road segment
+    (the q_map_match network gridded to degree cells — endpoint
+    centidegrees are multiples of 100, so the division is exact)
+    counting segments per visited cell (operators/tiles.rasterize_segments).
+    The walk is a row-local JVM sequence+transform; ONE cell groupBy."""
+    from pyspark.sql import Window
+
+    (part,) = _tables(spark, sf, "part")
+    nodes = part.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("node_id"),
+        (F.col("p_partkey") / F.lit(30)).cast("long").alias("way_id"),
+        ((F.col("p_partkey") % 170) - 85).alias("gy"),
+        ((F.col("p_partkey") % 360) - 180).alias("gx"),
+    )
+    w = Window.partitionBy("way_id").orderBy("node_id")
+    segs = nodes.select(
+        "gy",
+        "gx",
+        F.lead("gy").over(w).alias("gy2"),
+        F.lead("gx").over(w).alias("gx2"),
+    ).where(F.col("gy2").isNotNull())
+    return tiles.rasterize_segments(segs, ax="gx", ay="gy", bx="gx2", by="gy2")
+
+
 def q_morans_i(spark, sf):
     """Global Moran's I spatial autocorrelation (rook contiguity) over
     the integer event-cell grid — engine-exact integer deviations
@@ -2948,6 +3048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_map_match": q_map_match,
         "q_hot_spots": q_hot_spots,
         "q_tile_diff": q_tile_diff,
+        "q_line_raster": q_line_raster,
+        "q_pq_codes": q_pq_codes,
+        "q_pq_topk": q_pq_topk,
     }
 
 
@@ -3862,16 +3965,18 @@ def _kmeans_dist_sql(v: str, c: str, dim: int = 64) -> str:
 
 
 def _kmeans_cte_prefix(
-    k: int, iters: int, dim: int = 64, scale_bits: int = 20
+    k: int, iters: int, dim: int = 64, scale_bits: int = 20,
+    vec_expr: str = "embedding",
 ) -> tuple[str, str]:
     """Shared unrolled-Lloyd CTE chain: quantize, deterministic init,
     per-iteration assign / integer sums / floor-div update with
-    empty-cluster carry-over. Returns (sql_prefix, final_centroid_cte)."""
+    empty-cluster carry-over. Returns (sql_prefix, final_centroid_cte).
+    ``vec_expr`` lets the PQ oracle train on embedding sub-slices."""
     dist = lambda v, c: _kmeans_dist_sql(v, c, dim)  # noqa: E731
     sql = f"""
         WITH quant AS (
             SELECT vec_id,
-                   list_transform(embedding,
+                   list_transform({vec_expr},
                        x -> floor(x::DOUBLE * {float(1 << scale_bits)})::BIGINT) AS q
             FROM embeddings),
         c0 AS (
@@ -3906,14 +4011,15 @@ def _kmeans_cte_prefix(
 
 
 def _kmeans_sql(
-    k: int | None = None, iters: int | None = None, dim: int = 64, scale_bits: int = 20
+    k: int | None = None, iters: int | None = None, dim: int = 64, scale_bits: int = 20,
+    vec_expr: str = "embedding",
 ) -> str:
     """Unrolled-CTE mirror of operators/kmeans.kmeans_fit_assign: the
     same quantization, integer distances, argmin tie-break, floor-div
     centroid update and empty-cluster carry-over, iteration by
     iteration."""
     k, iters = k or KMEANS_K, iters or KMEANS_ITERS
-    prefix, prev = _kmeans_cte_prefix(k, iters, dim, scale_bits)
+    prefix, prev = _kmeans_cte_prefix(k, iters, dim, scale_bits, vec_expr)
     dist = _kmeans_dist_sql("v", "c", dim)
     return prefix + f"""
         fin AS (
@@ -6076,6 +6182,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE op IS NOT NULL
         """,
         "q_adaptive_tiles": _adaptive_tiles_sql(),
+        "q_pq_codes": _pq_sql(),
+        "q_pq_topk": _pq_topk_sql(),
+        "q_line_raster": """
+            WITH n AS (
+                SELECT p_partkey AS node_id, p_partkey // 30 AS way_id,
+                       (p_partkey % 170) - 85 AS gy,
+                       (p_partkey % 360) - 180 AS gx
+                FROM part WHERE p_partkey % 3 = 0),
+            s AS (
+                SELECT gy, gx,
+                       lead(gy) OVER (PARTITION BY way_id ORDER BY node_id) AS gy2,
+                       lead(gx) OVER (PARTITION BY way_id ORDER BY node_id) AS gx2
+                FROM n),
+            r AS (
+                SELECT gx AS ax, gy AS ay,
+                       abs(gx2 - gx) AS adx, abs(gy2 - gy) AS ady,
+                       greatest(abs(gx2 - gx), abs(gy2 - gy)) AS steps,
+                       greatest(greatest(abs(gx2 - gx), abs(gy2 - gy)), 1) AS s1,
+                       sign(gx2 - gx)::BIGINT AS sx,
+                       sign(gy2 - gy)::BIGINT AS sy
+                FROM s WHERE gy2 IS NOT NULL),
+            w AS (
+                SELECT ax + sx * ((2 * k * adx + s1) // (2 * s1)) AS x,
+                       ay + sy * ((2 * k * ady + s1) // (2 * s1)) AS y
+                FROM r, unnest(range(0, steps + 1)) u(k))
+            SELECT x, y, COUNT(*) AS n_segs FROM w GROUP BY 1, 2
+        """,
         "q_hot_spots": """
             WITH pts AS (
                 SELECT ((user_id * 7919) % 17000) // 100 AS cx,

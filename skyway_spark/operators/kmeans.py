@@ -255,3 +255,161 @@ def ivf_trained_topk(
     )
     qdf.unpersist()
     return out
+
+
+def pq_codes(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> DataFrame:
+    """Product quantization: ``m`` independent integer k-means
+    codebooks, one per contiguous dim/m sub-block of the embedding —
+    the memory-side half of a PQ/IVF-PQ ANN index (a 64-dim float
+    vector compresses to m small codes; distances against codebook
+    entries reconstruct approximate similarities without touching the
+    raw vectors).
+
+    Training reuses the engine-exact Lloyd's of ``kmeans_train`` on
+    the SLICED sub-vectors (same quantization / floor-div / tie-break
+    contract, so the whole index carries an exact SQL oracle); the
+    final encoding emits all m codes in ONE output scan — per block an
+    array_min(struct) argmin over the k literal sub-centroids, staged
+    through a quantized projection so the interpreted slice/quantize
+    HOFs evaluate once per block, not once per centroid.
+
+    Output: (vec_id, code_0..dist_0.., code_{m-1}, dist_{m-1}) with
+    dist_j the integer squared distance to the chosen sub-centroid.
+
+    Scale shape: training cost is m small driver syncs (k * dim/m
+    longs each); encoding is scan-stage Column math with zero shuffles
+    and zero joins — at 10^12 vectors the codes append to the scan like
+    any derived column.
+    """
+    if dim % m:
+        raise ValueError("dim must divide evenly into m blocks")
+    bs = dim // m
+    books = []
+    for j in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * bs + 1, bs).alias(vec_col),
+        )
+        centroids, qdf = kmeans_train(sub, k, iters, id_col, vec_col, scale_bits)
+        qdf.unpersist()
+        books.append(centroids)
+    staged = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            _quantize(F.slice(F.col(vec_col), j * bs + 1, bs), scale_bits).alias(
+                f"__q{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    out_cols = [F.col("vec_id")]
+    for j, centroids in enumerate(books):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist(F.col(f"__q{j}"), c).alias("dist"),
+                        F.lit(i).alias("cid"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        )
+        out_cols.append(best["cid"].alias(f"code_{j}"))
+        out_cols.append(best["dist"].alias(f"dist_{j}"))
+    return staged.select(*out_cols)
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query_id: int,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> DataFrame:
+    """PQ-ANN search via asymmetric distance computation (ADC): the
+    query's exact squared distance to every sub-centroid forms an
+    m x k lookup table; each corpus vector's approximate distance is
+    the sum of m table entries selected by its PQ codes — the standard
+    IVF-PQ probe arithmetic, here engine-exact because the tables and
+    codes are the integer-quantized kind.
+
+    Output: the ``topk`` (vec_id, approx_dist) rows, ordered
+    (approx_dist, vec_id) — deterministic cut.
+
+    Scale shape: after the m small trainings, everything is one
+    output scan — per block an argmin over k literal sub-centroids
+    plus a literal-array table lookup — and a TakeOrdered top-k.  The
+    query vector is one driver-side row (the only collect); no joins,
+    no shuffle beyond the top-k reduction.
+    """
+    if dim % m:
+        raise ValueError("dim must divide evenly into m blocks")
+    bs = dim // m
+    qrow = vectors.where(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        raise KeyError(f"query vector {query_id} not found")
+    import math
+
+    scale = float(1 << scale_bits)
+    qvec = [int(math.floor(float(x) * scale)) for x in qrow[0][0]]
+
+    books = []
+    for j in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * bs + 1, bs).alias(vec_col),
+        )
+        centroids, qdf = kmeans_train(sub, k, iters, id_col, vec_col, scale_bits)
+        qdf.unpersist()
+        books.append(centroids)
+
+    staged = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            _quantize(F.slice(F.col(vec_col), j * bs + 1, bs), scale_bits).alias(
+                f"__q{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    approx = F.lit(0).cast("long")
+    for j, centroids in enumerate(books):
+        qsub = qvec[j * bs : (j + 1) * bs]
+        dtab = [
+            sum((a - b) * (a - b) for a, b in zip(qsub, c)) for c in centroids
+        ]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist(F.col(f"__q{j}"), c).alias("dist"),
+                        F.lit(i).alias("cid"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        )
+        approx = approx + F.element_at(
+            F.array(*[F.lit(int(d)).cast("long") for d in dtab]),
+            best["cid"] + 1,
+        )
+    return (
+        staged.select("vec_id", approx.alias("approx_dist"))
+        .orderBy("approx_dist", "vec_id")
+        .limit(topk)
+    )

@@ -260,3 +260,52 @@ def adaptive_tiles(
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def rasterize_segments(
+    segments: DataFrame,
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+) -> DataFrame:
+    """Line rasterization: integer DDA walk of every segment across
+    the grid, counting segments per visited cell — the road-density
+    raster (line layers need this; point rollups only cover endpoints).
+
+    The walk is engine-exact integer math: with s = max(|dx|,|dy|)
+    steps (clamped to >= 1 so the zero-length case needs no branch),
+    step k lands on  a + sign(d) * ((2*k*|d| + s) // (2*s))  per axis —
+    the round-to-nearest midpoint form written as a floor division of
+    non-negative ints, so Spark's floor(double) (operands far below
+    2^53) and SQL's ``//`` agree bit-for-bit.  Consecutive k differ by
+    one on the major axis, so the walk never revisits a cell.
+
+    Input: integer cell endpoints per segment.  Output: (x, y, n_segs).
+
+    Scale shape: the walk is a row-local sequence+transform (JVM, no
+    Python); the only shuffle is the final map-side-combined cell
+    groupBy, bounded by grid size x average segment length."""
+    d_x = F.col(bx) - F.col(ax)
+    d_y = F.col(by) - F.col(ay)
+    adx, ady = F.abs(d_x), F.abs(d_y)
+    steps = F.greatest(adx, ady)
+    s1 = F.greatest(steps, F.lit(1))
+    sx = F.signum(d_x).cast("long")
+    sy = F.signum(d_y).cast("long")
+
+    def off(k, ad):
+        return F.floor((2 * k * ad + s1) / (2 * s1)).cast("long")
+
+    walk = F.transform(
+        F.sequence(F.lit(0), steps),
+        lambda k: F.struct(
+            (F.col(ax) + sx * off(k, adx)).alias("x"),
+            (F.col(ay) + sy * off(k, ady)).alias("y"),
+        ),
+    )
+    return (
+        segments.select(F.explode(walk).alias("c"))
+        .groupBy(F.col("c.x").alias("x"), F.col("c.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_segs"))
+    )

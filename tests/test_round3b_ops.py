@@ -529,3 +529,97 @@ def test_hot_spots_bruteforce(spark):
         assert r.hot == (sum(nbs) * n > len(nbs) * s)
     # the dense block is hot, the sparse tail is not
     assert got[(0, 0)].hot and not got[(5, 5)].hot
+
+
+def test_rasterize_segments_dda_properties(spark):
+    """Walk includes both endpoints, is 8-connected, never revisits a
+    cell, and matches a python mirror cell-for-cell."""
+    segs_py = [(0, 0, 5, 2), (3, 3, 3, 3), (-2, 4, 2, -4), (10, 0, 0, 10)]
+    segs = spark.createDataFrame(
+        segs_py, "ax long, ay long, bx long, by long"
+    )
+    got = {
+        (r.x, r.y): r.n_segs
+        for r in tiles.rasterize_segments(segs).collect()
+    }
+
+    def walk(ax, ay, bx, by):
+        adx, ady = abs(bx - ax), abs(by - ay)
+        steps = max(adx, ady)
+        s1 = max(steps, 1)
+        sx = (bx > ax) - (bx < ax)
+        sy = (by > ay) - (by < ay)
+        return [
+            (ax + sx * ((2 * k * adx + s1) // (2 * s1)),
+             ay + sy * ((2 * k * ady + s1) // (2 * s1)))
+            for k in range(steps + 1)
+        ]
+
+    from collections import Counter
+
+    want = Counter()
+    for ax, ay, bx, by in segs_py:
+        cells_w = walk(ax, ay, bx, by)
+        assert cells_w[0] == (ax, ay) and cells_w[-1] == (bx, by)
+        assert len(set(cells_w)) == len(cells_w)  # no revisits
+        for (x1, y1), (x2, y2) in zip(cells_w, cells_w[1:]):
+            assert max(abs(x2 - x1), abs(y2 - y1)) == 1  # 8-connected
+        want.update(cells_w)
+    assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_block_consistency(spark):
+    """Per block, PQ codes equal a standalone k-means run on that
+    slice, and dist_j is the distance to the chosen sub-centroid."""
+    from skyway_spark.operators.kmeans import kmeans_fit_assign, pq_codes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_codes(emb, m=4, k=4, iters=1)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert rows and all(0 <= rows[v][f"code_{j}"] < 4 for v in rows for j in range(4))
+    # block 2 == standalone kmeans on the same slice
+    sub = emb.select(
+        "vec_id", F.slice("embedding", 2 * 16 + 1, 16).alias("embedding")
+    )
+    ref = {r.vec_id: r for r in kmeans_fit_assign(sub, k=4, iters=1).collect()}
+    for v, r in rows.items():
+        assert (r.code_2, r.dist_2) == (ref[v].cluster, ref[v].dist)
+
+
+def test_pq_topk_recall_against_exact(spark):
+    """ADC ranking is an approximation — but the query's own vector
+    must rank first (distortion-only distance), and the top-10 must
+    overlap substantially with the exact quantized top-10."""
+    from skyway_spark.operators.kmeans import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = pq_topk(emb, query_id=7, topk=10, m=4, k=8, iters=2).collect()
+    assert len(got) == 10
+    assert got == sorted(got, key=lambda r: (r.approx_dist, r.vec_id))
+    ids = [r.vec_id for r in got]
+    assert 7 in ids  # the query itself survives quantization distortion
+    # exact top-10 by true squared distance (python, same quantization);
+    # the synthetic embeddings are near-uniform random, where 8-centroid
+    # codebooks retain little distance structure — so the bar is
+    # better-than-chance overlap (chance: 10/500 per slot), not recall
+    import math
+
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    q = [math.floor(x * (1 << 20)) for x in vecs[7]]
+    exact = sorted(
+        (
+            sum(
+                (math.floor(x * (1 << 20)) - qq) ** 2
+                for x, qq in zip(vecs[vid], q)
+            ),
+            vid,
+        )
+        for vid in vecs
+    )[:10]
+    overlap = len(set(ids) & {vid for _, vid in exact})
+    assert overlap >= 2, f"ADC overlap not above chance: {overlap}/10"
