@@ -160,6 +160,9 @@ BENCH_QUERIES = [
     "q_map_match",
     "q_hot_spots",
     "q_tile_diff",
+    "q_line_raster",
+    "q_pq_codes",
+    "q_pq_topk",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
