@@ -2688,6 +2688,18 @@ def _pq_sql() -> str:
     return f"SELECT vec_id, {sel} FROM {joins}"
 
 
+def q_running_anomaly(spark, sf):
+    """Online anomaly detection, detect-at-arrival: each event judged
+    against its user's PRIOR integer moments (n, s, ssq) with the
+    cross-multiplied z^2 > 9 inequality — no division, no sqrt
+    (operators/stats.running_zscore_flags).  ONE entity-keyed sort
+    shuffle; the streaming twin shares the state contract."""
+    from skyway_spark.operators.stats import running_zscore_flags
+
+    (ev,) = _tables(spark, sf, "events")
+    return running_zscore_flags(ev)
+
+
 PQ_QUERY_ID, PQ_TOPK = 7, 10
 
 
@@ -3051,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_raster": q_line_raster,
         "q_pq_codes": q_pq_codes,
         "q_pq_topk": q_pq_topk,
+        "q_running_anomaly": q_running_anomaly,
     }
 
 
@@ -6184,6 +6197,26 @@ def oracle_sql() -> dict[str, str]:
         "q_adaptive_tiles": _adaptive_tiles_sql(),
         "q_pq_codes": _pq_sql(),
         "q_pq_topk": _pq_topk_sql(),
+        "q_running_anomaly": """
+            WITH v AS (
+                SELECT user_id, ts, event_id,
+                       floor(value * 100)::BIGINT AS v_q
+                FROM events),
+            w AS (
+                SELECT user_id, ts, event_id, v_q,
+                       COUNT(v_q) OVER pw AS n,
+                       COALESCE((SUM(v_q) OVER pw)::BIGINT, 0) AS s,
+                       COALESCE((SUM(v_q * v_q) OVER pw)::BIGINT, 0) AS ssq
+                FROM v
+                WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING))
+            SELECT user_id AS entity, ts, event_id AS point_id, v_q,
+                   n AS n_prior
+            FROM w
+            WHERE n >= 5
+              AND (v_q * n - s) * (v_q * n - s) > 9 * (n * ssq - s * s)
+        """,
         "q_line_raster": """
             WITH n AS (
                 SELECT p_partkey AS node_id, p_partkey // 30 AS way_id,

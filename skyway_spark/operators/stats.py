@@ -224,3 +224,62 @@ def cooccurrence_pairs(
         .agg(F.count(F.lit(1)).alias("n_entities"))
         .where(F.col("n_entities") >= min_count)
     )
+
+
+def running_zscore_flags(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+    min_n: int = 5,
+    z2: int = 9,
+) -> DataFrame:
+    """Online anomaly detection, the detect-at-arrival convention:
+    each point is judged against the moments of its entity's PRIOR
+    points only (never itself — self-inclusion shrinks the z of the
+    very outlier being tested).
+
+    Engine-exact integer arithmetic: values quantize to int64 units
+    v = floor(value * scale); with prior-window sums (n, s, ssq) the
+    z^2 > ``z2`` test cross-multiplies to
+
+        (v*n - s)^2  >  z2 * (n*ssq - s^2)
+
+    — no division, no sqrt, no float variance.  Output: the flagged
+    rows (entity, ts, point_id, v_q, n_prior).
+
+    Scale shape: ONE entity-keyed sort shuffle; the prior-window sums
+    are a single running-frame window pass (O(1) state per row); the
+    flag predicate is scan-stage Column math.  The streaming twin
+    (streaming/events.zscore_stream) keeps the same (n, s, ssq) as
+    O(entities) state and is parity-pinned against this operator.
+    """
+    from pyspark.sql import Window
+
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    pw = (
+        Window.partitionBy("entity")
+        .orderBy(F.col("ts"), F.col("point_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("point_id"),
+        v.alias("v_q"),
+    ).select(
+        "*",
+        F.count("v_q").over(pw).alias("n"),
+        F.coalesce(F.sum("v_q").over(pw), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("v_q") * F.col("v_q")).over(pw), F.lit(0)).alias(
+            "ssq"
+        ),
+    )
+    dev = F.col("v_q") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    return (
+        w.where((F.col("n") >= min_n) & (dev * dev > F.lit(z2) * var_n2))
+        .select("entity", "ts", "point_id", "v_q", F.col("n").alias("n_prior"))
+    )

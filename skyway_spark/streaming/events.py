@@ -528,3 +528,62 @@ def geofence_stream(
         "append",
         "NoTimeout",
     )
+
+
+ZSCORE_OUTPUT_DDL = "entity bigint, ts timestamp, point_id bigint, v_q bigint, n_prior bigint"
+_ZSCORE_STATE_DDL = "n bigint, s bigint, ssq bigint"
+
+
+def zscore_stream(
+    points: DataFrame,
+    watermark: str = "2 hours",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+    min_n: int = 5,
+    z2: int = 9,
+) -> DataFrame:
+    """Streaming twin of operators/stats.running_zscore_flags: per
+    entity the state is the integer moment triple (n, s, ssq) —
+    O(entities), never O(events) — and each arriving point is flagged
+    against the PRIOR state with the same cross-multiplied z^2 > z2
+    integer inequality, then folded in.  Stream == batch on
+    time-ordered arrival (parity-pinned)."""
+    import pandas as pd  # local import: workers deserialize the closure
+
+    quant = points.withWatermark(ts_col, watermark).select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("point_id"),
+        F.floor(F.col(value_col) * scale).cast("long").alias("v_q"),
+    )
+
+    def fn(key, pdf_iter, state):
+        n, s, ssq = (state.get if state.exists else (0, 0, 0))
+        chunks = list(pdf_iter)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "point_id"])
+        out = {k: [] for k in ("ts", "point_id", "v_q", "n_prior")}
+        for ts_val, pid, vq in zip(pdf["ts"], pdf["point_id"], pdf["v_q"]):
+            vq = int(vq)
+            dev = vq * n - s
+            if n >= min_n and dev * dev > z2 * (n * ssq - s * s):
+                out["ts"].append(ts_val)
+                out["point_id"].append(int(pid))
+                out["v_q"].append(vq)
+                out["n_prior"].append(n)
+            n, s, ssq = n + 1, s + vq, ssq + vq * vq
+        state.update((n, s, ssq))
+        if out["ts"]:
+            yield pd.DataFrame({"entity": [key[0]] * len(out["ts"]), **out})
+
+    return quant.groupBy("entity").applyInPandasWithState(
+        fn,
+        ZSCORE_OUTPUT_DDL,
+        _ZSCORE_STATE_DDL,
+        "append",
+        "NoTimeout",
+    )

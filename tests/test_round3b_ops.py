@@ -623,3 +623,56 @@ def test_pq_topk_recall_against_exact(spark):
     )[:10]
     overlap = len(set(ids) & {vid for _, vid in exact})
     assert overlap >= 2, f"ADC overlap not above chance: {overlap}/10"
+
+
+# ---------------------------------------------------------------------------
+# online anomaly detection (batch + streaming parity)
+# ---------------------------------------------------------------------------
+
+
+def test_running_zscore_hand_case(spark):
+    """5 calm points then a spike: only the spike flags, judged
+    against PRIOR moments only."""
+    from skyway_spark.operators.stats import running_zscore_flags
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "x", v, "{}")
+        for i, v in enumerate([10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 50.0, 10.05])
+    ]
+    ddl = ("event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    df = spark.createDataFrame(rows, ddl)
+    got = running_zscore_flags(df).collect()
+    assert [(r.point_id, r.n_prior) for r in got] == [(6, 6)]
+    # the spike inflates the variance: the return to 10.05 must NOT
+    # flag (its deviation is dominated by the spike's contribution)
+    assert all(r.point_id != 7 for r in got)
+
+
+def test_zscore_stream_matches_batch(spark, tmp_path):
+    from skyway_spark.operators.stats import running_zscore_flags
+    from skyway_spark.streaming.events import (
+        read_events_stream,
+        run_bounded,
+        zscore_stream,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = {
+        (r.entity, r.point_id, r.v_q, r.n_prior)
+        for r in running_zscore_flags(ev).collect()
+    }
+    in_dir = str(tmp_path / "zs_in")
+    ev.coalesce(1).write.parquet(in_dir)
+    out_dir = str(tmp_path / "zs_out")
+    run_bounded(
+        zscore_stream(read_events_stream(spark, in_dir)),
+        str(tmp_path / "zs_ck"),
+        out_dir,
+    )
+    got = {
+        (r.entity, r.point_id, r.v_q, r.n_prior)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want and want
