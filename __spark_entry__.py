@@ -2700,6 +2700,19 @@ def q_running_anomaly(spark, sf):
     return running_zscore_flags(ev)
 
 
+def q_od_matrix(spark, sf):
+    """Origin-destination flow matrix: the geofence transition stream
+    (q_geofence) aggregated to (from_region, to_region, kind) with move
+    and distinct-entity counts — the mobility-analytics rollup that
+    closes the trajectory family.  Adds ONE vocabulary-sized groupBy on
+    top of the transition plan; the oracle wraps the geofence oracle as
+    a derived table."""
+    return q_geofence(spark, sf).groupBy("from_region", "to_region", "kind").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.countDistinct("entity").alias("n_entities"),
+    )
+
+
 PQ_QUERY_ID, PQ_TOPK = 7, 10
 
 
@@ -3064,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_codes": q_pq_codes,
         "q_pq_topk": q_pq_topk,
         "q_running_anomaly": q_running_anomaly,
+        "q_od_matrix": q_od_matrix,
     }
 
 
@@ -4327,7 +4341,7 @@ def oracle_sql() -> dict[str, str]:
         f"x -> x::DOUBLE * x::DOUBLE)), (x, y) -> x + y))"
     )
 
-    return {
+    out = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
@@ -6372,3 +6386,10 @@ def oracle_sql() -> dict[str, str]:
             node_alias="host",
         ),
     }
+    out["q_od_matrix"] = (
+        "SELECT from_region, to_region, kind, COUNT(*) AS n_moves, "
+        "COUNT(DISTINCT entity) AS n_entities FROM ("
+        + out["q_geofence"]
+        + ") gf GROUP BY 1, 2, 3"
+    )
+    return out

@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "q_line_raster",
     "q_pq_codes",
     "q_pq_topk",
+    "q_running_anomaly",
+    "q_od_matrix",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
