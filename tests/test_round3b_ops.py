@@ -676,3 +676,38 @@ def test_zscore_stream_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == want and want
+
+
+def test_staging_pins_hold(spark):
+    """The PLANS.md census claims: after the localCheckpoint pins, the
+    final plans of morans_i / hot_spots / adaptive_tiles never rescan
+    the parquet source (the corpus aggregate is paid once, in the pin
+    job), and their shuffle counts stay bounded."""
+    import re
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts = ev.select(
+        (((F.col("user_id") * 7919) % 17000) / F.lit(100)).cast("long").alias("cx"),
+        (((F.col("event_id") * 104729) % 36000) / F.lit(100)).cast("long").alias("cy"),
+    )
+
+    def census(df):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        sh = len(re.findall(
+            r"\bExchange hashpartitioning|\bExchange rangepartitioning"
+            r"|\bExchange SinglePartition", plan))
+        return plan, sh
+
+    mplan, msh = census(spatialstats.morans_i(spatialstats.cell_counts(pts)))
+    assert "Scan parquet" not in mplan and msh <= 6
+
+    hplan, hsh = census(spatialstats.hot_spots(spatialstats.cell_counts(pts)))
+    assert "Scan parquet" not in hplan and hsh <= 6
+
+    gpts = ev.select(
+        ((F.col("user_id") * 7919) % 17000 / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+    aplan, ash = census(tiles.adaptive_tiles(gpts, base_z=3, max_z=5, threshold=10))
+    assert "Scan parquet" not in aplan and ash <= 2
