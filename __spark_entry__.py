@@ -2700,6 +2700,56 @@ def q_running_anomaly(spark, sf):
     return running_zscore_flags(ev)
 
 
+def q_quality_gate(spark, sf):
+    """Per-language ADAPTIVE quality gate (FineWeb-style relative
+    thresholding): rank every doc inside its language by the integer
+    bigram-LM score and keep the top half — the threshold moves with
+    each language's own distribution instead of a global constant.
+    Rank chain (lm_q DESC, doc_id) is unique, so the cut is exact.
+    One vocabulary-sized LM join + one lang-keyed window."""
+    (docs,) = _tables(spark, sf, "documents")
+    from pyspark.sql import Window
+
+    scored = textstats.bigram_lm_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("lm_q"), F.asc("doc_id"))
+    nw = Window.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "lm_q",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(nw).alias("n_lang"),
+    )
+    return ranked.where(F.col("rk") * 2 <= F.col("n_lang") + 1)
+
+
+def q_fetch_slots(spark, sf):
+    """Crawl politeness scheduling on top of the frontier: each target
+    host serves at most 2 fetches per time slot, so slot =
+    (per-host rank - 1) div 2 with the rank ordered by the frontier
+    priority — the standard host-bucketed rate limiter.  One
+    frontier-sized window; composes q_crawl_frontier."""
+    from pyspark.sql import Window
+
+    fr = q_crawl_frontier(spark, sf).select(
+        "href",
+        F.regexp_extract(F.col("href"), r"^https?://([^/]+)[/$]?", 1).alias("host"),
+        "n_hosts",
+        "n_refs",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_hosts"), F.desc("n_refs"), F.asc("href")
+    )
+    return fr.select(
+        "href",
+        "host",
+        F.row_number().over(w).alias("rk"),
+        ((F.row_number().over(w) - 1) / F.lit(2)).cast("int").alias("slot"),
+    )
+
+
 def q_od_matrix(spark, sf):
     """Origin-destination flow matrix: the geofence transition stream
     (q_geofence) aggregated to (from_region, to_region, kind) with move
@@ -3078,6 +3128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_running_anomaly": q_running_anomaly,
         "q_od_matrix": q_od_matrix,
+        "q_quality_gate": q_quality_gate,
+        "q_fetch_slots": q_fetch_slots,
     }
 
 
@@ -6386,6 +6438,47 @@ def oracle_sql() -> dict[str, str]:
             node_alias="host",
         ),
     }
+    out["q_quality_gate"] = """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents),
+            b AS (SELECT doc_id, tk[i] AS a, tk[i] || ' ' || tk[i+1] AS g
+                  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+            c2 AS (SELECT g, COUNT(*) AS c2 FROM b GROUP BY 1),
+            c1 AS (SELECT a, COUNT(*) AS c1 FROM b GROUP BY 1),
+            q AS (SELECT b.doc_id, (1048576 * c2.c2) // c1.c1 AS qv
+                  FROM b JOIN c2 USING (g) JOIN c1 USING (a)),
+            lm AS (SELECT doc_id, ((SUM(qv))::BIGINT // COUNT(*)) AS lm_q
+                   FROM q GROUP BY 1),
+            j AS (SELECT lm.doc_id, d.lang, lm.lm_q
+                  FROM lm JOIN documents d USING (doc_id)),
+            r AS (SELECT doc_id, lang, lm_q,
+                         (row_number() OVER (PARTITION BY lang
+                             ORDER BY lm_q DESC, doc_id))::INT AS rk,
+                         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+                  FROM j)
+            SELECT doc_id, lang, lm_q, rk, n_lang
+            FROM r WHERE rk * 2 <= n_lang + 1
+        """
+    out["q_fetch_slots"] = (
+        """
+            WITH fr AS ("""
+        + out["q_crawl_frontier"]
+        + """),
+            r AS (SELECT href,
+                         regexp_extract(href, '^https?://([^/]+)[/$]?', 1) AS host,
+                         n_hosts, n_refs
+                  FROM fr)
+            SELECT href, host,
+                   (row_number() OVER (PARTITION BY host
+                       ORDER BY n_hosts DESC, n_refs DESC, href))::INT AS rk,
+                   (((row_number() OVER (PARTITION BY host
+                       ORDER BY n_hosts DESC, n_refs DESC, href)) - 1) // 2)::INT
+                       AS slot
+            FROM r
+        """
+    )
     out["q_od_matrix"] = (
         "SELECT from_region, to_region, kind, COUNT(*) AS n_moves, "
         "COUNT(DISTINCT entity) AS n_entities FROM ("

@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "q_pq_topk",
     "q_running_anomaly",
     "q_od_matrix",
+    "q_quality_gate",
+    "q_fetch_slots",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
