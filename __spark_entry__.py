@@ -2700,6 +2700,72 @@ def q_running_anomaly(spark, sf):
     return running_zscore_flags(ev)
 
 
+def q_host_hits(spark, sf):
+    """HITS hubs & authorities over the extracted host link graph —
+    the link-analysis complement to q_host_rank, engine-exact via
+    integer mass with per-half-step max-rescaling
+    (operators/graph.hits_int)."""
+    from skyway_spark.operators import weblinks
+    from skyway_spark.operators.graph import hits_int
+
+    links = weblinks.extract_links(_linked_pages(spark))
+    edges = links.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).distinct()
+    return hits_int(edges, iters=2).select(
+        F.col("node").alias("host"), "hub", "auth"
+    )
+
+
+def _hits_sql(iters: int = 2, scale_bits: int = 20) -> str:
+    peak = 1 << scale_bits
+    sql = f"""
+            WITH l AS ({_linked_links_sql(LINKED_PAGES_N)}),
+            e AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM l),
+            nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+            a0 AS (SELECT node, {peak}::BIGINT AS x FROM nodes)"""
+    prev_a = "a0"
+    for i in range(1, iters + 1):
+        sql += f""",
+            h{i}r AS (SELECT e.s AS node, (SUM(a.x))::BIGINT AS x
+                      FROM e JOIN {prev_a} a ON a.node = e.t GROUP BY 1),
+            h{i}f AS (SELECT n.node, COALESCE(h.x, 0)::BIGINT AS x
+                      FROM nodes n LEFT JOIN h{i}r h USING (node)),
+            h{i} AS (SELECT node,
+                            (x * {peak}) // (SELECT MAX(x) FROM h{i}f) AS x
+                     FROM h{i}f),
+            a{i}r AS (SELECT e.t AS node, (SUM(h.x))::BIGINT AS x
+                      FROM e JOIN h{i} h ON h.node = e.s GROUP BY 1),
+            a{i}f AS (SELECT n.node, COALESCE(a.x, 0)::BIGINT AS x
+                      FROM nodes n LEFT JOIN a{i}r a USING (node)),
+            a{i} AS (SELECT node,
+                            (x * {peak}) // (SELECT MAX(x) FROM a{i}f) AS x
+                     FROM a{i}f)"""
+        prev_a = f"a{i}"
+    return sql + f"""
+            SELECT h{iters}.node AS host, h{iters}.x AS hub,
+                   a{iters}.x AS auth
+            FROM h{iters} JOIN a{iters} USING (node)
+    """
+
+
+def q_lang_confusion(spark, sf):
+    """Corpus-QA confusion matrix: declared language label vs the
+    n-gram-marker detector (operators/textstats.lang_id), counted per
+    (declared, detected) pair — the standard label-audit before
+    language-stratified sampling.  Scan-stage detection, one
+    vocabulary-sized groupBy."""
+    (docs,) = _tables(spark, sf, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_declared"),
+            textstats.lang_id(F.col("text")).alias("lang_detected"),
+        )
+        .groupBy("lang_declared", "lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_quality_gate(spark, sf):
     """Per-language ADAPTIVE quality gate (FineWeb-style relative
     thresholding): rank every doc inside its language by the integer
@@ -3130,6 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_od_matrix": q_od_matrix,
         "q_quality_gate": q_quality_gate,
         "q_fetch_slots": q_fetch_slots,
+        "q_lang_confusion": q_lang_confusion,
+        "q_host_hits": q_host_hits,
     }
 
 
@@ -4792,6 +4860,20 @@ def oracle_sql() -> dict[str, str]:
                          (0.5 + least(({_sql_occurrences('p', ' the ')} + {_sql_occurrences('p', ' and ')} + {_sql_occurrences('p', ' of ')}) / ntok * 5.0, 1.0) / 2), 6) AS quality
             FROM t
         """,
+        "q_lang_confusion": f"""
+            WITH t AS (SELECT doc_id, lang, (' ' || text || ' ') AS p
+                       FROM documents),
+            det AS (
+                SELECT lang AS lang_declared,
+                       CASE WHEN {gmax} <= 0 THEN 'und'
+                            WHEN ({langs['en']}) = {gmax} THEN 'en'
+                            WHEN ({langs['de']}) = {gmax} THEN 'de'
+                            WHEN ({langs['fr']}) = {gmax} THEN 'fr'
+                            ELSE 'es' END AS lang_detected
+                FROM t)
+            SELECT lang_declared, lang_detected, COUNT(*) AS n_docs
+            FROM det GROUP BY 1, 2
+        """,
         "q_lang_id": f"""
             WITH t AS (SELECT doc_id, (' ' || text || ' ') AS p FROM documents)
             SELECT doc_id,
@@ -6430,6 +6512,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_hosts DESC, n_refs DESC, href ASC
             LIMIT 50
         """,
+        "q_host_hits": _hits_sql(),
         "q_host_rank": _pagerank_sql(
             graph_ctes=f"""
             l AS ({_linked_links_sql(LINKED_PAGES_N)}),

@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "q_od_matrix",
     "q_quality_gate",
     "q_fetch_slots",
+    "q_lang_confusion",
+    "q_host_hits",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -302,3 +302,73 @@ def bellman_ford(
             .localCheckpoint(eager=False)
         )
     return dist.where(F.col("dist") < BF_INF)
+
+
+def hits_int(
+    edges: DataFrame,
+    iters: int = 2,
+    scale_bits: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Engine-exact HITS (hubs & authorities) via integer mass with
+    per-step max-rescaling: scores start at 2^scale_bits, each
+    iteration computes hub(u) = sum of authority over u's out-targets
+    and authority(v) = sum of hub over v's in-sources, and after each
+    half-step the vector is renormalized to peak 2^scale_bits with one
+    int64 floor division by the global max — the fixed-point analogue
+    of the L-inf normalization in the float formulation, so every
+    iteration is bit-identical on any engine (same contract as
+    pagerank_int; completes the link-analysis pair).
+
+    Output: (node, hub, auth) for every node in ``edges``.
+
+    Scale shape: per half-step ONE edge-keyed join of the node-sized
+    score table against the edge list (broadcastable at web scale) and
+    one map-side-combined sum; the global max is a single-row
+    aggregate riding a broadcast crossJoin.  Scores localCheckpoint
+    per iteration so the lineage stays flat.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    peak = 1 << scale_bits
+    auth = nodes.select("node", F.lit(peak).cast("long").alias("x"))
+
+    def rescale(df):
+        mx = df.agg(F.max("x").alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node", F.expr(f"(x * {peak}) div mx").alias("x")
+        )
+
+    hub = None
+    for _ in range(iters):
+        h = (
+            e.join(auth.withColumnRenamed("node", "t"), "t")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("x").alias("x"))
+        )
+        hub = rescale(
+            nodes.join(h, "node", "left").select(
+                "node", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+            )
+        ).localCheckpoint(eager=True)
+        a = (
+            e.join(hub.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum("x").alias("x"))
+        )
+        auth = rescale(
+            nodes.join(a, "node", "left").select(
+                "node", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+            )
+        ).localCheckpoint(eager=True)
+    return (
+        hub.withColumnRenamed("x", "hub")
+        .join(auth.withColumnRenamed("x", "auth"), "node")
+    )

@@ -99,3 +99,36 @@ def test_host_rank_mass_conservation(spark, links):
     # floor division, never gains
     assert 0 < total <= 10**12
     assert total >= 10**12 - 200 * n
+
+
+def test_hits_int_properties(spark, links):
+    """HITS scores: peak is exactly 2^20 on both vectors after the
+    final rescale; authorities correlate with indegree on the host
+    graph; python mirror agrees exactly."""
+    from skyway_spark.operators.graph import hits_int
+
+    edges = links.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).distinct()
+    got = {r.node: (r.hub, r.auth) for r in hits_int(edges, iters=2).collect()}
+    assert max(h for h, _ in got.values()) == 1 << 20
+    assert max(a for _, a in got.values()) == 1 << 20
+
+    # exact python mirror
+    e = {(r.src, r.dst) for r in edges.collect()}
+    nodes = {s for s, _ in e} | {t for _, t in e}
+    peak = 1 << 20
+    a = {n: peak for n in nodes}
+    h = {}
+    for _ in range(2):
+        h = {n: 0 for n in nodes}
+        for s, t in e:
+            h[s] += a[t]
+        mx = max(h.values())
+        h = {n: (v * peak) // mx for n, v in h.items()}
+        a = {n: 0 for n in nodes}
+        for s, t in e:
+            a[t] += h[s]
+        mx = max(a.values())
+        a = {n: (v * peak) // mx for n, v in a.items()}
+    assert got == {n: (h[n], a[n]) for n in nodes}
