@@ -2749,6 +2749,42 @@ def _hits_sql(iters: int = 2, scale_bits: int = 20) -> str:
     """
 
 
+def q_dedup_best(spark, sf):
+    """Near-dup cluster SURVIVOR POLICY, keep-best variant: within each
+    MinHash-LSH connected component keep the LONGEST document (tie: the
+    lowest id) instead of the min-id — the policy real corpora use
+    (longest member usually carries the fullest content).  One window
+    over the component-sized cluster table; composes q_dedup_clusters."""
+    from pyspark.sql import Window
+
+    from skyway_spark.operators.graph import connected_components
+
+    docs2 = _docs_with_dups(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(docs2, threshold=0.8, unit="word")
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    j = cc.join(
+        docs2.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
+    nw = Window.partitionBy("component")
+    return (
+        j.select(
+            "component",
+            "node",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(nw).alias("n_members"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+            "n_members",
+        )
+    )
+
+
 def q_lang_confusion(spark, sf):
     """Corpus-QA confusion matrix: declared language label vs the
     n-gram-marker detector (operators/textstats.lang_id), counted per
@@ -3198,6 +3234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fetch_slots": q_fetch_slots,
         "q_lang_confusion": q_lang_confusion,
         "q_host_hits": q_host_hits,
+        "q_dedup_best": q_dedup_best,
     }
 
 
@@ -6560,6 +6597,23 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_hosts DESC, n_refs DESC, href)) - 1) // 2)::INT
                        AS slot
             FROM r
+        """
+    )
+    out["q_dedup_best"] = (
+        f"""
+            WITH d2 AS ({_DOCS2_SQL}),
+            j AS (SELECT cc.node, cc.component, d2.n_chars
+                  FROM ("""
+        + out["q_dedup_clusters"]
+        + """) cc JOIN d2 ON d2.doc_id = cc.node),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY component
+                             ORDER BY n_chars DESC, node) AS rk,
+                         COUNT(*) OVER (PARTITION BY component) AS n_members
+                  FROM j)
+            SELECT component, node AS keep_id, n_chars AS keep_chars,
+                   n_members
+            FROM r WHERE rk = 1
         """
     )
     out["q_od_matrix"] = (

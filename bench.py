@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "q_fetch_slots",
     "q_lang_confusion",
     "q_host_hits",
+    "q_dedup_best",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
