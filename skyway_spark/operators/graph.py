@@ -212,6 +212,10 @@ def pagerank_int(
         e.select(F.col("t").alias("node"))
     ).distinct().localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # empty graph (e.g. no dense cells at tiny scale): an empty
+        # rank table with the right schema, not a ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
     deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     base = (100 - damp_pct) * (mass // n) // 100
     ranks = nodes.withColumn("rank", F.lit(mass // n).cast("long"))
@@ -338,6 +342,12 @@ def hits_int(
         .localCheckpoint(eager=True)
     )
     peak = 1 << scale_bits
+    if nodes.limit(1).isEmpty():
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub"),
+            F.lit(0).cast("long").alias("auth"),
+        )
     auth = nodes.select("node", F.lit(peak).cast("long").alias("x"))
 
     def rescale(df):

@@ -711,3 +711,11 @@ def test_staging_pins_hold(spark):
     )
     aplan, ash = census(tiles.adaptive_tiles(gpts, base_z=3, max_z=5, threshold=10))
     assert "Scan parquet" not in aplan and ash <= 2
+
+
+def test_graph_ops_empty_graph(spark):
+    from skyway_spark.operators.graph import hits_int, pagerank_int
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_int(empty).collect() == []
+    assert hits_int(empty).collect() == []
