@@ -587,3 +587,28 @@ def zscore_stream(
         "append",
         "NoTimeout",
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window aggregation
+    (merging-window state managed by the engine) — the built-in
+    counterpart of the custom applyInPandasWithState ``sessionize``;
+    having both pins that the hand-rolled operator matches the engine's
+    own session semantics.  Works identically over batch and streaming
+    input (the parity test runs it both ways)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -719,3 +719,40 @@ def test_graph_ops_empty_graph(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank_int(empty).collect() == []
     assert hits_int(empty).collect() == []
+
+
+def test_native_session_window_stream_equals_batch(spark, tmp_path):
+    """Spark's native session_window: the streaming run (append mode,
+    windows closed by the watermark) matches the batch run of the SAME
+    aggregation for every session that ended safely before the
+    watermark cutoff — and both agree with the custom sessionizer's
+    event counts."""
+    from skyway_spark.streaming.events import (
+        read_events_stream,
+        run_bounded,
+        session_window_counts,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "sw_in")
+    ev.coalesce(1).write.parquet(in_dir)
+    out_dir = str(tmp_path / "sw_out")
+    run_bounded(
+        session_window_counts(read_events_stream(spark, in_dir)),
+        str(tmp_path / "sw_ck"),
+        out_dir,
+    )
+    got_df = spark.read.parquet(out_dir)
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - dt.timedelta(hours=2, minutes=35)  # watermark+gap+margin
+    batch = session_window_counts(ev)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.where(F.col("session_end") <= F.lit(cutoff)).collect()
+    }
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got_df.where(F.col("session_end") <= F.lit(cutoff)).collect()
+    }
+    assert got == want and want
