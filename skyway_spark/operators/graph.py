@@ -281,11 +281,11 @@ def bellman_ford(
         .union(e.select(F.col("t").alias("node")))
         .distinct()
     )
+    src_ids = [int(s) for s in sources if s is not None]
+    is_src = F.col("node").isin(src_ids) if src_ids else F.lit(False)
     dist = nodes.withColumn(
         "dist",
-        F.when(F.col("node").isin([int(s) for s in sources]), F.lit(0))
-        .otherwise(F.lit(BF_INF))
-        .cast("long"),
+        F.when(is_src, F.lit(0)).otherwise(F.lit(BF_INF)).cast("long"),
     ).localCheckpoint(eager=False)
     for _ in range(iters):
         relax = (

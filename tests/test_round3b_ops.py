@@ -719,6 +719,10 @@ def test_graph_ops_empty_graph(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank_int(empty).collect() == []
     assert hits_int(empty).collect() == []
+    from skyway_spark.operators.graph import bellman_ford
+
+    # an empty graph also yields a None driver-scalar source id
+    assert bellman_ford(empty, [None], iters=2).collect() == []
 
 
 def test_native_session_window_stream_equals_batch(spark, tmp_path):
