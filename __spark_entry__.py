@@ -2749,6 +2749,16 @@ def _hits_sql(iters: int = 2, scale_bits: int = 20) -> str:
     """
 
 
+def q_cell_trends(spark, sf):
+    """Spatio-temporal trend detection: per event cell, the exact
+    integer OLS slope rational of hourly counts over observed hours
+    (operators/spatialstats.cell_trends) — rising/falling density per
+    place, no float regression."""
+    from skyway_spark.operators import spatialstats
+
+    return spatialstats.cell_trends(_event_cells_int(spark, sf))
+
+
 def q_dedup_best(spark, sf):
     """Near-dup cluster SURVIVOR POLICY, keep-best variant: within each
     MinHash-LSH connected component keep the LONGEST document (tie: the
@@ -3235,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_confusion": q_lang_confusion,
         "q_host_hits": q_host_hits,
         "q_dedup_best": q_dedup_best,
+        "q_cell_trends": q_cell_trends,
     }
 
 
@@ -6426,6 +6437,28 @@ def oracle_sql() -> dict[str, str]:
                        ay + sy * ((2 * k * ady + s1) // (2 * s1)) AS y
                 FROM r, unnest(range(0, steps + 1)) u(k))
             SELECT x, y, COUNT(*) AS n_segs FROM w GROUP BY 1, 2
+        """,
+        "q_cell_trends": """
+            WITH pts AS (
+                SELECT ts,
+                       ((user_id * 7919) % 17000) // 100 AS cx,
+                       ((event_id * 104729) % 36000) // 100 AS cy
+                FROM events),
+            hourly AS (
+                SELECT cx, cy, epoch_us(ts) // 3600000000 AS h,
+                       COUNT(*) AS y
+                FROM pts GROUP BY 1, 2, 3),
+            per AS (
+                SELECT cx, cy, COUNT(*) AS n_hours,
+                       (SUM(h))::BIGINT AS sx, (SUM(y))::BIGINT AS sy,
+                       (SUM(h * y))::BIGINT AS sxy,
+                       (SUM(h * h))::BIGINT AS sxx
+                FROM hourly GROUP BY 1, 2)
+            SELECT cx, cy, n_hours,
+                   n_hours * sxy - sx * sy AS slope_num,
+                   n_hours * sxx - sx * sx AS slope_den,
+                   n_hours * sxy - sx * sy > 0 AS rising
+            FROM per WHERE n_hours >= 2
         """,
         "q_hot_spots": """
             WITH pts AS (

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "q_lang_confusion",
     "q_host_hits",
     "q_dedup_best",
+    "q_cell_trends",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

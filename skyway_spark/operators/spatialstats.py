@@ -146,3 +146,45 @@ def hot_spots(cells: DataFrame) -> DataFrame:
             (F.col("nb_sum") * F.col("n") > F.col("n_nb") * F.col("s")).alias("hot"),
         )
     )
+
+
+def cell_trends(points: DataFrame, ts_col: str = "ts", min_hours: int = 2) -> DataFrame:
+    """Spatio-temporal trend detection: per cell, the ordinary-least-
+    squares slope of hourly event counts over OBSERVED hours, kept as
+    the exact integer rational
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    (x = hour index, y = count; the denominator is n*variance >= 0, so
+    ``rising`` = numerator > 0 needs no division).  Zero-count hours
+    are excluded by construction — the sparse-grid convention; a dense
+    formulation would join the hour spine first.
+
+    Input: (cx, cy, ts).  Output: (cx, cy, n_hours, slope_num,
+    slope_den, rising) for cells with >= min_hours observed hours.
+
+    Scale shape: one corpus-sized (cell, hour) aggregate (map-side
+    combined), then a cell-keyed rollup of the aggregate — the moment
+    sums ride the same shuffle.  Hour derivation uses integer ``div``
+    (no float boundary risk)."""
+    h = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 3600000000")
+    hourly = points.groupBy("cx", "cy", h.alias("h")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    per = hourly.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("h").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("h") * F.col("y")).alias("sxy"),
+        F.sum(F.col("h") * F.col("h")).alias("sxx"),
+    )
+    num = per["n_hours"] * per["sxy"] - per["sx"] * per["sy"]
+    den = per["n_hours"] * per["sxx"] - per["sx"] * per["sx"]
+    return per.where(F.col("n_hours") >= min_hours).select(
+        "cx",
+        "cy",
+        "n_hours",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (num > 0).alias("rising"),
+    )
