@@ -73,7 +73,7 @@ def test_anchor_terms_topk_and_ties(links):
         rs.sort(key=lambda r: r.rk)
         # rank order respects (n desc, term asc)
         for a, b in zip(rs, rs[1:]):
-            assert (a.n, b.term) >= (b.n, a.term) or a.n > b.n
+            assert a.n > b.n or (a.n == b.n and a.term < b.term)
 
 
 def test_dom_stats_identities(linked):
