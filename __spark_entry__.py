@@ -2749,6 +2749,96 @@ def _hits_sql(iters: int = 2, scale_bits: int = 20) -> str:
     """
 
 
+def q_dedup_eval(spark, sf):
+    """Dedup-method EVALUATION harness: exhaustive word-shingle
+    Jaccard >= 0.8 ground truth (integer inequality 5*inter >=
+    4*union over the gram-keyed pair join) vs the three candidate
+    generators — MinHash-LSH, SimHash banding, containment — reporting
+    per method the pair count, true-pair hits, and the truth-set size:
+    precision and recall numerators in one table, so banding
+    parameters are tuned with evidence instead of folklore.  Gram
+    arrays localCheckpoint-pinned (staging discipline); truth is
+    id-pair-sized."""
+    docs2 = _docs_with_dups(spark, sf)
+    sh = docs2.select(
+        F.col("doc_id").alias("__id"),
+        dedup.word_shingle_hashes(F.col("text"), 3).alias("__g"),
+    ).localCheckpoint(eager=True)
+    g = sh.select("__id", F.explode("__g").alias("gram"))
+    sizes = g.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    a = g.select("gram", F.col("__id").alias("id_a"))
+    b = g.select("gram", F.col("__id").alias("id_b"))
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("sz", "sa"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("sz", "sb"),
+            "id_b",
+        )
+        .where(
+            F.col("inter") * 5 >= 4 * (F.col("sa") + F.col("sb") - F.col("inter"))
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    methods = {
+        "minhash_lsh": dedup.minhash_lsh_pairs(
+            docs2, threshold=0.8, unit="word"
+        ).select("id_a", "id_b"),
+        "simhash": dedup.simhash_near_dup_pairs(
+            docs2, bits=44, bands=4, max_hamming=1
+        ).select("id_a", "id_b"),
+        "containment": dedup.ngram_containment_pairs(
+            docs2, threshold_pct=80
+        ).select("id_a", "id_b"),
+    }
+    out = None
+    for name, pairs in methods.items():
+        stats = (
+            pairs.withColumn("method", F.lit(name))
+            .join(truth.withColumn("t", F.lit(1)), ["id_a", "id_b"], "left")
+            .groupBy("method")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.when(F.col("t").isNotNull(), 1).otherwise(0)).alias(
+                    "n_true"
+                ),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.crossJoin(
+        F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+    )
+
+
+TILE_BIN_CAP = 500
+
+
+def q_tile_bins(spark, sf):
+    """Write planning for the adaptive tile set: next-fit bin packing
+    of the quadtree leaves into ~500-point output partitions, ordered
+    (n_points, z, x, y) — a unique total order, so the cut is deterministic
+    (operators/packing.next_fit_bins) — the output-file sizing step a
+    tile-serving job runs before writing."""
+    from skyway_spark.operators.packing import next_fit_bins
+
+    leaves = q_adaptive_tiles(spark, sf)
+    return next_fit_bins(
+        leaves, capacity=TILE_BIN_CAP,
+        order_cols=["n_points", "z", "x", "y"],
+    ).select(
+        "z", "x", "y", "n_points", "running_start", "bin"
+    )
+
+
 def q_cell_trends(spark, sf):
     """Spatio-temporal trend detection: per event cell, the exact
     integer OLS slope rational of hourly counts over observed hours
@@ -3246,6 +3336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_hits": q_host_hits,
         "q_dedup_best": q_dedup_best,
         "q_cell_trends": q_cell_trends,
+        "q_tile_bins": q_tile_bins,
+        "q_dedup_eval": q_dedup_eval,
     }
 
 
@@ -6630,6 +6722,67 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_hosts DESC, n_refs DESC, href)) - 1) // 2)::INT
                        AS slot
             FROM r
+        """
+    )
+    out["q_dedup_eval"] = f"""
+            WITH d2 AS ({_DOCS2_SQL}),
+            th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS h FROM d2),
+            shl AS (SELECT doc_id, list_distinct(list_transform(
+                        range(1, greatest(len(h) - 2, 1) + 1),
+                        i -> ((h[i] * 31 + coalesce(h[i+1], 0)) % {_HM} * 31
+                              + coalesce(h[i+2], 0)) % {_HM})) AS g
+                    FROM th),
+            e AS (SELECT doc_id AS id, unnest(g) AS gram FROM shl),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM e GROUP BY 1),
+            pr AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                   FROM e a JOIN e b USING (gram)
+                   WHERE a.id < b.id GROUP BY 1, 2),
+            truth AS (
+                SELECT id_a, id_b
+                FROM pr
+                JOIN sizes sa ON sa.id = pr.id_a
+                JOIN sizes sb ON sb.id = pr.id_b
+                WHERE inter * 5 >= 4 * (sa.sz + sb.sz - inter)),
+            dfc AS (SELECT gram FROM e GROUP BY gram HAVING COUNT(*) <= 64),
+            k AS (SELECT e.id, e.gram FROM e JOIN dfc USING (gram)),
+            cinter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                       FROM k a JOIN k b USING (gram)
+                       WHERE a.id < b.id GROUP BY 1, 2),
+            ct AS (
+                SELECT id_a, id_b FROM cinter
+                JOIN sizes sa ON sa.id = cinter.id_a
+                JOIN sizes sb ON sb.id = cinter.id_b
+                WHERE inter * 100 >= 80 * least(sa.sz, sb.sz)),
+            u AS (
+                SELECT 'minhash_lsh' AS method, id_a, id_b
+                FROM ({_minhash_lsh_sql()}) m
+                UNION ALL
+                SELECT 'simhash', id_a, id_b FROM ({_simhash_pairs_sql()}) s
+                UNION ALL
+                SELECT 'containment', id_a, id_b FROM ct),
+            j AS (SELECT u.method, t.id_a IS NOT NULL AS hit
+                  FROM u LEFT JOIN truth t USING (id_a, id_b))
+            SELECT method, COUNT(*) AS n_pairs,
+                   (SUM(CASE WHEN hit THEN 1 ELSE 0 END))::BIGINT AS n_true,
+                   (SELECT COUNT(*) FROM truth) AS n_truth
+            FROM j GROUP BY 1
+        """
+    out["q_tile_bins"] = (
+        """
+            WITH t AS ("""
+        + out["q_adaptive_tiles"]
+        + f""")
+            SELECT z, x, y, n_points,
+                   COALESCE((SUM(n_points) OVER (
+                       ORDER BY n_points, z, x, y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING))::BIGINT, 0) AS running_start,
+                   (COALESCE((SUM(n_points) OVER (
+                       ORDER BY n_points, z, x, y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING))::BIGINT, 0)
+                       // {TILE_BIN_CAP})::BIGINT AS bin
+            FROM t
         """
     )
     out["q_dedup_best"] = (

@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "q_host_hits",
     "q_dedup_best",
     "q_cell_trends",
+    "q_tile_bins",
+    "q_dedup_eval",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

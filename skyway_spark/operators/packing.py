@@ -87,3 +87,41 @@ def pack_sequences(
             (start % seq_len).alias("seq_offset"),
         )
     )
+
+
+def next_fit_bins(
+    items: DataFrame,
+    capacity: int,
+    size_col: str = "n_points",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Write planning: assign items (tiles, file splits, doc groups) to
+    output bins with NEXT-FIT packing — items in deterministic order,
+    bin id = floor(exclusive running size / capacity).  Oversized items
+    still land in exactly one bin (their running-sum span covers >1
+    capacity, which just advances the counter — the standard next-fit
+    degradation, bounded at 2x optimal).
+
+    Output: items + (running_start, bin).
+
+    Scale shape: ONE global sort by the order columns feeds a single
+    running-frame window (O(1) state per row).  For the intended use
+    the item table is an aggregate (tile counts, file manifests), so
+    the global sort is metadata-sized; if you need corpus-scale
+    packing, use pack_sequences' two-level distributed prefix sum
+    instead — this operator is the planner-facing variant whose bin
+    ids must be globally consecutive."""
+    from pyspark.sql import Window
+
+    order_cols = order_cols or [size_col]
+    w = (
+        Window.orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return items.select(
+        "*",
+        F.coalesce(F.sum(size_col).over(w), F.lit(0)).alias("running_start"),
+    ).withColumn(
+        "bin",
+        F.expr(f"running_start div {int(capacity)}").cast("long"),
+    )

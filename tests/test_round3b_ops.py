@@ -760,3 +760,25 @@ def test_native_session_window_stream_equals_batch(spark, tmp_path):
         for r in got_df.where(F.col("session_end") <= F.lit(cutoff)).collect()
     }
     assert got == want and want
+
+
+def test_next_fit_bins_properties(spark):
+    from skyway_spark.operators.packing import next_fit_bins
+
+    items = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([3, 3, 3, 10, 1, 1, 25, 2])],
+        "item long, n_points long",
+    )
+    out = sorted(
+        next_fit_bins(items, capacity=8, order_cols=["n_points", "item"]).collect(),
+        key=lambda r: (r.n_points, r.item),
+    )
+    # running_start is the exclusive prefix sum in (n_points, item) order
+    run = 0
+    for r in out:
+        assert r.running_start == run
+        assert r.bin == run // 8
+        run += r.n_points
+    # every item in exactly one bin; bins consecutive from 0
+    bins = {r.bin for r in out}
+    assert bins == set(range(max(bins) + 1))
