@@ -2749,6 +2749,141 @@ def _hits_sql(iters: int = 2, scale_bits: int = 20) -> str:
     """
 
 
+ISO_SOURCES = 5
+
+
+def q_isochrone(spark, sf):
+    """Multi-source isochrone: bounded-hop toll distances from the
+    ISO_SOURCES densest cells AT ONCE (the service-area / coverage-map
+    primitive — one Bellman run answers 'which cells are within d of
+    ANY depot', no per-depot loop).  Same integer relaxation as
+    q_bellman_cells; sources are a deterministic top-k of the dense
+    table."""
+    from skyway_spark.operators.graph import bellman_ford
+
+    dense, edges = cluster.dense_cell_graph(
+        _event_points(spark, sf), GRID_RES, GRID_MIN_PTS
+    )
+    srcs = [
+        r.cell
+        for r in dense.orderBy(F.desc("n_points"), F.asc("cell"))
+        .limit(ISO_SOURCES)
+        .collect()
+    ]
+    return bellman_ford(edges, srcs, iters=3).select(
+        F.col("node").alias("cell"), "dist"
+    )
+
+
+FILL_RES = 6
+
+
+def q_polygon_fill(spark, sf):
+    """Vector->raster polygon FILL: the res-6 grid cells whose centers
+    lie inside each fixture polygon (outer odd-crossings, holes
+    subtracted) — the interior mask that completes the rasterization
+    trio (raster_tiles fills POINTS, rasterize_segments LINES, this
+    AREAS).  Candidate cells enumerate from each polygon's bbox via a
+    JVM sequence explode (dimension-sized); the center test is the
+    literal-edge ray cast with the batch PIP's exact arithmetic."""
+    from skyway_spark.operators.pip import _odd_crossings, _rings_lit
+
+    nx, ny = 1 << (FILL_RES + 1), 1 << FILL_RES
+
+    def grid_x(lon):
+        return max(0, min(nx - 1, int(math.floor((lon + 180.0) / 360.0 * float(nx)))))
+
+    def grid_y(lat):
+        return max(0, min(ny - 1, int(math.floor((90.0 - lat) / 180.0 * float(ny)))))
+
+    rows = []
+    for pid, rings in PIP_POLYGONS.items():
+        lats = [p[0] for _, ring in rings for p in ring]
+        lons = [p[1] for _, ring in rings for p in ring]
+        rows.append(
+            (pid, grid_x(min(lons)), grid_x(max(lons)),
+             grid_y(max(lats)), grid_y(min(lats)))
+        )
+    bbox = spark.createDataFrame(
+        rows, "polygon_id long, x0 long, x1 long, y0 long, y1 long"
+    )
+    g = bbox.select(
+        "polygon_id",
+        F.explode(F.sequence("x0", "x1")).alias("x"),
+        "y0",
+        "y1",
+    ).select("polygon_id", "x", F.explode(F.sequence("y0", "y1")).alias("y"))
+    lon_c = (F.col("x") + 0.5) / float(nx) * 360.0 - 180.0
+    lat_c = 90.0 - (F.col("y") + 0.5) / float(ny) * 180.0
+    c = g.select("polygon_id", "x", "y", lat_c.alias("clat"), lon_c.alias("clon"))
+
+    inside = F.lit(False)
+    for pid, rings in PIP_POLYGONS.items():
+        in_pid = F.lit(False)
+        for role, ring in rings:
+            if role != "outer":
+                continue
+            in_pid = in_pid | _odd_crossings(
+                F.element_at(_rings_lit([([p[0] for p in ring], [p[1] for p in ring])]), 1),
+                F.col("clat"), F.col("clon"),
+            )
+        for role, ring in rings:
+            if role != "hole":
+                continue
+            in_pid = in_pid & ~_odd_crossings(
+                F.element_at(_rings_lit([([p[0] for p in ring], [p[1] for p in ring])]), 1),
+                F.col("clat"), F.col("clon"),
+            )
+        inside = F.when(F.col("polygon_id") == pid, in_pid).otherwise(inside)
+    return c.where(inside).select("polygon_id", "x", "y")
+
+
+def _polygon_fill_sql() -> str:
+    """SQL mirror of q_polygon_fill: bbox-cell enumeration + center
+    ray cast over the literal polygon edges, same float op order."""
+    nx, ny = 1 << (FILL_RES + 1), 1 << FILL_RES
+
+    def gx(lon):
+        return max(0, min(nx - 1, int(math.floor((lon + 180.0) / 360.0 * float(nx)))))
+
+    def gy(lat):
+        return max(0, min(ny - 1, int(math.floor((90.0 - lat) / 180.0 * float(ny)))))
+
+    rows = []
+    for pid, rings in PIP_POLYGONS.items():
+        lats = [p[0] for _, ring in rings for p in ring]
+        lons = [p[1] for _, ring in rings for p in ring]
+        rows.append(
+            f"({pid}, {gx(min(lons))}, {gx(max(lons))}, "
+            f"{gy(max(lats))}, {gy(min(lats))})"
+        )
+    return f"""
+            WITH bbox(polygon_id, x0, x1, y0, y1) AS (VALUES {', '.join(rows)}),
+            g AS (SELECT polygon_id, x, y
+                  FROM bbox, unnest(range(x0, x1 + 1)) u(x),
+                       unnest(range(y0, y1 + 1)) v(y)),
+            c AS (SELECT polygon_id, x, y,
+                         (x + 0.5) / {float(nx)} * 360.0 - 180.0 AS clon,
+                         90.0 - (y + 0.5) / {float(ny)} * 180.0 AS clat
+                  FROM g),
+            edges(polygon_id, role, ey1, ex1, ey2, ex2)
+                AS (VALUES {_pip_edges_values()}),
+            rh AS (
+                SELECT c.polygon_id, c.x, c.y, e.role,
+                       SUM(CASE WHEN ((e.ey1 > c.clat) != (e.ey2 > c.clat))
+                                 AND c.clon < (e.ex2 - e.ex1)
+                                     * (c.clat - e.ey1) / (e.ey2 - e.ey1)
+                                     + e.ex1
+                                THEN 1 ELSE 0 END) % 2 = 1 AS inside
+                FROM c JOIN edges e ON e.polygon_id = c.polygon_id
+                GROUP BY 1, 2, 3, 4)
+            SELECT polygon_id::BIGINT AS polygon_id, x, y
+            FROM rh GROUP BY 1, 2, 3
+            HAVING bool_or(role = 'outer' AND inside)
+               AND NOT bool_or(role = 'hole' AND inside)
+    """
+
+
 def q_dedup_eval(spark, sf):
     """Dedup-method EVALUATION harness: exhaustive word-shingle
     Jaccard >= 0.8 ground truth (integer inequality 5*inter >=
@@ -3338,6 +3473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cell_trends": q_cell_trends,
         "q_tile_bins": q_tile_bins,
         "q_dedup_eval": q_dedup_eval,
+        "q_isochrone": q_isochrone,
+        "q_polygon_fill": q_polygon_fill,
     }
 
 
@@ -3552,18 +3689,21 @@ def _grid_graph_sql() -> str:
             nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e)"""
 
 
-def _bellman_sql(iters: int = 3) -> str:
+def _bellman_sql(iters: int = 3, src_pred: str | None = None) -> str:
     """SQL mirror of operators/graph.bellman_ford over the dense-cell
-    grid graph: source = lowest cell id, edge weight
-    1 + ((s + t) % 7), INF = 2^62 sentinel, per-round
+    grid graph: source predicate defaults to the lowest cell id
+    (``src_pred`` generalizes it — the isochrone oracle passes a
+    top-k-dense-cells membership test), edge weight 1 + ((s + t) % 7),
+    INF = 2^62 sentinel, per-round
     d_t+1(v) = least(d_t(v), min over in-edges (d_t(u) + w)).
     MIN stays BIGINT in DuckDB (no HUGEINT trap — that's SUM)."""
     inf = 1 << 62
+    src_pred = src_pred or "node = (SELECT MIN(node) FROM nodes)"
     sql = f"""
             WITH {_grid_graph_sql()},
             d0 AS (
                 SELECT node,
-                       CASE WHEN node = (SELECT MIN(node) FROM nodes)
+                       CASE WHEN {src_pred}
                             THEN 0::BIGINT ELSE {inf}::BIGINT END AS dist
                 FROM nodes)"""
     for i in range(1, iters + 1):
@@ -6724,6 +6864,14 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """
     )
+    out["q_isochrone"] = _bellman_sql(
+        3,
+        src_pred=(
+            f"node IN (SELECT cell FROM (SELECT cell FROM dense "
+            f"ORDER BY n_points DESC, cell LIMIT {ISO_SOURCES}) sx)"
+        ),
+    )
+    out["q_polygon_fill"] = _polygon_fill_sql()
     out["q_dedup_eval"] = f"""
             WITH d2 AS ({_DOCS2_SQL}),
             th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS h FROM d2),

@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "q_cell_trends",
     "q_tile_bins",
     "q_dedup_eval",
+    "q_isochrone",
+    "q_polygon_fill",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
