@@ -612,3 +612,15 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+
+# NOTE on Spark 4's transformWithState[InPandas]: the successor API to
+# applyInPandasWithState exists in this PySpark build, but its state
+# server speaks protobuf and `google.protobuf` is not installed in the
+# target container (ImportError: cannot import name 'descriptor'),
+# verified empirically — the API crashes at runner init, not in user
+# code.  applyInPandasWithState is therefore the supported custom-
+# stateful path here (sessionize, segment_trips_stream, geofence_stream,
+# zscore_stream); the operators port mechanically to StatefulProcessor
+# once the dependency is available.
