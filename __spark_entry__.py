@@ -3281,6 +3281,138 @@ def q_adaptive_tiles(spark, sf):
     )
 
 
+def _event_grid_ints(spark, sf):
+    """Integer grid coordinates straight from the id arithmetic — no
+    float quantization, so STR / skyline oracles are pure-int SQL."""
+    (ev,) = _tables(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        ((F.col("event_id") * 104729) % 36000).alias("x"),
+        ((F.col("user_id") * 7919) % 17000).alias("y"),
+    )
+
+
+def q_str_pack(spark, sf):
+    """STR (sort-tile-recursive) R-tree bulk-load layout of the event
+    point cloud into an 8x4 EQUAL-COUNT tile grid — the balanced
+    spatial partitioning a 100 TB table buckets by.  Global ranks run
+    as two-level distributed scans (coarse-block windows + broadcast
+    block offsets, never a single-task Window.orderBy); tile bounds
+    replicate SQL ntile in closed form, so native DuckDB ntile windows
+    are the oracle (operators/partitioner.py)."""
+    from skyway_spark.operators import partitioner
+
+    pts = _event_grid_ints(spark, sf)
+    packed = partitioner.str_pack(
+        pts, sx=8, sy=4, x_col="x", y_col="y", id_col="event_id"
+    )
+    return partitioner.str_tile_stats(packed)
+
+
+def q_gearys_c(spark, sf):
+    """Global Geary's C spatial autocorrelation (rook contiguity) over
+    the event cell grid — the difference-based sibling of q_morans_i,
+    same integer-deviation exactness contract
+    (operators/spatialstats.gearys_c)."""
+    from skyway_spark.operators import spatialstats
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        (((F.col("user_id") * 7919) % 17000) / F.lit(100)).cast("long").alias("cx"),
+        (((F.col("event_id") * 104729) % 36000) / F.lit(100)).cast("long").alias("cy"),
+    )
+    return spatialstats.gearys_c(spatialstats.cell_counts(pts))
+
+
+def q_skyline(spark, sf):
+    """2-D skyline (Pareto front, minimize both grid axes) of the
+    event points: one corpus groupBy to per-column minima, then a
+    running strict min over the distinct-x aggregate
+    (operators/spatialstats.skyline_min)."""
+    from skyway_spark.operators import spatialstats
+
+    pts = _event_grid_ints(spark, sf).drop("event_id")
+    return spatialstats.skyline_min(pts, x="x", y="y")
+
+
+def q_polygon_centroid(spark, sf):
+    """Shoelace ring centroid per fixture ring — three ordered
+    left-folds (signed twice-area + both centroid numerators) so every
+    float sum is bit-identical cross-engine; centroid = one double
+    division per axis (operators/geometry.ring_centroid)."""
+    from skyway_spark.operators.geometry import ring_centroid
+
+    polys = _pip_polygons_df(spark)
+    return ring_centroid(polys).select(
+        "polygon_id", "ring_role", "area2", "centroid_lon", "centroid_lat"
+    )
+
+
+def q_classifier_auc(spark, sf):
+    """Exact ROC AUC of the hashed-bigram quality scorer against the
+    lang=='en' labels via the tie-corrected rank-sum identity — all
+    integer until one final double division (operators/stats.auc_exact
+    over textstats.hash_feature_score).  The eval harness a curation
+    pipeline needs to trust its own filters."""
+    from skyway_spark.operators.stats import auc_exact
+    from skyway_spark.operators.textstats import hash_feature_score
+
+    (docs,) = _tables(spark, sf, "documents")
+    scored = hash_feature_score(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("label")), "doc_id"
+    )
+    return auc_exact(scored, score_col="score", label_col="label")
+
+
+ROBOTS_RULES = [
+    (f"h{hn}.example", pfx, allow)
+    for hn in range(40)
+    for pfx, allow, cond in (
+        ("", True, True),
+        ("/p/1", False, hn % 3 == 0),
+        ("/p/12", True, hn % 4 == 0),
+    )
+    if cond
+]
+
+
+def q_robots_rules(spark, sf):
+    """Robots-exclusion longest-match rule application (RFC 9309
+    precedence: longest prefix wins, allow wins ties) over the linked-
+    pages corpus against a deterministic per-host rule table —
+    broadcast dimension join + per-URL max_by, corpus never shuffles
+    (operators/urls.robots_apply)."""
+    from skyway_spark.operators.urls import robots_apply
+
+    pages = _linked_pages(spark)
+    rules = spark.createDataFrame(
+        ROBOTS_RULES, "host string, prefix string, allow boolean"
+    )
+    return robots_apply(pages, rules)
+
+
+def q_readability(spark, sf):
+    """Flesch-Kincaid-shaped readability grade per document as an
+    exact integer rational (words/sentences/vowel-run counts; grade
+    x100 over the common denominator w*s), readable flag via
+    cross-multiplied inequality (operators/textstats.readability)."""
+    from skyway_spark.operators.textstats import readability
+
+    (docs,) = _tables(spark, sf, "documents")
+    return readability(docs)
+
+
+def q_session_paths(spark, sf):
+    """Top clickstream paths: each user's first-4 event types under
+    the (ts, event_id) total order joined into a path string, counted
+    across users — per-user window with bounded state, then
+    aggregate-sized path counts (operators/trajectory.event_paths)."""
+    from skyway_spark.operators.trajectory import event_paths
+
+    (ev,) = _tables(spark, sf, "events")
+    return event_paths(ev, k=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -3475,6 +3607,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_eval": q_dedup_eval,
         "q_isochrone": q_isochrone,
         "q_polygon_fill": q_polygon_fill,
+        "q_str_pack": q_str_pack,
+        "q_gearys_c": q_gearys_c,
+        "q_skyline": q_skyline,
+        "q_polygon_centroid": q_polygon_centroid,
+        "q_classifier_auc": q_classifier_auc,
+        "q_robots_rules": q_robots_rules,
+        "q_readability": q_readability,
+        "q_session_paths": q_session_paths,
     }
 
 
@@ -6956,4 +7096,163 @@ def oracle_sql() -> dict[str, str]:
         + out["q_geofence"]
         + ") gf GROUP BY 1, 2, 3"
     )
+    _GRID_INT_SQL = """
+            SELECT event_id, (event_id * 104729) % 36000 AS x,
+                   (user_id * 7919) % 17000 AS y
+            FROM events
+    """
+    out["q_str_pack"] = f"""
+            WITH pts AS ({_GRID_INT_SQL}),
+            t AS (SELECT *, ntile(8) OVER (ORDER BY x, event_id) - 1 AS tx
+                  FROM pts),
+            u AS (SELECT *, ntile(4) OVER (PARTITION BY tx
+                      ORDER BY y, event_id) - 1 AS ty
+                  FROM t)
+            SELECT tx, ty, COUNT(*) AS n_points,
+                   MIN(x) AS x_min, MAX(x) AS x_max,
+                   MIN(y) AS y_min, MAX(y) AS y_max
+            FROM u GROUP BY 1, 2
+        """
+    out["q_gearys_c"] = """
+            WITH pts AS (
+                SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                       ((event_id * 104729) % 36000) // 100 AS cy
+                FROM events),
+            cells AS (SELECT cx, cy, COUNT(*) AS x FROM pts GROUP BY 1, 2),
+            tot AS (SELECT COUNT(*) AS n, (SUM(x))::BIGINT AS s FROM cells),
+            z AS (SELECT cx, cy,
+                         (SELECT n FROM tot) * x - (SELECT s FROM tot) AS z
+                  FROM cells),
+            half AS (
+                SELECT COUNT(*) AS hp,
+                       COALESCE((SUM((a.z - b.z) * (a.z - b.z)))::BIGINT, 0) AS hd2
+                FROM z a JOIN z b
+                  ON (a.cx + 1 = b.cx AND a.cy = b.cy)
+                  OR (a.cx = b.cx AND a.cy + 1 = b.cy)),
+            den AS (SELECT (SELECT n FROM tot) AS n_cells,
+                           (SUM(z * z))::BIGINT AS den_z
+                    FROM z)
+            SELECT n_cells, hp * 2 AS w_pairs, hd2 * 2 AS num_c, den_z,
+                   ((n_cells - 1)::DOUBLE * (hd2 * 2)::DOUBLE)
+                       / (((hp * 2) * 2)::DOUBLE * den_z::DOUBLE) AS gearys_c
+            FROM den CROSS JOIN half
+        """
+    out["q_skyline"] = f"""
+            WITH pts AS ({_GRID_INT_SQL}),
+            colmin AS (SELECT x, MIN(y) AS y FROM pts GROUP BY 1),
+            r AS (SELECT x, y,
+                         MIN(y) OVER (ORDER BY x ROWS BETWEEN
+                             UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+                  FROM colmin)
+            SELECT x, y FROM r WHERE prev IS NULL OR y < prev
+        """
+    _cent_vals = ", ".join(
+        f"({pid}, '{role}', {i}, {a!r}, {b!r})"
+        for pid, rings in PIP_POLYGONS.items()
+        for role, ring in rings
+        for i, (a, b) in enumerate(ring)
+    )
+    _cross = "lons[j] * lats[j+1] - lons[j+1] * lats[j]"
+    out["q_polygon_centroid"] = f"""
+            WITH v(pid, role, i, lat, lon) AS (VALUES {_cent_vals}),
+            r AS (
+                SELECT pid, role,
+                       list(lat::DOUBLE ORDER BY i) AS lats,
+                       list(lon::DOUBLE ORDER BY i) AS lons
+                FROM v GROUP BY 1, 2),
+            s AS (SELECT pid, role,
+                         list_reduce(list_prepend(0.0::DOUBLE,
+                             list_transform(range(1, len(lats)),
+                                 j -> {_cross})),
+                             (a, b) -> a + b) AS a2,
+                         list_reduce(list_prepend(0.0::DOUBLE,
+                             list_transform(range(1, len(lats)),
+                                 j -> (lons[j] + lons[j+1]) * ({_cross}))),
+                             (a, b) -> a + b) AS cxn,
+                         list_reduce(list_prepend(0.0::DOUBLE,
+                             list_transform(range(1, len(lats)),
+                                 j -> (lats[j] + lats[j+1]) * ({_cross}))),
+                             (a, b) -> a + b) AS cyn
+                  FROM r)
+            SELECT pid::BIGINT AS polygon_id, role AS ring_role, a2 AS area2,
+                   cxn / (3.0::DOUBLE * a2) AS centroid_lon,
+                   cyn / (3.0::DOUBLE * a2) AS centroid_lat
+            FROM s
+        """
+    out["q_classifier_auc"] = f"""
+            WITH hc AS ({_hash_classifier_sql()}),
+            sc AS (SELECT hc.score, d.lang = 'en' AS label
+                   FROM hc JOIN documents d USING (doc_id)),
+            per AS (SELECT score,
+                           (SUM(CASE WHEN label THEN 1 ELSE 0 END))::BIGINT AS p,
+                           (SUM(CASE WHEN label THEN 0 ELSE 1 END))::BIGINT AS q
+                    FROM sc GROUP BY 1),
+            c AS (SELECT p, q,
+                         COALESCE((SUM(q) OVER (ORDER BY score ROWS BETWEEN
+                             UNBOUNDED PRECEDING AND 1 PRECEDING))::BIGINT,
+                             0) AS nb
+                  FROM per),
+            a AS (SELECT (SUM(p))::BIGINT AS n_pos, (SUM(q))::BIGINT AS n_neg,
+                         (SUM(p * (2 * nb + q)))::BIGINT AS auc_num
+                  FROM c)
+            SELECT n_pos, n_neg, auc_num,
+                   auc_num::DOUBLE / ((2 * n_pos * n_neg)::DOUBLE) AS auc
+            FROM a
+        """
+    _robots_vals = ", ".join(
+        f"('{h}', '{p}', {'TRUE' if a else 'FALSE'})" for h, p, a in ROBOTS_RULES
+    )
+    out["q_robots_rules"] = f"""
+            WITH u AS (
+                SELECT 'https://h' || (i % 40) || '.example/p/' || i AS url,
+                       'h' || (i % 40) || '.example' AS host,
+                       '/p/' || i AS path
+                FROM range(0, {LINKED_PAGES_N}) s(i)),
+            r(host, prefix, allow) AS (VALUES {_robots_vals}),
+            m AS (SELECT u.url, u.host, u.path, r.prefix, r.allow
+                  FROM u JOIN r ON u.host = r.host
+                  WHERE r.prefix = '' OR starts_with(u.path, r.prefix)),
+            w AS (SELECT *, row_number() OVER (PARTITION BY url
+                      ORDER BY len(prefix) DESC, allow DESC) AS rn
+                  FROM m)
+            SELECT url, host, path, allow AS allowed,
+                   (len(prefix))::INT AS rule_len
+            FROM w WHERE rn = 1
+        """
+    out["q_readability"] = """
+            WITH b AS (
+                SELECT doc_id,
+                       (len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                           AS n_words,
+                       greatest(
+                           ((len(text) - len(replace(text, '.', '')))
+                            + (len(text) - len(replace(text, '!', '')))
+                            + (len(text) - len(replace(text, '?', ''))))::BIGINT,
+                           ((len(regexp_split_to_array(trim(text), '\\s+'))
+                             + 24) // 25)::BIGINT) AS n_sents,
+                       (len(regexp_extract_all(lower(text), '[aeiou]+')))::BIGINT
+                           AS n_vowel_runs
+                FROM documents)
+            SELECT doc_id, n_words, n_sents, n_vowel_runs,
+                   39 * n_words * n_words + 1180 * n_vowel_runs * n_sents
+                       - 1559 * n_words * n_sents AS fk_num,
+                   n_words * n_sents AS fk_den,
+                   (39 * n_words * n_words + 1180 * n_vowel_runs * n_sents
+                       - 1559 * n_words * n_sents)
+                       <= 1200 * (n_words * n_sents) AS readable
+            FROM b WHERE n_words >= 1 AND n_sents >= 1
+        """
+    out["q_session_paths"] = """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events),
+            p AS (SELECT user_id,
+                         string_agg(event_type, '>' ORDER BY rn) AS path,
+                         COUNT(*) AS path_len
+                  FROM e WHERE rn <= 4 GROUP BY 1)
+            SELECT path, path_len, COUNT(*) AS n_users
+            FROM p GROUP BY 1, 2
+        """
     return out

@@ -26,6 +26,46 @@ from pyspark.sql import functions as F
 from skyway_spark.functions.geo import haversine_km
 
 
+def ring_centroid(
+    polys: DataFrame, ring_col: str = "ring", lat_field: str = "lat", lon_field: str = "lon"
+) -> DataFrame:
+    """Area-weighted ring centroid (the shoelace centroid), computed as
+    three ordered left-folds over the vertex array so every float sum
+    is bit-identical cross-engine (the q_polygon_area / q_way_lengths
+    discipline):
+
+        A2  = fold cross_i               (signed twice-area)
+        cxn = fold (x_i + x_{i+1}) * cross_i
+        cyn = fold (y_i + y_{i+1}) * cross_i
+        centroid = (cxn / (3 * A2), cyn / (3 * A2))
+
+    with cross_i = x_i * y_{i+1} - x_{i+1} * y_i.  Input rings are
+    closed (last vertex repeats the first).  The folds are row-local
+    JVM higher-order functions — zero shuffles, scan-stage only; the
+    centroid divisions are each ONE double division on both engines.
+
+    Output: input rows + (area2, centroid_lon, centroid_lat).
+    """
+    ring = F.col(ring_col)
+    n = F.size(ring)
+    x = lambda i: F.element_at(ring, i)[lon_field]  # noqa: E731
+    y = lambda i: F.element_at(ring, i)[lat_field]  # noqa: E731
+    cross = lambda i: x(i) * y(i + 1) - x(i + 1) * y(i)  # noqa: E731
+    idx = F.sequence(F.lit(1), n - 1)
+    fold = lambda term: F.aggregate(  # noqa: E731
+        idx, F.lit(0.0), lambda acc, i: acc + term(i)
+    )
+    a2 = fold(cross)
+    cxn = fold(lambda i: (x(i) + x(i + 1)) * cross(i))
+    cyn = fold(lambda i: (y(i) + y(i + 1)) * cross(i))
+    return polys.select(
+        "*",
+        a2.alias("area2"),
+        (cxn / (F.lit(3.0) * a2)).alias("centroid_lon"),
+        (cyn / (F.lit(3.0) * a2)).alias("centroid_lat"),
+    )
+
+
 def relation_way_rollup(
     relations: DataFrame,
     way_geoms: DataFrame,

@@ -90,6 +90,87 @@ def morans_i(cells: DataFrame) -> DataFrame:
     )
 
 
+def gearys_c(cells: DataFrame) -> DataFrame:
+    """Global Geary's C spatial autocorrelation with rook contiguity —
+    Moran's I's difference-based sibling (sensitive to LOCAL rather
+    than global structure; C < 1 = positive autocorrelation).  Input:
+    (cx, cy, x) integer cell counts.  Output single row (n_cells,
+    w_pairs, num_c, den_z, gearys_c).
+
+    Same exactness contract as morans_i: with z_i = n*x_i - S the
+    scaled deviations, (x_i - x_j)^2 = (z_i - z_j)^2 / n^2 and the n^2
+    cancels against the denominator, so
+
+        C = (n - 1) * num_c / (2 * W * den_z)
+
+    with num_c = sum over ordered neighbor pairs of (z_i - z_j)^2 and
+    den_z = sum z_i^2 both exact int64; the final C is one
+    identically-ordered double multiply-then-divide per side.
+
+    Scale shape identical to morans_i: ONE corpus shuffle into cells
+    upstream, two equi-joins on shifted keys, broadcast totals."""
+    cells = cells.localCheckpoint(eager=True)
+    totals = cells.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    z = (
+        cells.crossJoin(F.broadcast(totals))
+        .select("cx", "cy", (F.col("n") * F.col("x") - F.col("s")).alias("z"), "n")
+        .localCheckpoint(eager=True)
+    )
+    a = z.select(
+        F.col("cx").alias("ax"), F.col("cy").alias("ay"), F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"), F.col("z").alias("zb")
+    )
+    east = a.join(b, (F.col("ax") + 1 == F.col("bx")) & (F.col("ay") == F.col("by")))
+    north = a.join(b, (F.col("ax") == F.col("bx")) & (F.col("ay") + 1 == F.col("by")))
+    d2 = (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
+    half = east.unionByName(north).agg(
+        F.count(F.lit(1)).alias("hp"),
+        F.coalesce(F.sum(d2), F.lit(0)).alias("hd2"),
+    )
+    den = z.agg(
+        F.max("n").alias("n_cells"), F.sum(F.col("z") * F.col("z")).alias("den_z")
+    )
+    w_pairs = F.col("hp") * 2
+    num_c = F.col("hd2") * 2
+    return den.crossJoin(F.broadcast(half)).select(
+        F.col("n_cells"),
+        w_pairs.alias("w_pairs"),
+        num_c.alias("num_c"),
+        F.col("den_z"),
+        (
+            ((F.col("n_cells") - 1).cast("double") * num_c.cast("double"))
+            / ((w_pairs * 2).cast("double") * F.col("den_z").cast("double"))
+        ).alias("gearys_c"),
+    )
+
+
+def skyline_min(points: DataFrame, x: str = "cx", y: str = "cy") -> DataFrame:
+    """2-D skyline (Pareto front, minimize both axes): the distinct
+    points not dominated by any other — dominance = <= on both axes,
+    strict on at least one.  The staircase query behind "closest AND
+    cheapest" style spatial screening.
+
+    Algorithm: one corpus-sized groupBy to (x, min y) — any point above
+    its column minimum is dominated within the column — then a running
+    strict min over the DISTINCT-X aggregate (ordered window on a
+    dimension-sized table, not the corpus): (x, miny) survives iff
+    miny < every miny at smaller x.  Integer-exact.
+
+    Output: (x, y) skyline points, the staircase from low-x/high-y to
+    high-x/low-y."""
+    from pyspark.sql import Window
+
+    colmin = points.groupBy(F.col(x).alias("x")).agg(F.min(y).alias("y"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        colmin.withColumn("__prev", F.min("y").over(w))
+        .where(F.col("__prev").isNull() | (F.col("y") < F.col("__prev")))
+        .select("x", "y")
+    )
+
+
 def hot_spots(cells: DataFrame) -> DataFrame:
     """Local hot/cold-spot detection (Getis-Ord G_i* shape, integer
     arithmetic): for each occupied cell, the focal sum over its rook

@@ -226,6 +226,55 @@ def cooccurrence_pairs(
     )
 
 
+def auc_exact(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """Exact ROC AUC of an integer scorer against boolean labels via
+    the rank-sum (Mann-Whitney U) identity, kept integer throughout:
+
+        auc_num = sum over distinct scores s of
+                      p_s * (2 * negatives_below(s) + n_s)
+        AUC     = auc_num / (2 * P * N)
+
+    where p_s / n_s count positives / negatives AT score s — each
+    (pos, neg) pair contributes 2 when the positive outscores the
+    negative and 1 on a tie, so auc_num is the standard tie-corrected
+    AUC scaled by 2*P*N and is exact int64 on any engine; the final
+    AUC is one double division.  This is the evaluation harness for
+    the quality-classifier operators (hash_feature_score, quality
+    gates): a curation pipeline that cannot measure its own filter is
+    flying blind.
+
+    Output: single row (n_pos, n_neg, auc_num, auc).
+
+    Scale shape: one corpus-sized groupBy to the DISTINCT-SCORE
+    aggregate (map-side combined), then a running window + total over
+    that aggregate — the corpus never sorts globally."""
+    from pyspark.sql import Window
+
+    is_pos = F.col(label_col).cast("boolean")
+    per = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("p"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).alias("q"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = per.withColumn("nb", F.coalesce(F.sum("q").over(w), F.lit(0)))
+    agg = c.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("q").alias("n_neg"),
+        F.sum(F.col("p") * (F.lit(2) * F.col("nb") + F.col("q"))).alias("auc_num"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_num",
+        (
+            F.col("auc_num").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
 def running_zscore_flags(
     df: DataFrame,
     entity_col: str = "user_id",

@@ -678,3 +678,58 @@ def lm_cross_score(
         F.sum(F.when(F.col("q").isNull(), 1).otherwise(0)).alias("n_oov"),
         F.expr("sum(coalesce(q, 0)) div count(1)").alias("lm_q"),
     )
+
+
+def readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-Kincaid-shaped readability, engine-exact: word count =
+    whitespace tokens, sentence count = terminal-punctuation chars
+    (length-difference trick — no regex dialect risk), syllable proxy
+    = maximal vowel runs.  The grade is kept as the integer rational
+
+        fk_x100 = (39*w^2 + 1180*v*s - 1559*w*s) / (w*s)
+
+    (the standard 0.39*(w/s) + 11.8*(v/w) - 15.59 scaled by 100 and
+    put over the common denominator w*s), so num/den are exact int64;
+    ``readable`` = grade <= 12 via the cross-multiplied inequality —
+    no division anywhere.  This is the quality-gate signal complexity
+    heuristics (Gopher rules) leave out: length-blind sentence
+    complexity.
+
+    Output: (id, n_words, n_sents, n_vowel_runs, fk_num, fk_den,
+    readable) for docs with >= 1 word and >= 1 sentence mark.
+
+    Scale shape: pure scan-stage Column expressions, zero shuffles,
+    zero Python."""
+    t = F.col(text_col)
+    w = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    punct = (
+        F.length(t) - F.length(F.replace(t, F.lit("."), F.lit("")))
+        + F.length(t) - F.length(F.replace(t, F.lit("!"), F.lit("")))
+        + F.length(t) - F.length(F.replace(t, F.lit("?"), F.lit("")))
+    ).cast("long")
+    # unpunctuated text (ASR transcripts, scraped fragments) still gets
+    # a sentence-shaped denominator: 25-token segments as the fallback
+    nsent = F.greatest(punct, F.call_function("div", w + 24, F.lit(25).cast("long")))
+    v = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[aeiou]+', 0)")).cast(
+        "long"
+    )
+    base = docs.select(
+        F.col(id_col),
+        w.alias("n_words"),
+        nsent.alias("n_sents"),
+        v.alias("n_vowel_runs"),
+    ).where((F.col("n_words") >= 1) & (F.col("n_sents") >= 1))
+    num = (
+        F.lit(39) * F.col("n_words") * F.col("n_words")
+        + F.lit(1180) * F.col("n_vowel_runs") * F.col("n_sents")
+        - F.lit(1559) * F.col("n_words") * F.col("n_sents")
+    )
+    den = F.col("n_words") * F.col("n_sents")
+    return base.select(
+        "*",
+        num.alias("fk_num"),
+        den.alias("fk_den"),
+        (num <= F.lit(1200) * den).alias("readable"),
+    )

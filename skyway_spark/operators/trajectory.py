@@ -198,3 +198,47 @@ def geofence_transitions(
         .otherwise("switch")
         .alias("kind"),
     )
+
+
+def event_paths(
+    events: DataFrame,
+    k: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top clickstream paths: each user's first ``k`` events (ordered
+    by (ts, id) — a total order, so the path string is deterministic)
+    joined into a ``>``-separated path, counted across users.  The
+    session-path analytics staple over web event logs.
+
+    Output: (path, n_users, path_len) — every observed path, exact.
+
+    Scale shape: ONE window partitioned by user (parallel, bounded
+    state) to take the first k events, then the per-user path builds
+    via sort_array over a <=k-element collect_list (group state is
+    k structs, never the full history), then a map-side-combined
+    count by path.  The path-space is |event_type|^k — aggregate-
+    sized output."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    first_k = (
+        events.select(user_col, ts_col, id_col, type_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    per_user = first_k.groupBy(user_col).agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__rn", type_col))),
+                lambda s: s[type_col],
+            ),
+        ).alias("path"),
+        F.count(F.lit(1)).alias("__len"),
+    )
+    return per_user.groupBy("path", F.col("__len").alias("path_len")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

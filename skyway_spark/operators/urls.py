@@ -130,3 +130,53 @@ def filter_blocklist(
     )
     blocked = sfx.join(F.broadcast(bl), "sfx").select("__rk").distinct()
     return keyed.join(blocked, "__rk", "left_anti").drop("__rk")
+
+
+def robots_apply(
+    pages: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Apply robots.txt-style path rules to URLs with longest-match
+    precedence (the public robots exclusion protocol, RFC 9309 §2.2.2:
+    the most specific — longest — matching rule wins; on a length tie
+    the ALLOW rule wins).  ``rules``: (host, prefix, allow) where an
+    empty prefix is the match-all default.  URLs on hosts with no rule
+    row are implicitly allowed — crawl politeness never drops a host
+    for missing robots.
+
+    Output: (url, host, path, allowed, rule_len).
+
+    Scale shape: robots rule tables are dimension-sized (a few rules
+    per host), so the join is an explicit BROADCAST on host; the
+    longest-match argmax is a per-URL max_by over the handful of
+    matched rules — aggregate state O(1) per URL, corpus never
+    shuffles (broadcast join + map-side-combinable groupBy keyed by
+    url).  At 10^12 pages this is a pure scan + one aggregate.
+    """
+    host = host_of(F.col(url_col))
+    rest = F.regexp_replace(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    u = pages.select(F.col(url_col).alias("url"), host.alias("host"), path.alias("path"))
+    r = rules.select(
+        F.col("host"), F.col("prefix"), F.col("allow").cast("boolean").alias("allow")
+    )
+    m = u.join(F.broadcast(r), "host", "left").where(
+        F.col("prefix").isNull() | F.col("path").startswith(F.col("prefix"))
+    )
+    # verdict = max_by over (len(prefix), allow): longest rule wins,
+    # allow beats disallow on a tie; unmatched hosts (null prefix)
+    # carry (-1, true) so the default-allow row never outranks a rule
+    key = F.struct(
+        F.coalesce(F.length("prefix"), F.lit(-1)).alias("l"),
+        F.coalesce(F.col("allow"), F.lit(True)).alias("a"),
+    )
+    return (
+        m.groupBy("url", "host", "path")
+        .agg(F.max(key).alias("best"))
+        .select(
+            "url",
+            "host",
+            "path",
+            F.col("best.a").alias("allowed"),
+            F.col("best.l").alias("rule_len"),
+        )
+    )
