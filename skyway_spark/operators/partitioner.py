@@ -43,6 +43,12 @@ def global_rank(
     ``x div 4096`` for an ordering led by ``x``) so block boundaries
     respect the total order; the caller picks its granularity so block
     count ~ sqrt(n) at the target scale.
+
+    ``df`` is read TWICE (windowed ranks + block counts — the fresh
+    narrow re-scan keeps the counts branch off the corpus-sized window
+    exchange, same as packing.pack_sequences); callers whose input is
+    an expensive pipeline rather than a scan should localCheckpoint it
+    first.
     """
     base = df.withColumn("__blk", block_col.cast("long"))
     w_in = Window.partitionBy("__blk").orderBy(*[F.col(c) for c in order_cols])
@@ -119,10 +125,15 @@ def str_pack(
     )
 
     # second-level rank within each slice: block key = (tx, y-block),
-    # window partitioned by both so the order (tx, y, id) is respected
+    # window partitioned by both so the order (tx, y, id) is respected.
+    # The slice table is localCheckpoint-pinned first: three plan
+    # branches read it (local ranks, block counts, slice totals) and
+    # without the pin Catalyst re-executes the ENTIRE first-level rank
+    # subtree once per branch (measured 6 parquet scans -> 1; the
+    # repo's multi-reference staging discipline)
     base = sliced.withColumn(
         "__yblk", F.call_function("div", F.col(y_col).cast("long"), F.lit(int(y_block)))
-    )
+    ).localCheckpoint(eager=True)
     w_in = Window.partitionBy("tx", "__yblk").orderBy(y_col, id_col)
     local = base.withColumn("__lrn", F.row_number().over(w_in).cast("long"))
     counts = base.groupBy("tx", "__yblk").agg(F.count(F.lit(1)).alias("__cnt"))
