@@ -3413,6 +3413,43 @@ def q_session_paths(spark, sf):
     return event_paths(ev, k=4)
 
 
+def q_nn_graph(spark, sf):
+    """All-points nearest-neighbor graph (bounded 3x3-cell search) over
+    the integer event grid — exact int64 squared distances, ties to
+    the lowest neighbor id; the probe side explodes to 9 neighbor
+    cells and candidates arrive via ONE cell equi-join
+    (operators/knn.nn_self_join)."""
+    from skyway_spark.operators.knn import nn_self_join
+
+    pts = _event_grid_ints(spark, sf)
+    return nn_self_join(pts, cell_size=256, x_col="x", y_col="y", id_col="event_id")
+
+
+def q_mention_city(spark, sf):
+    """Voronoi assignment of every EXTRACTED geo-mention to its nearest
+    hot city (planar squared-degree argmin over literal sites, ties to
+    lowest city id), rolled up city x amenity — the geo-entity
+    disambiguation step of a web-corpus pipeline, composed over the
+    byte-exact extraction operator (operators/knn.voronoi_assign over
+    extract_geo_entities)."""
+    from skyway_spark.operators.knn import voronoi_assign
+    from skyway_spark.sources.generate import HOT_CITIES
+
+    ents = extract_geo_entities(_portable_pages(spark, sf))
+    m = ents.select(
+        F.col("tags")["name"].alias("name"),
+        F.col("tags")["amenity"].alias("amenity"),
+        "lat",
+        "lon",
+    )
+    assigned = voronoi_assign(
+        m, [(i, la, lo) for i, (la, lo) in enumerate(HOT_CITIES)]
+    )
+    return assigned.groupBy("site", "amenity").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -3615,6 +3652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_rules": q_robots_rules,
         "q_readability": q_readability,
         "q_session_paths": q_session_paths,
+        "q_nn_graph": q_nn_graph,
+        "q_mention_city": q_mention_city,
     }
 
 
@@ -7241,6 +7280,44 @@ def oracle_sql() -> dict[str, str]:
                        - 1559 * n_words * n_sents)
                        <= 1200 * (n_words * n_sents) AS readable
             FROM b WHERE n_words >= 1 AND n_sents >= 1
+        """
+    out["q_nn_graph"] = f"""
+            WITH pts AS ({_GRID_INT_SQL}),
+            probe AS (
+                SELECT event_id AS id, x, y,
+                       (x // 256) + dx AS ncx, (y // 256) + dy AS ncy
+                FROM pts, (SELECT unnest([-1, 0, 1]) AS dx) a,
+                     (SELECT unnest([-1, 0, 1]) AS dy) b),
+            cand AS (SELECT event_id AS nn_id, x AS nx, y AS ny,
+                            x // 256 AS ncx, y // 256 AS ncy
+                     FROM pts),
+            j AS (SELECT p.id, p.x, p.y, c.nn_id,
+                         (p.x - c.nx) * (p.x - c.nx)
+                             + (p.y - c.ny) * (p.y - c.ny) AS d2
+                  FROM probe p JOIN cand c USING (ncx, ncy)
+                  WHERE c.nn_id != p.id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY id
+                      ORDER BY d2, nn_id) AS rn
+                  FROM j)
+            SELECT id, x, y, nn_id, d2 FROM r WHERE rn = 1
+        """
+    from skyway_spark.sources.generate import HOT_CITIES as _HC
+
+    _city_vals = ", ".join(
+        f"({i}, {la!r}::DOUBLE, {lo!r}::DOUBLE)" for i, (la, lo) in enumerate(_HC)
+    )
+    out["q_mention_city"] = f"""
+            WITH em AS ({out["q_extract_mentions"]}),
+            c(site, clat, clon) AS (VALUES {_city_vals}),
+            d AS (SELECT em.name, em.amenity, c.site,
+                         (em.lat - c.clat) * (em.lat - c.clat)
+                             + (em.lon - c.clon) * (em.lon - c.clon) AS d2
+                  FROM em CROSS JOIN c),
+            r AS (SELECT *, row_number() OVER (PARTITION BY name
+                      ORDER BY d2, site) AS rn
+                  FROM d)
+            SELECT site, amenity, COUNT(*) AS n_mentions
+            FROM r WHERE rn = 1 GROUP BY 1, 2
         """
     out["q_session_paths"] = """
             WITH e AS (

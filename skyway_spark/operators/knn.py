@@ -271,3 +271,101 @@ def match_to_segments(
         F.col("__b.num").alias("d2_num"),
         F.col("__b.den").alias("d2_den"),
     )
+
+
+def nn_self_join(
+    points: DataFrame,
+    cell_size: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "id",
+) -> DataFrame:
+    """All-points nearest neighbor on an integer grid, bounded search:
+    each point's nearest OTHER point among the 3x3 block of
+    ``cell_size``-sized cells around it (points whose true NN lies
+    outside that ring emit no row — the standard distributed NN
+    contract; shrink cell_size for tighter bounds, grow for recall).
+    Squared distance is exact int64; ties break to the lowest neighbor
+    id, so the result is deterministic on any engine.
+
+    Output: (id, x, y, nn_id, d2).
+
+    Scale shape: the probe side explodes to its 9 neighbor cells
+    (row-local), then ONE equi-join on the cell key against the
+    cell-bucketed points and a map-side-combinable min(struct) per
+    point — never a theta join, never all-pairs.  This is the
+    cell-join analogue of knn_join for the self-join (NN-graph) case;
+    skew in hot cells is the same problem as any cell join and
+    composes with operators/salt.py.
+    """
+    c = lambda col: F.call_function(  # noqa: E731
+        "div", F.col(col).cast("long"), F.lit(int(cell_size))
+    )
+    probe = points.select(
+        F.col(id_col).alias("id"), F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        c(x_col).alias("pcx"), c(y_col).alias("pcy"),
+    ).select(
+        "id", "x", "y",
+        F.explode(
+            F.array(*[F.col("pcx") + d for d in (-1, 0, 1)])
+        ).alias("ncx"),
+        "pcy",
+    ).select(
+        "id", "x", "y", "ncx",
+        F.explode(
+            F.array(*[F.col("pcy") + d for d in (-1, 0, 1)])
+        ).alias("ncy"),
+    )
+    cand = points.select(
+        F.col(id_col).alias("nn_id"), F.col(x_col).alias("nx"),
+        F.col(y_col).alias("ny"), c(x_col).alias("ncx"), c(y_col).alias("ncy"),
+    )
+    dx = F.col("x") - F.col("nx")
+    dy = F.col("y") - F.col("ny")
+    d2 = dx * dx + dy * dy
+    return (
+        probe.join(cand, ["ncx", "ncy"])
+        .where(F.col("nn_id") != F.col("id"))
+        .groupBy("id", "x", "y")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("nn_id").alias("nn_id"))).alias("b"))
+        .select("id", "x", "y", F.col("b.nn_id").alias("nn_id"), F.col("b.d2").alias("d2"))
+    )
+
+
+def voronoi_assign(
+    points: DataFrame,
+    sites: list[tuple],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out_col: str = "site",
+) -> DataFrame:
+    """Voronoi-cell assignment against a LITERAL site list: every point
+    gets the id of its nearest site (planar squared-degree distance,
+    fixed multiply-then-add op order so the doubles are bit-identical
+    cross-engine; ties to the lowest site id).  ``sites`` is
+    [(site_id, lat, lon), ...].
+
+    Unlike snap_to_sites this is UNBOUNDED (every point is assigned —
+    the site list defines a total partition of the plane) and runs
+    entirely in the scan stage: the sites ride as plan literals, the
+    argmin is one array_min over a per-row struct array — zero
+    shuffles, zero Python.  Literal-budget doctrine (operators/pip.py
+    refine='auto'): fine for dimension-scale site lists (cities,
+    depots, datacenters); for thousands of sites switch to
+    snap_to_sites' cell join instead.
+    """
+    la, lo = F.col(lat_col), F.col(lon_col)
+    arr = F.array(
+        *[
+            F.struct(
+                (
+                    (la - F.lit(slat)) * (la - F.lit(slat))
+                    + (lo - F.lit(slon)) * (lo - F.lit(slon))
+                ).alias("d2"),
+                F.lit(int(sid)).alias("s"),
+            )
+            for sid, slat, slon in sites
+        ]
+    )
+    best = F.array_min(arr)
+    return points.select("*", best["s"].alias(out_col), best["d2"].alias("site_d2"))

@@ -250,3 +250,45 @@ def test_event_paths_first_k_in_ts_order(spark):
     got = {(r["path"], r["path_len"]): r["n_users"]
            for r in event_paths(df, k=3).collect()}
     assert got == {("a>b>c", 3): 2, ("a>b", 2): 1}
+
+
+# ---------------------------------------------------------------------------
+# NN self-join + Voronoi assignment
+# ---------------------------------------------------------------------------
+
+
+def test_nn_self_join_matches_bruteforce(spark):
+    from skyway_spark.operators.knn import nn_self_join
+
+    pts = [(1, 0, 0), (2, 3, 4), (3, 10, 10), (4, 10, 11), (5, 300, 300)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    # cell_size 64: ids 1-4 share the 3x3 ring; id 5 is isolated
+    got = {r["id"]: (r["nn_id"], r["d2"]) for r in
+           nn_self_join(df, cell_size=64).collect()}
+    assert got == {1: (2, 25), 2: (1, 25), 3: (4, 1), 4: (3, 1)}
+    # big cells: everyone reachable -> true global NN for id 5 too
+    got_all = {r["id"]: r["nn_id"] for r in
+               nn_self_join(df, cell_size=1024).collect()}
+    assert got_all[5] == 4 and len(got_all) == 5
+
+
+def test_nn_self_join_tie_breaks_to_lowest_id(spark):
+    from skyway_spark.operators.knn import nn_self_join
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 2), (3, 2, 0)], "id long, x long, y long"
+    )
+    got = {r["id"]: r["nn_id"] for r in nn_self_join(df, cell_size=16).collect()}
+    assert got[1] == 2  # d2=4 to both 2 and 3 -> lowest id
+
+
+def test_voronoi_assign_nearest_and_ties(spark):
+    from skyway_spark.operators.knn import voronoi_assign
+
+    sites = [(0, 0.0, 0.0), (1, 0.0, 10.0)]
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0), (2, 0.0, 9.0), (3, 0.0, 5.0)],
+        "pid long, lat double, lon double",
+    )
+    got = {r["pid"]: r["site"] for r in voronoi_assign(df, sites).collect()}
+    assert got == {1: 0, 2: 1, 3: 0}  # equidistant -> lowest site id
