@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     "q_url_host_stats",
     "q_geohash",
     "q_ewma",
+    # round-3 late additions
+    "q_str_pack",
+    "q_nn_graph",
+    "q_classifier_auc",
+    "q_session_paths",
     "q_simplify_ways",
     "q_rep_quality",
     "q_boilerplate",
