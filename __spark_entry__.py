@@ -3450,6 +3450,57 @@ def q_mention_city(spark, sf):
     )
 
 
+def q_host_components(spark, sf):
+    """Site clusters: connected components of the host link graph
+    restricted to strong edges (>= 5 links) — contraction +
+    pointer-jumping CC over STRING node ids (7 components over 29
+    hosts on the fixture; the mirror-network discovery pass of a
+    crawl corpus).  Oracle: recursive-CTE reachability."""
+    from skyway_spark.operators.graph import connected_components
+    from skyway_spark.operators.weblinks import extract_links, host_graph
+
+    links = extract_links(_linked_pages(spark))
+    hg = host_graph(links).where(F.col("n_links") >= 5)
+    return connected_components(hg, src="src_host", dst="dst_host")
+
+
+def q_url_templates(spark, sf):
+    """URL pattern mining: digit runs in the path collapse to '{d}',
+    query/fragment stripped, counted per host — crawl-structure
+    discovery (operators/urls.url_templates).  The oracle derives the
+    expected templates CLOSED-FORM from the id arithmetic, fully
+    independent of the operator's regexes."""
+    from skyway_spark.operators.urls import url_templates
+
+    (docs,) = _tables(spark, sf, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    url = F.concat(
+        F.lit("https://site"), (did % 7).cast("string"), F.lit(".com/items/"), s,
+        F.when(did % 3 == 0, F.concat(F.lit("/reviews/"), (did % 10).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(F.lit("?page="), (did % 5).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return url_templates(docs.select(url.alias("url")))
+
+
+def q_simpson_cells(spark, sf):
+    """Per-cell user diversity as the Gini-Simpson index kept as an
+    exact integer rational (N^2 - sum n_u^2) / N^2 — the bot-vs-plaza
+    venue signal over the event grid
+    (operators/spatialstats.simpson_diversity)."""
+    from skyway_spark.operators import spatialstats
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "user_id",
+        (((F.col("user_id") * 7919) % 17000) / F.lit(100)).cast("long").alias("cx"),
+        (((F.col("event_id") * 104729) % 36000) / F.lit(100)).cast("long").alias("cy"),
+    )
+    return spatialstats.simpson_diversity(pts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -3654,6 +3705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_paths": q_session_paths,
         "q_nn_graph": q_nn_graph,
         "q_mention_city": q_mention_city,
+        "q_host_components": q_host_components,
+        "q_url_templates": q_url_templates,
+        "q_simpson_cells": q_simpson_cells,
     }
 
 
@@ -7318,6 +7372,56 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT site, amenity, COUNT(*) AS n_mentions
             FROM r WHERE rn = 1 GROUP BY 1, 2
+        """
+    out["q_host_components"] = f"""
+            WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
+            hg AS (SELECT src_host, dst_host FROM l
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            e AS (SELECT src_host AS s, dst_host AS t FROM hg
+                  UNION SELECT dst_host, src_host FROM hg),
+            reach(s, t) AS (
+                SELECT s, t FROM e
+                UNION
+                SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+            )
+            SELECT s AS node, LEAST(s, MIN(t)) AS component
+            FROM reach GROUP BY s
+        """
+    out["q_url_templates"] = """
+            WITH u AS (
+                SELECT 'https://site' || (doc_id % 7) || '.com/items/' || doc_id
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '/reviews/' || (doc_id % 10) ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '?page=' || (doc_id % 5) ELSE '' END AS url,
+                       doc_id
+                FROM documents),
+            t AS (SELECT 'site' || (doc_id % 7) || '.com' AS host,
+                         CASE WHEN doc_id % 3 = 0
+                              THEN '/items/{d}/reviews/{d}'
+                              ELSE '/items/{d}' END AS template,
+                         url
+                  FROM u)
+            SELECT host, template, COUNT(*) AS n_urls,
+                   COUNT(DISTINCT url) AS n_distinct_urls
+            FROM t GROUP BY 1, 2
+        """
+    out["q_simpson_cells"] = """
+            WITH pts AS (
+                SELECT user_id,
+                       ((user_id * 7919) % 17000) // 100 AS cx,
+                       ((event_id * 104729) % 36000) // 100 AS cy
+                FROM events),
+            per AS (SELECT cx, cy, user_id, COUNT(*) AS n
+                    FROM pts GROUP BY 1, 2, 3),
+            roll AS (SELECT cx, cy, (SUM(n))::BIGINT AS n_events,
+                            COUNT(*) AS n_entities,
+                            (SUM(n * n))::BIGINT AS sum_sq
+                     FROM per GROUP BY 1, 2)
+            SELECT cx, cy, n_events, n_entities, sum_sq,
+                   n_events * n_events - sum_sq AS div_num,
+                   n_events * n_events AS div_den
+            FROM roll
         """
     out["q_session_paths"] = """
             WITH e AS (

@@ -269,3 +269,38 @@ def cell_trends(points: DataFrame, ts_col: str = "ts", min_hours: int = 2) -> Da
         den.alias("slope_den"),
         (num > 0).alias("rising"),
     )
+
+
+def simpson_diversity(
+    points: DataFrame,
+    entity_col: str = "user_id",
+    cx: str = "cx",
+    cy: str = "cy",
+) -> DataFrame:
+    """Per-cell entity diversity as the Gini-Simpson index, kept as an
+    exact integer rational (entropy needs a log; Gini-Simpson doesn't):
+
+        D = 1 - sum_u n_u^2 / N^2   ->   (div_num, div_den) = (N^2 - S2, N^2)
+
+    with n_u the per-entity count and N the cell total.  High D = the
+    cell's activity is spread across many users (a plaza); low D = one
+    bot hammering one tile.  The anti-fraud / venue-classification
+    signal over the same grid every other spatial stat uses.
+
+    Output: (cx, cy, n_events, n_entities, sum_sq, div_num, div_den).
+
+    Scale shape: ONE corpus shuffle to (cell, entity) counts (map-side
+    combined), then a cell-keyed rollup of that aggregate — the moment
+    sums ride the second, aggregate-sized shuffle."""
+    per = points.groupBy(cx, cy, entity_col).agg(F.count(F.lit(1)).alias("n"))
+    roll = per.groupBy(cx, cy).agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    n2 = F.col("n_events") * F.col("n_events")
+    return roll.select(
+        cx, cy, "n_events", "n_entities", "sum_sq",
+        (n2 - F.col("sum_sq")).alias("div_num"),
+        n2.alias("div_den"),
+    )

@@ -180,3 +180,30 @@ def robots_apply(
             F.col("best.l").alias("rule_len"),
         )
     )
+
+
+def url_templates(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL pattern mining: collapse every URL path to its TEMPLATE
+    (digit runs -> ``{d}``, query/fragment stripped) and count per
+    host — the crawl-side structure discovery that feeds dedup
+    canonicalization rules and sitemap inference (a host whose million
+    URLs are one template is a database dump, not a million pages).
+
+    Output: (host, template, n_urls, n_distinct_urls).
+
+    Scale shape: host/path/template are scan-stage regex Columns; the
+    only shuffle is the map-side-combined groupBy on (host, template)
+    — output is template-space-sized, not corpus-sized."""
+    host = host_of(F.col(url_col))
+    rest = F.regexp_replace(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_replace(rest, r"[?#].*$", "")
+    template = F.regexp_replace(path, "[0-9]+", "{d}")
+    return (
+        pages.select(host.alias("host"), template.alias("template"),
+                     F.col(url_col).alias("u"))
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("u").alias("n_distinct_urls"),
+        )
+    )

@@ -292,3 +292,55 @@ def test_voronoi_assign_nearest_and_ties(spark):
     )
     got = {r["pid"]: r["site"] for r in voronoi_assign(df, sites).collect()}
     assert got == {1: 0, 2: 1, 3: 0}  # equidistant -> lowest site id
+
+
+# ---------------------------------------------------------------------------
+# URL templates, Simpson diversity, string-id components
+# ---------------------------------------------------------------------------
+
+
+def test_url_templates_digits_only_in_path(spark):
+    from skyway_spark.operators.urls import url_templates
+
+    df = spark.createDataFrame(
+        [Row(url=u) for u in (
+            "https://s7.example/items/123",
+            "https://s7.example/items/99?page=2#x",   # query/fragment stripped
+            "https://s7.example/items/123/reviews/4",
+            "https://other.example/about",
+        )]
+    )
+    got = {(r["host"], r["template"]): (r["n_urls"], r["n_distinct_urls"])
+           for r in url_templates(df).collect()}
+    # host digits survive (s7), path digits template away
+    assert got[("s7.example", "/items/{d}")] == (2, 2)
+    assert got[("s7.example", "/items/{d}/reviews/{d}")] == (1, 1)
+    assert got[("other.example", "/about")] == (1, 1)
+
+
+def test_simpson_diversity_bot_vs_plaza(spark):
+    from skyway_spark.operators.spatialstats import simpson_diversity
+
+    rows = [Row(user_id=1, cx=0, cy=0)] * 4 + [
+        Row(user_id=u, cx=1, cy=1) for u in (1, 2, 3, 4)
+    ]
+    got = {(r["cx"], r["cy"]): r for r in
+           simpson_diversity(spark.createDataFrame(rows)).collect()}
+    bot, plaza = got[(0, 0)], got[(1, 1)]
+    assert (bot["n_events"], bot["n_entities"], bot["div_num"]) == (4, 1, 0)
+    assert (plaza["n_events"], plaza["n_entities"], plaza["div_num"]) == (4, 4, 12)
+    assert plaza["div_den"] == 16
+
+
+def test_connected_components_string_ids(spark):
+    from skyway_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("x.com", "y.com"),
+         ("z.com", "z.com")],  # self-loop-only node stays its own component
+        "src string, dst string",
+    )
+    got = {r["node"]: r["component"] for r in
+           connected_components(edges).collect()}
+    assert got == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+                   "x.com": "x.com", "y.com": "x.com", "z.com": "z.com"}
