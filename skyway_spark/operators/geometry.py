@@ -253,3 +253,114 @@ def simplify_ways(
     return geoms.select(F.col(way_id).alias("way_id"), F.col(pts_col).alias(pts_col)).mapInPandas(
         run, out_schema
     )
+
+
+_RING_T = "array<struct<lat:double,lon:double>>"
+
+
+def _clip_stage(arr, axis: str, c: float, keep_min: bool):
+    """One Sutherland-Hodgman half-plane pass over an OPEN ring array —
+    row-local fold: for each directed edge (v1, v2) (wraparound), emit
+    the edge/half-plane intersection when crossing, then v2 when
+    inside.  Emission order and float op order are pinned so a SQL
+    mirror reproduces every coordinate bit-for-bit."""
+    cl = F.lit(float(c))
+
+    def inside(v):
+        return (v[axis] >= cl) if keep_min else (v[axis] <= cl)
+
+    def inter(v1, v2):
+        # t first, then multiply-add: a + (b - a) * ((c - p) / (q - p));
+        # only evaluated on crossings, where q != p, so no div-by-zero
+        if axis == "lon":
+            t = (cl - v1["lon"]) / (v2["lon"] - v1["lon"])
+            return F.struct(
+                (v1["lat"] + (v2["lat"] - v1["lat"]) * t).alias("lat"),
+                cl.alias("lon"),
+            )
+        t = (cl - v1["lat"]) / (v2["lat"] - v1["lat"])
+        return F.struct(
+            cl.alias("lat"),
+            (v1["lon"] + (v2["lon"] - v1["lon"]) * t).alias("lon"),
+        )
+
+    n = F.size(arr)
+    empty = F.array().cast(_RING_T)
+
+    def step(acc, i):
+        v1 = F.element_at(arr, i)
+        v2 = F.element_at(arr, (i % n) + 1)
+        emit = (
+            F.when(inside(v2) & ~inside(v1), F.array(inter(v1, v2), v2))
+            .when(inside(v2), F.array(v2))
+            .when(inside(v1), F.array(inter(v1, v2)))
+            .otherwise(empty)
+        )
+        return F.concat(acc, emit)
+
+    return F.when(
+        n >= 2, F.aggregate(F.sequence(F.lit(1), n), empty, step)
+    ).otherwise(empty)
+
+
+def clip_rings_to_bbox(
+    polys: DataFrame,
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    ring_col: str = "ring",
+) -> DataFrame:
+    """Sutherland-Hodgman polygon clipping against an axis-aligned
+    bbox — what a REAL vector-tile pipeline does at tile borders
+    (geometry is CUT at the tile edge, not merely binned by centroid;
+    compare tiles.vector_tiles, which bins).  Four half-plane passes
+    (left, right, bottom, top), each a row-local array fold; rings that
+    fall entirely outside clip to empty.
+
+    Input rings are CLOSED (last vertex repeats first); the clipped
+    output ring is OPEN (implicit closure), possibly empty.
+
+    Engine-exactness: every output vertex is either an input vertex
+    (copied bits) or a half-plane intersection computed with one pinned
+    op order ``a + (b - a) * ((c - p) / (q - p))``, so a SQL mirror
+    running the same four passes reproduces the ring exactly; emission
+    order is (intersection, then inside-endpoint) per edge.
+
+    Scale shape: all four passes are scan-stage higher-order functions
+    over the ring array — zero shuffles, zero Python; each pass is
+    staged through its own select() so the interpreted-HOF plan never
+    re-inlines the previous pass per element (the repo's HOF staging
+    discipline).  Output: input rows + ``clipped`` (open ring array).
+    """
+    df = polys.withColumn(
+        "__r",
+        F.expr(f"slice({ring_col}, 1, size({ring_col}) - 1)").cast(_RING_T),
+    )
+    for axis, c, keep_min in (
+        ("lon", lon0, True),
+        ("lon", lon1, False),
+        ("lat", lat0, True),
+        ("lat", lat1, False),
+    ):
+        df = df.select(
+            "*", _clip_stage(F.col("__r"), axis, c, keep_min).alias("__r2")
+        ).drop("__r").withColumnRenamed("__r2", "__r")
+    return df.withColumnRenamed("__r", "clipped")
+
+
+def ring_fold_area2(arr) -> F.Column:
+    """Signed twice-area of an OPEN ring via the ordered wraparound
+    cross-product fold (same IEEE add sequence on any engine)."""
+    n = F.size(arr)
+    x = lambda i: F.element_at(arr, i)["lon"]  # noqa: E731
+    y = lambda i: F.element_at(arr, i)["lat"]  # noqa: E731
+    return F.when(
+        n >= 3,
+        F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (x(i) * y((i % n) + 1) - x((i % n) + 1) * y(i)),
+        ),
+    ).otherwise(F.lit(0.0))

@@ -344,3 +344,74 @@ def test_connected_components_string_ids(spark):
            connected_components(edges).collect()}
     assert got == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
                    "x.com": "x.com", "y.com": "x.com", "z.com": "z.com"}
+
+
+# ---------------------------------------------------------------------------
+# Sutherland-Hodgman clipping
+# ---------------------------------------------------------------------------
+
+_RING_SCHEMA = "pid long, ring array<struct<lat:double,lon:double>>"
+
+
+def _closed(pts):
+    return [{"lat": a, "lon": b} for a, b in pts + [pts[0]]]
+
+
+def _clip_brute(pts, lat0, lat1, lon0, lon1):
+    """Reference Sutherland-Hodgman on an open ring."""
+    def clip(poly, inside, inter):
+        out = []
+        for i in range(len(poly)):
+            v1, v2 = poly[i], poly[(i + 1) % len(poly)]
+            if inside(v2):
+                if not inside(v1):
+                    out.append(inter(v1, v2))
+                out.append(v2)
+            elif inside(v1):
+                out.append(inter(v1, v2))
+        return out
+
+    def ix_lon(c):
+        return lambda v1, v2: (
+            v1[0] + (v2[0] - v1[0]) * ((c - v1[1]) / (v2[1] - v1[1])), c)
+
+    def ix_lat(c):
+        return lambda v1, v2: (
+            c, v1[1] + (v2[1] - v1[1]) * ((c - v1[0]) / (v2[0] - v1[0])))
+
+    p = pts
+    for inside, inter in (
+        (lambda v: v[1] >= lon0, ix_lon(lon0)),
+        (lambda v: v[1] <= lon1, ix_lon(lon1)),
+        (lambda v: v[0] >= lat0, ix_lat(lat0)),
+        (lambda v: v[0] <= lat1, ix_lat(lat1)),
+    ):
+        if len(p) < 2:
+            return []
+        p = clip(p, inside, inter)
+    return p
+
+
+@pytest.mark.parametrize(
+    "ring,bbox",
+    [
+        # square half-in
+        ([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+         (0.0, 20.0, 5.0, 20.0)),
+        # diamond cut by every edge
+        ([(0.0, 5.0), (5.0, 10.0), (10.0, 5.0), (5.0, 0.0)],
+         (2.0, 8.0, 2.0, 8.0)),
+        # fully inside
+        ([(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)],
+         (0.0, 10.0, 0.0, 10.0)),
+        # fully outside
+        ([(1.0, 1.0), (2.0, 1.0), (2.0, 2.0)], (50.0, 60.0, 50.0, 60.0)),
+    ],
+)
+def test_clip_rings_matches_reference(spark, ring, bbox):
+    from skyway_spark.operators.geometry import clip_rings_to_bbox
+
+    df = spark.createDataFrame([(1, _closed(ring))], _RING_SCHEMA)
+    got = clip_rings_to_bbox(df, *bbox).collect()[0]["clipped"]
+    want = _clip_brute(ring, *bbox)
+    assert [(v["lat"], v["lon"]) for v in got] == want
