@@ -3609,6 +3609,287 @@ def _clip_rings_sql() -> str:
         """
 
 
+GRID_CLIP_RES = 3  # 22.5-degree cells: every fixture ring spans 2-3
+
+
+def q_tile_clip(spark, sf):
+    """The FULL vector-tile cut: every fixture ring fans out to the
+    grid cells its bbox covers (sequence+explode, no tile-table join)
+    and is Sutherland-Hodgman-clipped against each cell's bbox with
+    per-row bounds — one shared 4-pass HOF plan for all (ring, cell)
+    pieces (operators/geometry.clip_rings_to_grid).  Cell bboxes are
+    exact doubles (360/2^k), so the mirror is bit-exact.  Empty pieces
+    are kept (n_vertices=0) per the q_clip_rings pushdown lesson."""
+    from skyway_spark.operators.geometry import clip_rings_to_grid, ring_fold_area2
+
+    polys = _pip_polygons_df(spark)
+    out = clip_rings_to_grid(polys, GRID_CLIP_RES)
+    return out.select(
+        "polygon_id",
+        "ring_role",
+        "cx",
+        "cy",
+        F.size("clipped").alias("n_vertices"),
+        ring_fold_area2(F.col("clipped")).alias("area2"),
+    )
+
+
+def _tile_clip_sql() -> str:
+    """SQL mirror of q_tile_clip: covering cells from the ring bbox,
+    then the same four half-plane passes with per-row cell bounds
+    (cx/cy arithmetic re-derived in each stage — exact doubles)."""
+    res = GRID_CLIP_RES
+    nx, ny = 1 << (res + 1), 1 << res
+    sx, sy = 360.0 / nx, 180.0 / ny
+    vals = ", ".join(
+        f"({pid}, '{role}', {i}, {a!r}, {b!r})"
+        for pid, rings in PIP_POLYGONS.items()
+        for role, ring in rings
+        for i, (a, b) in enumerate(ring)
+    )
+    bounds = {
+        ("lon", True): f"(ed.cx * {sx!r} - 180.0)",
+        ("lon", False): f"((ed.cx + 1) * {sx!r} - 180.0)",
+        ("lat", True): f"(90.0 - (ed.cy + 1) * {sy!r})",
+        ("lat", False): f"(90.0 - ed.cy * {sy!r})",
+    }
+    stages = []
+    prev = "s0"
+    for k, (f, keep_min) in enumerate(
+        (("lon", True), ("lon", False), ("lat", True), ("lat", False)), start=1
+    ):
+        op = ">=" if keep_min else "<="
+        cl = bounds[(f, keep_min)]
+        g = "lat" if f == "lon" else "lon"
+        pack = (
+            f"struct_pack({g} := ed.v1.{g} + (ed.v2.{g} - ed.v1.{g})"
+            f" * (({cl} - ed.v1.{f}) / (ed.v2.{f} - ed.v1.{f})),"
+            f" {f} := {cl})"
+        )
+        if f == "lat":  # struct field order must stay (lat, lon)
+            pack = (
+                f"struct_pack({f} := {cl},"
+                f" {g} := ed.v1.{g} + (ed.v2.{g} - ed.v1.{g})"
+                f" * (({cl} - ed.v1.{f}) / (ed.v2.{f} - ed.v1.{f})))"
+            )
+        stages.append(f"""
+            s{k} AS (
+                SELECT pid, role, cx, cy, list(e.p ORDER BY ed.i, e.o) AS r
+                FROM (
+                    SELECT pid, role, cx, cy, i,
+                           r[i] AS v1, r[(i % len(r)) + 1] AS v2
+                    FROM {prev}, unnest(range(1, len(r) + 1)) t(i)
+                    WHERE len(r) >= 2
+                ) ed,
+                unnest(CASE
+                    WHEN (ed.v2.{f} {op} {cl}) AND NOT (ed.v1.{f} {op} {cl})
+                        THEN [struct_pack(o := 0, p := {pack}),
+                              struct_pack(o := 1, p := ed.v2)]
+                    WHEN (ed.v2.{f} {op} {cl})
+                        THEN [struct_pack(o := 1, p := ed.v2)]
+                    WHEN (ed.v1.{f} {op} {cl})
+                        THEN [struct_pack(o := 0, p := {pack})]
+                    ELSE []
+                END) AS uu(e)
+                GROUP BY 1, 2, 3, 4
+            )""")
+        prev = f"s{k}"
+    chain = ",".join(stages)
+    return f"""
+            WITH v(pid, role, i, lat, lon) AS (VALUES {vals}),
+            c0 AS (
+                SELECT pid, role,
+                       list(struct_pack(lat := lat::DOUBLE, lon := lon::DOUBLE)
+                            ORDER BY i) AS r
+                FROM v GROUP BY 1, 2),
+            s0r AS (SELECT pid, role, r[1:len(r) - 1] AS r FROM c0),
+            bb AS (
+                SELECT pid, role, r,
+                       GREATEST(0, LEAST({nx - 1}, floor(
+                           (list_min(list_transform(r, w -> w.lon)) + 180.0) / {sx!r}
+                       )::BIGINT)) AS x0,
+                       GREATEST(0, LEAST({nx - 1}, floor(
+                           (list_max(list_transform(r, w -> w.lon)) + 180.0) / {sx!r}
+                       )::BIGINT)) AS x1,
+                       GREATEST(0, LEAST({ny - 1}, floor(
+                           (90.0 - list_max(list_transform(r, w -> w.lat))) / {sy!r}
+                       )::BIGINT)) AS y0,
+                       GREATEST(0, LEAST({ny - 1}, floor(
+                           (90.0 - list_min(list_transform(r, w -> w.lat))) / {sy!r}
+                       )::BIGINT)) AS y1
+                FROM s0r),
+            s0 AS (
+                SELECT pid, role, tx.cx, ty.cy, r
+                FROM bb, unnest(range(x0, x1 + 1)) tx(cx),
+                     unnest(range(y0, y1 + 1)) ty(cy)),
+            {chain}
+            SELECT s0.pid::BIGINT AS polygon_id, s0.role AS ring_role,
+                   s0.cx::BIGINT AS cx, s0.cy::BIGINT AS cy,
+                   COALESCE(len(s4.r), 0)::INT AS n_vertices,
+                   CASE WHEN len(s4.r) >= 3 THEN
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(range(1, len(s4.r) + 1),
+                               j -> s4.r[j].lon * s4.r[(j % len(s4.r)) + 1].lat
+                                    - s4.r[(j % len(s4.r)) + 1].lon * s4.r[j].lat)),
+                           (a, b) -> a + b)
+                   ELSE 0.0::DOUBLE END AS area2
+            FROM s0 LEFT JOIN s4 USING (pid, role, cx, cy)
+        """
+
+
+REDIRECT_N = 64
+REDIRECT_OVERRIDES = {41: 42, 42: 43, 43: 41, 50: 41}  # 3-cycle + a feeder
+REDIRECT_URL = "https://s.example/r/"
+
+
+def _redirect_edges_df(spark: SparkSession) -> DataFrame:
+    """Deterministic functional redirect graph: page i (i%4 != 0)
+    redirects to i-1 (chains of length <= 3 into the multiple-of-4
+    terminals), except the overrides forming the cycle 41->42->43->41
+    and its feeder 50->41."""
+    i = F.col("id")
+    dst = i - 1
+    for s, d in sorted(REDIRECT_OVERRIDES.items()):
+        dst = F.when(i == s, F.lit(d)).otherwise(dst)
+    url = lambda c: F.concat(F.lit(REDIRECT_URL), c.cast("string"))  # noqa: E731
+    return (
+        spark.range(1, REDIRECT_N)
+        .where(i % 4 != 0)
+        .select(url(i).alias("src"), url(dst).alias("dst"))
+    )
+
+
+def q_redirects(spark, sf):
+    """Redirect-chain resolution over a deterministic functional URL
+    graph: final target + hop count per URL, cycle members (and URLs
+    leading into cycles) flagged dead — pointer DOUBLING, O(log hops)
+    small self-joins (operators/graph.resolve_redirects)."""
+    from skyway_spark.operators.graph import resolve_redirects
+
+    return resolve_redirects(_redirect_edges_df(spark), max_hops=REDIRECT_N)
+
+
+def _redirects_sql() -> str:
+    over = " ".join(
+        f"WHEN i = {s} THEN {d}" for s, d in sorted(REDIRECT_OVERRIDES.items())
+    )
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT '{REDIRECT_URL}' || i::VARCHAR AS src,
+                   '{REDIRECT_URL}' ||
+                   (CASE {over} ELSE i - 1 END)::VARCHAR AS dst
+            FROM range(1, {REDIRECT_N}) t(i) WHERE i % 4 <> 0),
+        nodes AS (
+            -- DISTINCT, not UNION-dedup: under WITH RECURSIVE DuckDB
+            -- parses a CTE-level UNION as the recursive-union operator
+            -- and keeps both branches' duplicates
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM e UNION ALL SELECT dst FROM e)),
+        walk AS (
+            SELECT url, url AS cur, 0::BIGINT AS hops FROM nodes
+            UNION ALL
+            SELECT w.url, e.dst, w.hops + 1
+            FROM walk w JOIN e ON w.cur = e.src WHERE w.hops < 70),
+        term AS (
+            SELECT url, cur, hops FROM walk
+            WHERE cur NOT IN (SELECT src FROM e))
+        SELECT n.url, t.cur AS final_url, t.hops AS hops,
+               (t.url IS NULL) AS in_cycle
+        FROM nodes n LEFT JOIN term t USING (url)
+    """
+
+
+RIPLEY_RADII = (0.5, 1.0, 2.0)
+RIPLEY_RES = 6  # 2.8125-degree cells >= max radius
+
+
+def q_ripley_k(spark, sf):
+    """Ripley's K point-pattern statistic at three radii over the
+    even-id event points — exact int64 pair counts from ONE
+    cell-bucketed self-join pass (operators/spatialstats.ripley_k);
+    the n^2 cross join exists only in the oracle."""
+    from skyway_spark.operators import spatialstats
+
+    pts = _event_points(spark, sf).where(F.col("event_id") % 2 == 0)
+    return spatialstats.ripley_k(
+        pts, list(RIPLEY_RADII), RIPLEY_RES, id_col="event_id"
+    )
+
+
+def _ripley_sql() -> str:
+    cs = ", ".join(
+        f"SUM(CASE WHEN d2 <= {r * r!r} THEN 1 ELSE 0 END)::BIGINT AS c{i}"
+        for i, r in enumerate(RIPLEY_RADII)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {float(r)!r}::DOUBLE AS r, c{i} AS n_pairs,
+                   (64800.0 * c{i}::DOUBLE) /
+                   (n::DOUBLE * (n::DOUBLE - 1.0)) AS k_hat
+            FROM c, nn"""
+        for i, r in enumerate(RIPLEY_RADII)
+    )
+    return f"""
+        WITH p AS (
+            SELECT event_id AS id,
+                   ((user_id * 7919) % 17000) / 100.0 - 85.0 AS lat,
+                   ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+            FROM events WHERE event_id % 2 = 0),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM p),
+        d AS (
+            SELECT (a.lat - b.lat) * (a.lat - b.lat)
+                 + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+            FROM p a, p b WHERE a.id <> b.id),
+        c AS (SELECT {cs} FROM d)
+        {unions}
+    """
+
+
+def q_track_hausdorff(spark, sf):
+    """Route regularity: squared discrete Hausdorff distance between
+    each user's consecutive DAILY tracks — candidate pairs from the
+    (user, day)=(user, day+1) equi-join, min/max selections only, so
+    the result is bit-exact (operators/trajectory.track_hausdorff)."""
+    from skyway_spark.operators.trajectory import track_hausdorff
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+        (((F.col("user_id") * 7919 + F.col("event_id") * 131) % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+    return track_hausdorff(pts, entity="user_id", track="day")
+
+
+def _hausdorff_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT user_id,
+                   epoch_us(ts) // 86400000000 AS day,
+                   ((user_id * 7919 + event_id * 131) % 17000) / 100.0 - 85.0 AS lat,
+                   ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+            FROM events),
+        pr AS (
+            SELECT a.user_id, a.day,
+                   a.lat AS alat, a.lon AS alon, b.lat AS blat, b.lon AS blon,
+                   (a.lat - b.lat) * (a.lat - b.lat)
+                 + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+            FROM p a JOIN p b
+              ON a.user_id = b.user_id AND b.day = a.day + 1),
+        hab AS (
+            SELECT user_id, day, MAX(dmin) AS h FROM (
+                SELECT user_id, day, alat, alon, MIN(d2) AS dmin
+                FROM pr GROUP BY 1, 2, 3, 4) GROUP BY 1, 2),
+        hba AS (
+            SELECT user_id, day, MAX(dmin) AS h FROM (
+                SELECT user_id, day, blat, blon, MIN(d2) AS dmin
+                FROM pr GROUP BY 1, 2, 3, 4) GROUP BY 1, 2)
+        SELECT user_id, day, MAX(h) AS h2
+        FROM (SELECT * FROM hab UNION ALL SELECT * FROM hba)
+        GROUP BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -3817,6 +4098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_templates": q_url_templates,
         "q_simpson_cells": q_simpson_cells,
         "q_clip_rings": q_clip_rings,
+        "q_tile_clip": q_tile_clip,
+        "q_redirects": q_redirects,
+        "q_ripley_k": q_ripley_k,
+        "q_track_hausdorff": q_track_hausdorff,
     }
 
 
@@ -7483,6 +7768,10 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 GROUP BY 1, 2
         """
     out["q_clip_rings"] = _clip_rings_sql()
+    out["q_tile_clip"] = _tile_clip_sql()
+    out["q_redirects"] = _redirects_sql()
+    out["q_ripley_k"] = _ripley_sql()
+    out["q_track_hausdorff"] = _hausdorff_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

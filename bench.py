@@ -180,6 +180,20 @@ BENCH_QUERIES = [
     "q_dedup_eval",
     "q_isochrone",
     "q_polygon_fill",
+    "q_gearys_c",
+    "q_skyline",
+    "q_polygon_centroid",
+    "q_robots_rules",
+    "q_readability",
+    "q_mention_city",
+    "q_host_components",
+    "q_url_templates",
+    "q_simpson_cells",
+    "q_clip_rings",
+    "q_tile_clip",
+    "q_redirects",
+    "q_ripley_k",
+    "q_track_hausdorff",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -20,7 +20,7 @@ way limit, so group state stays small.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from skyway_spark.functions.geo import haversine_km
@@ -263,8 +263,10 @@ def _clip_stage(arr, axis: str, c: float, keep_min: bool):
     row-local fold: for each directed edge (v1, v2) (wraparound), emit
     the edge/half-plane intersection when crossing, then v2 when
     inside.  Emission order and float op order are pinned so a SQL
-    mirror reproduces every coordinate bit-for-bit."""
-    cl = F.lit(float(c))
+    mirror reproduces every coordinate bit-for-bit.  ``c`` may be a
+    float (fixed bbox) or a Column (per-row bounds, e.g. the row's
+    covering grid cell)."""
+    cl = c if isinstance(c, Column) else F.lit(float(c))
 
     def inside(v):
         return (v[axis] >= cl) if keep_min else (v[axis] <= cl)
@@ -364,3 +366,65 @@ def ring_fold_area2(arr) -> F.Column:
             + (x(i) * y((i % n) + 1) - x((i % n) + 1) * y(i)),
         ),
     ).otherwise(F.lit(0.0))
+
+
+def clip_rings_to_grid(polys: DataFrame, res: int, ring_col: str = "ring") -> DataFrame:
+    """Slice every ring into per-grid-cell pieces — the full vector-tile
+    CUT: each polygon fans out to the res-``res`` lat/lon cells its
+    bbox covers, and the ring is Sutherland-Hodgman-clipped against
+    each cell's bbox (per-ROW bounds, one shared 4-pass plan).
+
+    Cell bboxes on this grid are exactly representable doubles
+    (360/2^k divisions), so the clip constants are bit-identical on
+    any engine and the exactness contract of clip_rings_to_bbox
+    carries over unchanged.
+
+    Scale shape: the fan-out is sequence+explode on the executor
+    (bbox-proportional, like tiles at this zoom — no crossJoin against
+    a tile table), then four scan-stage HOF passes; zero Python, and
+    the only shuffle is whatever the caller aggregates afterwards.
+    Cells whose intersection is empty are KEPT with an empty array —
+    filtering on the fold output would push the whole HOF chain into
+    the predicate (see q_clip_rings).
+
+    Output: input rows x covering cells + (cx, cy, clipped).
+    """
+    nx, ny = 1 << (res + 1), 1 << res
+    sx, sy = 360.0 / nx, 180.0 / ny
+    lats = F.transform(F.col(ring_col), lambda v: v["lat"])
+    lons = F.transform(F.col(ring_col), lambda v: v["lon"])
+    cxr = lambda lo: F.greatest(  # noqa: E731
+        F.lit(0), F.least(F.lit(nx - 1), F.floor((lo + F.lit(180.0)) / F.lit(sx)))
+    ).cast("long")
+    cyr = lambda la: F.greatest(  # noqa: E731
+        F.lit(0), F.least(F.lit(ny - 1), F.floor((F.lit(90.0) - la) / F.lit(sy)))
+    ).cast("long")
+    df = (
+        polys.withColumn(
+            "__r", F.expr(f"slice({ring_col}, 1, size({ring_col}) - 1)").cast(_RING_T)
+        )
+        .withColumn("__x0", cxr(F.array_min(lons)))
+        .withColumn("__x1", cxr(F.array_max(lons)))
+        # y grows southward: max lat -> min y
+        .withColumn("__y0", cyr(F.array_max(lats)))
+        .withColumn("__y1", cyr(F.array_min(lats)))
+        .withColumn("cx", F.explode(F.sequence(F.col("__x0"), F.col("__x1"))))
+        .withColumn("cy", F.explode(F.sequence(F.col("__y0"), F.col("__y1"))))
+        .drop("__x0", "__x1", "__y0", "__y1")
+    )
+    lon0 = F.col("cx") * F.lit(sx) - F.lit(180.0)
+    lon1 = (F.col("cx") + F.lit(1)) * F.lit(sx) - F.lit(180.0)
+    lat1 = F.lit(90.0) - F.col("cy") * F.lit(sy)
+    lat0 = F.lit(90.0) - (F.col("cy") + F.lit(1)) * F.lit(sy)
+    for axis, c, keep_min in (
+        ("lon", lon0, True),
+        ("lon", lon1, False),
+        ("lat", lat0, True),
+        ("lat", lat1, False),
+    ):
+        df = (
+            df.select("*", _clip_stage(F.col("__r"), axis, c, keep_min).alias("__r2"))
+            .drop("__r")
+            .withColumnRenamed("__r2", "__r")
+        )
+    return df.withColumnRenamed("__r", "clipped")

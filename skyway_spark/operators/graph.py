@@ -382,3 +382,78 @@ def hits_int(
         hub.withColumnRenamed("x", "hub")
         .join(auth.withColumnRenamed("x", "auth"), "node")
     )
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = 64) -> DataFrame:
+    """Resolve HTTP-redirect chains over a FUNCTIONAL graph (each URL
+    has at most one outgoing redirect) — the crawl-frontier step that
+    turns raw fetch targets into canonical final URLs. No reference
+    counterpart (skyway has no graph ops — SURVEY.md §2.4); this is a
+    web-pipeline north-rule addition.
+
+    Input ``edges``: (src, dst) — one row per redirecting URL.
+    Universe = src ∪ dst. Output one row per URL:
+      (url, final_url, hops, in_cycle)
+    where final_url is the chain's terminal (a URL with no outgoing
+    redirect), hops the chain length (0 for terminals), and
+    in_cycle=true (final_url/hops NULL) for URLs on or leading into a
+    redirect loop — a real crawler marks those dead rather than
+    looping.
+
+    Scale shape: pointer DOUBLING — round k composes the pointer map
+    with itself (ptr := ptr∘ptr, hops := hops + hops∘ptr), so a
+    ``max_hops`` chain resolves in O(log max_hops) self-joins of the
+    URL-SIZED pointer table (never the page corpus, never per-hop
+    O(depth) rounds). Each round is one keyed equi-join shuffle of
+    (url, ptr, hops); lineage is cut with localCheckpoint so the plan
+    stays flat across rounds. Terminals self-point with hop weight 0,
+    which makes the composition idempotent at convergence; cycle
+    members never reach a terminal, so after ceil(log2(max_hops))
+    rounds they are exactly the rows whose pointer still has an
+    outgoing edge.
+    """
+    import math
+
+    e = edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+    nodes = (
+        e.select(F.col("src").alias("url"))
+        .unionByName(e.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    # initial pointer map: redirecting URLs point at their target with
+    # weight 1; terminals self-point with weight 0
+    ptr = (
+        nodes.join(e.withColumnRenamed("src", "url"), "url", "left")
+        .select(
+            "url",
+            F.coalesce("dst", F.col("url")).alias("ptr"),
+            F.when(F.col("dst").isNotNull(), 1).otherwise(0).cast("long").alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        nxt = ptr.select(
+            F.col("url").alias("ptr"),
+            F.col("ptr").alias("ptr2"),
+            F.col("hops").alias("hops2"),
+        )
+        ptr = (
+            ptr.join(nxt, "ptr")
+            .select(
+                "url",
+                F.col("ptr2").alias("ptr"),
+                (F.col("hops") + F.col("hops2")).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # a URL is cycle-bound iff its final pointer still redirects
+    redirecting = e.select(F.col("src").alias("ptr")).distinct()
+    return (
+        ptr.join(redirecting.withColumn("__cyc", F.lit(True)), "ptr", "left")
+        .select(
+            "url",
+            F.when(F.col("__cyc").isNull(), F.col("ptr")).alias("final_url"),
+            F.when(F.col("__cyc").isNull(), F.col("hops")).alias("hops"),
+            F.coalesce("__cyc", F.lit(False)).alias("in_cycle"),
+        )
+    )

@@ -304,3 +304,90 @@ def simpson_diversity(
         (n2 - F.col("sum_sq")).alias("div_num"),
         n2.alias("div_den"),
     )
+
+
+def ripley_k(
+    points: DataFrame,
+    radii: list[float],
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    id_col: str = "id",
+) -> DataFrame:
+    """Ripley's K point-pattern statistic at multiple radii — the
+    standard test of whether web mentions / events CLUSTER in space
+    beyond what uniform density explains (K̂(r) above A·πr²/… means
+    clustering at scale r). North-rule addition (no reference
+    counterpart).
+
+    Distance is planar squared-degree (exact double products of
+    fixture-derived doubles, no libm), so the pair predicate
+    ``d² <= r²`` is engine-exact and the per-radius pair COUNT is an
+    exact int64; K̂(r) = A·count/(n·(n-1)) is one pinned
+    cast-multiply-divide on top.
+
+    Scale shape: never the n² cross join — candidates come from a
+    cell-grid self-join (points keyed by their res-``res`` cell vs
+    points exploded to their Chebyshev-1 k_ring), valid only when
+    max(radii) <= one cell width (asserted). One corpus shuffle to
+    build each side, one equi-join on the cell key (AQE/salting
+    handles hot cells), and ALL radii are counted in the same pass
+    with conditional aggregation — adding a radius is free.
+
+    Output: (r, n_pairs, k_hat) — ordered pairs i != j within r.
+    """
+    from ..functions import cells as C
+
+    width = 360.0 / (1 << (res + 1))
+    rmax = max(radii)
+    if rmax > width:
+        raise ValueError(
+            f"max radius {rmax} exceeds cell width {width} at res {res}; "
+            "k_ring(1) candidates would miss pairs — use a coarser res"
+        )
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lat).alias("lat"),
+        F.col(lon).alias("lon"),
+        C.cell_encode(F.col(lat), F.col(lon), res).alias("cell"),
+    )
+    lhs = pts.select(
+        F.col("id").alias("a"), F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"), "cell",
+    )
+    rhs = pts.select(
+        F.col("id").alias("b"), F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.explode(C.k_ring(F.col("cell"), res, 1)).alias("cell"),
+    )
+    d2 = (
+        (F.col("alat") - F.col("blat")) * (F.col("alat") - F.col("blat"))
+        + (F.col("alon") - F.col("blon")) * (F.col("alon") - F.col("blon"))
+    )
+    pairs = lhs.join(rhs, "cell").where(F.col("a") != F.col("b")).select(d2.alias("d2"))
+    counts = pairs.agg(
+        *[
+            F.sum(F.when(F.col("d2") <= F.lit(r * r), 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    n_total = points.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wide = counts.crossJoin(F.broadcast(n_total))
+    per_r = [
+        wide.select(
+            F.lit(float(r)).alias("r"),
+            F.col(f"c{i}").alias("n_pairs"),
+            (
+                F.lit(360.0 * 180.0)
+                * F.col(f"c{i}").cast("double")
+                / (F.col("n").cast("double") * (F.col("n").cast("double") - F.lit(1.0)))
+            ).alias("k_hat"),
+        )
+        for i, r in enumerate(radii)
+    ]
+    out = per_r[0]
+    for p in per_r[1:]:
+        out = out.unionByName(p)
+    return out

@@ -242,3 +242,69 @@ def event_paths(
     return per_user.groupBy("path", F.col("__len").alias("path_len")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def track_hausdorff(
+    points: DataFrame,
+    entity: str = "entity",
+    track: str = "track",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Discrete Hausdorff distance between an entity's CONSECUTIVE
+    tracks (track id k vs k+1) — the route-regularity primitive: a
+    small H means the entity retraced the same path next
+    hour/day, a large H means a detour. North-rule addition (no
+    reference counterpart).
+
+    H(A, B) = max( h(A,B), h(B,A) ),  h(A,B) = max_{a} min_{b} d(a,b)
+
+    with d = planar squared-degree distance. Every d² is two exact
+    double products + one add of fixture-derived doubles; min/max are
+    SELECTIONS (no accumulation), so the result is bit-exact on any
+    engine — the SQL mirror reproduces it without tolerance.
+
+    Scale shape: never a spatial cross join — candidate pairs come
+    from the (entity, track)=(entity, track+1) EQUI-join, so the
+    fan-out is per-entity-local (bounded by points-per-track²,
+    a user-behavior constant, not corpus size). Two keyed shuffles:
+    the pair join and the (entity, track, point) min-groupBy; the
+    directed maxes ride the same grouping. AQE handles entities with
+    fat tracks.
+
+    Output: (entity, track, h2) — h2 the SQUARED Hausdorff distance
+    between track and track+1 (squared to stay in exact-product land;
+    callers sqrt at the edge if they want degrees).
+    """
+    a = points.select(
+        F.col(entity).alias("e"), F.col(track).alias("k"),
+        F.col(lat).alias("alat"), F.col(lon).alias("alon"),
+    )
+    b = points.select(
+        F.col(entity).alias("e"), (F.col(track) - 1).alias("k"),
+        F.col(lat).alias("blat"), F.col(lon).alias("blon"),
+    )
+    d2 = (
+        (F.col("alat") - F.col("blat")) * (F.col("alat") - F.col("blat"))
+        + (F.col("alon") - F.col("blon")) * (F.col("alon") - F.col("blon"))
+    )
+    pairs = a.join(b, ["e", "k"]).select(
+        "e", "k", "alat", "alon", "blat", "blon", d2.alias("d2")
+    )
+    # point identity = its coordinates (Hausdorff is a SET distance, so
+    # duplicate points collapse without changing the result — and the
+    # grouping key is deterministic, unlike a synthetic row id)
+    h_ab = (
+        pairs.groupBy("e", "k", "alat", "alon").agg(F.min("d2").alias("dmin"))
+        .groupBy("e", "k").agg(F.max("dmin").alias("h"))
+    )
+    h_ba = (
+        pairs.groupBy("e", "k", "blat", "blon").agg(F.min("d2").alias("dmin"))
+        .groupBy("e", "k").agg(F.max("dmin").alias("h"))
+    )
+    return (
+        h_ab.unionByName(h_ba)
+        .groupBy("e", "k")
+        .agg(F.max("h").alias("h2"))
+        .select(F.col("e").alias(entity), F.col("k").alias(track), "h2")
+    )

@@ -1,0 +1,210 @@
+"""Round-3d operators: redirect resolution, Ripley's K, track
+Hausdorff, grid clipping — each vs a brute-force python reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import spark  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# resolve_redirects
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_redirects_chain_terminal_cycle(spark):
+    from skyway_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"),          # chain a->b->c (c terminal)
+            ("x", "y"), ("y", "x"),          # 2-cycle
+            ("w", "x"),                      # feeder into the cycle
+        ],
+        "src string, dst string",
+    )
+    got = {r.url: (r.final_url, r.hops, r.in_cycle)
+           for r in resolve_redirects(edges, max_hops=8).collect()}
+    assert got == {
+        "a": ("c", 2, False),
+        "b": ("c", 1, False),
+        "c": ("c", 0, False),
+        "x": (None, None, True),
+        "y": (None, None, True),
+        "w": (None, None, True),
+    }
+
+
+def test_resolve_redirects_long_chain_log_rounds(spark):
+    """A 60-hop chain resolves with max_hops=64 (6 doubling rounds)."""
+    from skyway_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(60)], "src string, dst string"
+    )
+    got = {r.url: (r.final_url, r.hops)
+           for r in resolve_redirects(edges, max_hops=64).collect()}
+    assert got["n0"] == ("n60", 60)
+    assert got["n59"] == ("n60", 1)
+    assert got["n60"] == ("n60", 0)
+
+
+# ---------------------------------------------------------------------------
+# ripley_k
+# ---------------------------------------------------------------------------
+
+
+def _brute_pairs(pts, r):
+    n = 0
+    for i, (alat, alon) in enumerate(pts):
+        for j, (blat, blon) in enumerate(pts):
+            if i != j and (alat - blat) ** 2 + (alon - blon) ** 2 <= r * r:
+                n += 1
+    return n
+
+
+def test_ripley_k_matches_brute_force(spark):
+    from skyway_spark.operators.spatialstats import ripley_k
+
+    pts = [(((i * 37) % 100) / 10.0 - 5.0, ((i * 53) % 140) / 10.0 - 7.0)
+           for i in range(80)]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pts)], "id long, lat double, lon double"
+    )
+    radii = [0.7, 1.5, 2.5]
+    out = {r.r: (r.n_pairs, r.k_hat)
+           for r in ripley_k(df, radii, res=6, id_col="id").collect()}
+    n = len(pts)
+    for r in radii:
+        cnt = _brute_pairs(pts, r)
+        assert out[r][0] == cnt
+        assert out[r][1] == 64800.0 * cnt / (n * (n - 1.0))
+
+
+def test_ripley_k_radius_guard(spark):
+    from skyway_spark.operators.spatialstats import ripley_k
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
+    with pytest.raises(ValueError, match="cell width"):
+        ripley_k(df, [10.0], res=6, id_col="id")
+
+
+# ---------------------------------------------------------------------------
+# track_hausdorff
+# ---------------------------------------------------------------------------
+
+
+def _brute_hausdorff2(A, B):
+    def h(P, Q):
+        return max(min((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 for q in Q) for p in P)
+
+    return max(h(A, B), h(B, A))
+
+
+def test_track_hausdorff_matches_brute_force(spark):
+    from skyway_spark.operators.trajectory import track_hausdorff
+
+    tracks = {
+        (1, 0): [(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)],
+        (1, 1): [(0.5, 0.0), (1.0, 2.0)],
+        (1, 2): [(9.0, 9.0)],
+        (2, 0): [(5.0, 5.0), (5.0, 6.0)],
+        (2, 1): [(5.0, 5.0), (5.0, 6.0)],  # identical -> H = 0
+    }
+    rows = [(e, k, la, lo) for (e, k), pts in tracks.items() for la, lo in pts]
+    df = spark.createDataFrame(rows, "entity long, track long, lat double, lon double")
+    got = {(r.entity, r.track): r.h2 for r in track_hausdorff(df).collect()}
+    want = {
+        (1, 0): _brute_hausdorff2(tracks[(1, 0)], tracks[(1, 1)]),
+        (1, 1): _brute_hausdorff2(tracks[(1, 1)], tracks[(1, 2)]),
+        (2, 0): _brute_hausdorff2(tracks[(2, 0)], tracks[(2, 1)]),
+    }
+    assert got == want
+    assert got[(2, 0)] == 0.0
+
+
+def test_track_hausdorff_duplicate_points_collapse(spark):
+    """Hausdorff is a set distance: duplicating a point changes nothing."""
+    from skyway_spark.operators.trajectory import track_hausdorff
+
+    base = [(1, 0, 0.0, 0.0), (1, 0, 1.0, 0.0), (1, 1, 0.0, 3.0)]
+    dup = base + [(1, 0, 1.0, 0.0)] * 3
+    df1 = spark.createDataFrame(base, "entity long, track long, lat double, lon double")
+    df2 = spark.createDataFrame(dup, "entity long, track long, lat double, lon double")
+    assert track_hausdorff(df1).collect() == track_hausdorff(df2).collect()
+
+
+# ---------------------------------------------------------------------------
+# clip_rings_to_grid
+# ---------------------------------------------------------------------------
+
+
+def _clip_brute(pts, lat0, lat1, lon0, lon1):
+    def clip(poly, inside, inter):
+        out = []
+        for i in range(len(poly)):
+            v1, v2 = poly[i], poly[(i + 1) % len(poly)]
+            if inside(v2):
+                if not inside(v1):
+                    out.append(inter(v1, v2))
+                out.append(v2)
+            elif inside(v1):
+                out.append(inter(v1, v2))
+        return out
+
+    def ixlon(c):
+        return lambda a, b: (a[0] + (b[0] - a[0]) * ((c - a[1]) / (b[1] - a[1])), c)
+
+    def ixlat(c):
+        return lambda a, b: (c, a[1] + (b[1] - a[1]) * ((c - a[0]) / (b[0] - a[0])))
+
+    p = pts
+    for inside, inter in (
+        (lambda v: v[1] >= lon0, ixlon(lon0)),
+        (lambda v: v[1] <= lon1, ixlon(lon1)),
+        (lambda v: v[0] >= lat0, ixlat(lat0)),
+        (lambda v: v[0] <= lat1, ixlat(lat1)),
+    ):
+        if len(p) < 2:
+            return []
+        p = clip(p, inside, inter)
+    return p
+
+
+def test_clip_rings_to_grid_matches_per_cell_brute(spark):
+    from skyway_spark.operators.geometry import clip_rings_to_grid
+
+    res = 3
+    nx, ny = 1 << (res + 1), 1 << res
+    sx, sy = 360.0 / nx, 180.0 / ny
+    ring = [(-10.0, -30.0), (35.0, -25.0), (40.0, 50.0), (-5.0, 45.0)]
+    df = spark.createDataFrame(
+        [(7, [{"lat": a, "lon": b} for a, b in ring + [ring[0]]])],
+        "pid long, ring array<struct<lat:double,lon:double>>",
+    )
+    got = {
+        (r.cx, r.cy): [(v["lat"], v["lon"]) for v in r.clipped]
+        for r in clip_rings_to_grid(df, res).collect()
+    }
+    los = [p[1] for p in ring]
+    las = [p[0] for p in ring]
+    x0 = max(0, min(nx - 1, math.floor((min(los) + 180.0) / sx)))
+    x1 = max(0, min(nx - 1, math.floor((max(los) + 180.0) / sx)))
+    y0 = max(0, min(ny - 1, math.floor((90.0 - max(las)) / sy)))
+    y1 = max(0, min(ny - 1, math.floor((90.0 - min(las)) / sy)))
+    want = {}
+    for cx in range(x0, x1 + 1):
+        for cy in range(y0, y1 + 1):
+            want[(cx, cy)] = _clip_brute(
+                ring,
+                90.0 - (cy + 1) * sy,
+                90.0 - cy * sy,
+                cx * sx - 180.0,
+                (cx + 1) * sx - 180.0,
+            )
+    assert got == want
+    assert len(got) == (x1 - x0 + 1) * (y1 - y0 + 1)
