@@ -3890,6 +3890,172 @@ def _hausdorff_sql() -> str:
     """
 
 
+IDW_RES = 4  # 11.25-degree cells: ~20 stations/cell at sf0.01
+
+
+def q_idw(spark, sf):
+    """IDW interpolation of the event value at every occupied cell
+    center: weight/value totals are ORDERED left-folds over the
+    (d2, station)-sorted neighbor list, so the float sums are
+    bit-exact cross-engine (operators/spatialstats.idw_cells)."""
+    from skyway_spark.operators import spatialstats
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("user_id") * 7919) % 17000 / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+        "value",
+    )
+    out = spatialstats.idw_cells(pts, IDW_RES, value="value", id_col="event_id")
+    return out.select(
+        cells.cell_x(F.col("cell")).alias("cx"),
+        cells.cell_y(F.col("cell")).alias("cy"),
+        "n_stations",
+        "idw",
+    )
+
+
+def _idw_sql() -> str:
+    res = IDW_RES
+    nx, ny = 1 << (res + 1), 1 << res
+    sx, sy = 360.0 / nx, 180.0 / ny
+    gx = f"greatest(0, least({nx - 1}, floor(((lon) + 180.0) / 360.0 * {float(nx)!r})::BIGINT))"
+    gy = f"greatest(0, least({ny - 1}, floor((90.0 - (lat)) / 180.0 * {float(ny)!r})::BIGINT))"
+    return f"""
+        WITH p AS (
+            SELECT event_id AS sid, value AS v,
+                   ((user_id * 7919) % 17000) / 100.0 - 85.0 AS lat,
+                   ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+            FROM events),
+        st AS (SELECT sid, v, lat, lon, {gx} AS sx, {gy} AS sy FROM p),
+        t AS (SELECT DISTINCT sx AS tx, sy AS ty FROM st),
+        nb AS (
+            SELECT t.tx, t.ty, st.sid, st.v,
+                   ((90.0 - (t.ty + 0.5) * {sy!r}) - st.lat)
+                 * ((90.0 - (t.ty + 0.5) * {sy!r}) - st.lat)
+                 + (((t.tx + 0.5) * {sx!r} - 180.0) - st.lon)
+                 * (((t.tx + 0.5) * {sx!r} - 180.0) - st.lon) AS d2
+            FROM t JOIN st
+              ON abs(st.sy - t.ty) <= 1
+             AND (abs(st.sx - t.tx) <= 1 OR abs(st.sx - t.tx) = {nx - 1})),
+        g AS (
+            SELECT tx, ty,
+                   list(struct_pack(d2 := d2, sid := sid, v := v)
+                        ORDER BY d2, sid) AS ns
+            FROM nb WHERE d2 > 0 GROUP BY 1, 2)
+        SELECT tx::BIGINT AS cx, ty::BIGINT AS cy,
+               len(ns)::INT AS n_stations,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(ns, s -> (1.0 / s.d2) * s.v)), (a, b) -> a + b)
+             / list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(ns, s -> 1.0 / s.d2)), (a, b) -> a + b) AS idw
+        FROM g
+    """
+
+
+CRAWL_BUDGET = 1000
+
+
+def q_crawl_budget(spark, sf):
+    """Largest-remainder (Hamilton) apportionment of a 1000-fetch
+    crawl budget across document sources — all-integer, allocates
+    exactly the budget (operators/urls.crawl_budget)."""
+    from skyway_spark.operators.urls import crawl_budget
+
+    (docs,) = _tables(spark, sf, "documents")
+    return crawl_budget(docs, CRAWL_BUDGET, host_col="source")
+
+
+def _crawl_budget_sql() -> str:
+    b = CRAWL_BUDGET
+    return f"""
+        WITH c AS (
+            SELECT source AS host, COUNT(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1),
+        t AS (SELECT (SUM(n_docs))::BIGINT AS total FROM c),
+        w AS (
+            SELECT host, n_docs,
+                   ({b} * n_docs) // total AS base,
+                   ({b} * n_docs) % total AS rem
+            FROM c, t),
+        r AS (
+            SELECT host, n_docs, base,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rk,
+                   (SUM(base) OVER ())::BIGINT AS sb
+            FROM w)
+        SELECT host, n_docs,
+               (base + CASE WHEN rk <= {b} - sb THEN 1 ELSE 0 END)::BIGINT AS alloc
+        FROM r
+    """
+
+
+HULL_RES = 4
+HULL_USERS = 8
+
+
+def q_user_hulls(spark, sf):
+    """Strict convex hull of each user's visited grid cells (integer
+    coordinates, bit-exact cross products) — monotone chain per entity
+    via applyInPandas over the DISTINCT cell set; the oracle proves the
+    same vertex set through the O(n^3) maximal-edge characterization
+    (operators/geometry.convex_hulls)."""
+    from skyway_spark.operators.geometry import convex_hulls
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.where(F.col("user_id") < HULL_USERS).select(
+        "user_id",
+        (((F.col("user_id") * 7919 + F.col("event_id") * 131) % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+    cx, cy = cells.cell_xy(F.col("lat"), F.col("lon"), HULL_RES)
+    grid = pts.select("user_id", cx.alias("cx"), cy.alias("cy"))
+    return convex_hulls(grid, entity="user_id", x="cx", y="cy")
+
+
+def _user_hulls_sql() -> str:
+    res = HULL_RES
+    nx, ny = 1 << (res + 1), 1 << res
+    gx = f"greatest(0, least({nx - 1}, floor(((lon) + 180.0) / 360.0 * {float(nx)!r})::BIGINT))"
+    gy = f"greatest(0, least({ny - 1}, floor((90.0 - (lat)) / 180.0 * {float(ny)!r})::BIGINT))"
+    cross = (
+        "((pr.bx - pr.ax) * (q.cy - pr.ay) - (pr.by_ - pr.ay) * (q.cx - pr.ax))"
+    )
+    return f"""
+        WITH raw AS (
+            SELECT user_id,
+                   ((user_id * 7919 + event_id * 131) % 17000) / 100.0 - 85.0 AS lat,
+                   ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+            FROM events WHERE user_id < {HULL_USERS}),
+        p AS (SELECT DISTINCT user_id AS e, {gx} AS cx, {gy} AS cy FROM raw),
+        pairs AS (
+            SELECT a.e, a.cx AS ax, a.cy AS ay, b.cx AS bx, b.cy AS by_
+            FROM p a JOIN p b ON a.e = b.e
+            WHERE NOT (a.cx = b.cx AND a.cy = b.cy)),
+        edges AS (
+            SELECT * FROM pairs pr WHERE NOT EXISTS (
+                SELECT 1 FROM p q
+                WHERE q.e = pr.e
+                  AND NOT (q.cx = pr.ax AND q.cy = pr.ay)
+                  AND NOT (q.cx = pr.bx AND q.cy = pr.by_)
+                  AND ({cross} < 0
+                       OR ({cross} = 0
+                           AND ((q.cx - pr.ax) * (pr.bx - pr.ax)
+                              + (q.cy - pr.ay) * (pr.by_ - pr.ay) < 0
+                            OR (q.cx - pr.bx) * (pr.ax - pr.bx)
+                              + (q.cy - pr.by_) * (pr.ay - pr.by_) < 0))))),
+        verts AS (
+            SELECT DISTINCT e, hx, hy FROM (
+                SELECT e, ax AS hx, ay AS hy FROM edges
+                UNION ALL SELECT e, bx, by_ FROM edges)),
+        singles AS (
+            SELECT e, MIN(cx) AS hx, MIN(cy) AS hy
+            FROM p GROUP BY e HAVING COUNT(*) = 1)
+        SELECT e AS user_id, hx, hy FROM verts
+        UNION ALL SELECT e, hx, hy FROM singles
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -4102,6 +4268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redirects": q_redirects,
         "q_ripley_k": q_ripley_k,
         "q_track_hausdorff": q_track_hausdorff,
+        "q_idw": q_idw,
+        "q_crawl_budget": q_crawl_budget,
+        "q_user_hulls": q_user_hulls,
     }
 
 
@@ -7772,6 +7941,9 @@ def oracle_sql() -> dict[str, str]:
     out["q_redirects"] = _redirects_sql()
     out["q_ripley_k"] = _ripley_sql()
     out["q_track_hausdorff"] = _hausdorff_sql()
+    out["q_idw"] = _idw_sql()
+    out["q_crawl_budget"] = _crawl_budget_sql()
+    out["q_user_hulls"] = _user_hulls_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     "q_redirects",
     "q_ripley_k",
     "q_track_hausdorff",
+    "q_idw",
+    "q_crawl_budget",
+    "q_user_hulls",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -428,3 +428,67 @@ def clip_rings_to_grid(polys: DataFrame, res: int, ring_col: str = "ring") -> Da
             .withColumnRenamed("__r2", "__r")
         )
     return df.withColumnRenamed("__r", "clipped")
+
+
+def convex_hulls(
+    points: DataFrame,
+    entity: str = "entity",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """STRICT convex hull vertices per entity over INTEGER grid
+    coordinates — territory/footprint estimation (hull of the cells a
+    user/host was seen in). All-integer cross products: bit-exact on
+    any engine, no float orientation ambiguity.
+
+    Semantics: the STRICT hull — collinear boundary points are not
+    vertices; a fully-collinear entity yields its two extreme points,
+    a single-point entity yields that point. Vertex SET output (one
+    row per vertex), so any correct hull algorithm agrees — the SQL
+    oracle uses the maximal-edge characterization (an ordered pair
+    (a,b) is a hull edge iff no point lies strictly right of it and no
+    collinear point lies outside the segment), this operator uses
+    Andrew's monotone chain with strict turns.
+
+    Scale shape: the corpus collapses to DISTINCT (entity, x, y) first
+    (one shuffle, cell-bounded: at res r there are only 2^(2r+1)
+    cells, so per-entity state is bounded by the grid, not by event
+    count); the chain itself is per-entity Python over that bounded
+    set — a legitimate applyInPandas use (inherently sequential
+    stack algorithm over a small group). Output rows: (entity, hx, hy).
+    """
+    import pandas as pd
+
+    dist = points.select(
+        F.col(entity).alias("e"),
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+    ).distinct()
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        e = pdf["e"].iloc[0]
+        pts = sorted(set(zip(pdf["px"].tolist(), pdf["py"].tolist())))
+        if len(pts) <= 2:
+            hull = pts
+        else:
+            def cross(o, a, b):
+                return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+            lower: list = []
+            for p in pts:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(p)
+            upper: list = []
+            for p in reversed(pts):
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(p)
+            hull = lower[:-1] + upper[:-1]
+        return pd.DataFrame({"e": e, "hx": [h[0] for h in hull], "hy": [h[1] for h in hull]})
+
+    return (
+        dist.groupBy("e")
+        .applyInPandas(chain, "e long, hx long, hy long")
+        .select(F.col("e").alias(entity), "hx", "hy")
+    )

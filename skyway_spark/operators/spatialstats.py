@@ -391,3 +391,73 @@ def ripley_k(
     for p in per_r[1:]:
         out = out.unionByName(p)
     return out
+
+
+def idw_cells(
+    points: DataFrame,
+    res: int,
+    value: str = "value",
+    lat: str = "lat",
+    lon: str = "lon",
+    id_col: str = "id",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation of a station value at
+    every occupied cell's CENTER from the stations in its Chebyshev-1
+    neighborhood — the classic sensor/measurement surface (IDW,
+    Shepard 1968). North-rule addition.
+
+    Engine-exactness: float SUMS are order-dependent, so both the
+    weight total and the weighted-value total are ORDERED left-folds
+    over the neighbor list sorted by the total key (d2, station id) —
+    same IEEE add sequence on any engine (the ring-fold discipline
+    applied to an aggregation). w = 1/d2 and the final num/den are
+    single pinned ops. Stations exactly AT a center (d2 = 0) are
+    excluded on both sides (w would be infinite).
+
+    Scale shape: one corpus shuffle to cell-key the stations, one
+    explode of each station to its 3x3 ring (x9, bounded), one keyed
+    groupBy per target cell. Per-cell state is the neighbor list —
+    bounded by local station density, not corpus size (hot cells are
+    a salting candidate, same as q_salted_join).
+
+    Output: (cell, n_stations, idw).
+    """
+    from ..functions import cells as C
+
+    nx, ny = 1 << (res + 1), 1 << res
+    sx, sy = 360.0 / nx, 180.0 / ny
+    st = points.select(
+        F.col(id_col).alias("sid"),
+        F.col(lat).alias("slat"),
+        F.col(lon).alias("slon"),
+        F.col(value).alias("v"),
+        C.cell_encode(F.col(lat), F.col(lon), res).alias("scell"),
+    )
+    targets = st.select(F.col("scell").alias("cell")).distinct()
+    contrib = st.select(
+        "sid", "slat", "slon", "v",
+        F.explode(C.k_ring(F.col("scell"), res, 1)).alias("cell"),
+    )
+    cx, cy = C.cell_x(F.col("cell")), C.cell_y(F.col("cell"))
+    clat = F.lit(90.0) - (cy.cast("double") + F.lit(0.5)) * F.lit(sy)
+    clon = (cx.cast("double") + F.lit(0.5)) * F.lit(sx) - F.lit(180.0)
+    j = targets.join(contrib, "cell").select(
+        "cell", "sid", "v",
+        (
+            (clat - F.col("slat")) * (clat - F.col("slat"))
+            + (clon - F.col("slon")) * (clon - F.col("slon"))
+        ).alias("d2"),
+    ).where(F.col("d2") > 0)
+    g = j.groupBy("cell").agg(
+        F.sort_array(F.collect_list(F.struct("d2", "sid", "v"))).alias("__ns")
+    )
+    den = F.aggregate(
+        F.col("__ns"), F.lit(0.0), lambda acc, s: acc + F.lit(1.0) / s["d2"]
+    )
+    num = F.aggregate(
+        F.col("__ns"), F.lit(0.0),
+        lambda acc, s: acc + (F.lit(1.0) / s["d2"]) * s["v"],
+    )
+    return g.select(
+        "cell", F.size("__ns").alias("n_stations"), (num / den).alias("idw")
+    )

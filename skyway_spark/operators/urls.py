@@ -207,3 +207,44 @@ def url_templates(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.countDistinct("u").alias("n_distinct_urls"),
         )
     )
+
+
+def crawl_budget(
+    docs: DataFrame, budget: int, host_col: str = "source"
+) -> DataFrame:
+    """Apportion a total crawl budget across hosts proportionally to
+    their observed document counts with the LARGEST-REMAINDER method
+    (Hamilton apportionment): every host gets floor(budget*n/total),
+    and the leftover seats go to the largest remainders (tie: host
+    asc). Exactly ``budget`` fetches are allocated, all-integer — no
+    float proportional shares that drift or over/under-allocate.
+
+    Scale shape: one corpus-sized groupBy to host counts; everything
+    after (total, remainder rank) runs on the HOST-sized aggregate —
+    the rank is a single window over that small table, and the total
+    rides a broadcast single-row crossJoin.
+
+    Output: (host, n_docs, alloc) with SUM(alloc) == budget.
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("total"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_docs",
+        F.expr(f"({budget} * n_docs) div total").alias("base"),
+        F.expr(f"({budget} * n_docs) % total").alias("rem"),
+    )
+    leftover = F.lit(budget) - F.sum("base").over(
+        Window.partitionBy()
+    )
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("rem").desc(), F.col("host").asc())
+    )
+    return w.select(
+        "host", "n_docs",
+        (F.col("base") + F.when(rk <= leftover, 1).otherwise(0)).alias("alloc"),
+    )

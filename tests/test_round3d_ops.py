@@ -208,3 +208,134 @@ def test_clip_rings_to_grid_matches_per_cell_brute(spark):
             )
     assert got == want
     assert len(got) == (x1 - x0 + 1) * (y1 - y0 + 1)
+
+
+# ---------------------------------------------------------------------------
+# idw_cells
+# ---------------------------------------------------------------------------
+
+
+def test_idw_cells_matches_ordered_brute(spark):
+    from skyway_spark.operators.spatialstats import idw_cells
+
+    res = 4
+    nx, ny = 1 << (res + 1), 1 << res
+    sx, sy = 360.0 / nx, 180.0 / ny
+    pts = [(i, ((i * 37) % 160) / 1.0 - 80.0, ((i * 53) % 350) - 175.0,
+            float((i * 7) % 100)) for i in range(60)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double, value double")
+    got = {(r.cell, r.n_stations): r.idw
+           for r in idw_cells(df, res, id_col="id").collect()}
+
+    def cellxy(la, lo):
+        return (max(0, min(nx - 1, math.floor((lo + 180.0) / 360.0 * nx))),
+                max(0, min(ny - 1, math.floor((90.0 - la) / 180.0 * ny))))
+
+    targets = {cellxy(la, lo) for _, la, lo, _ in pts}
+    want = {}
+    for tx, ty in targets:
+        clat, clon = 90.0 - (ty + 0.5) * sy, (tx + 0.5) * sx - 180.0
+        ns = []
+        for sid, la, lo, v in pts:
+            px, py = cellxy(la, lo)
+            if abs(py - ty) <= 1 and (abs(px - tx) <= 1 or abs(px - tx) == nx - 1):
+                d2 = (clat - la) * (clat - la) + (clon - lo) * (clon - lo)
+                if d2 > 0:
+                    ns.append((d2, sid, v))
+        ns.sort()
+        den = 0.0
+        num = 0.0
+        for d2, _, v in ns:
+            den = den + 1.0 / d2
+            num = num + (1.0 / d2) * v
+        cell = (res << 58) | (tx << 29) | ty
+        want[(cell, len(ns))] = num / den
+    assert got == want  # exact float equality: ordered folds
+
+
+# ---------------------------------------------------------------------------
+# crawl_budget
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_budget_hamilton(spark):
+    from skyway_spark.operators.urls import crawl_budget
+
+    docs = spark.createDataFrame(
+        [(f"h{i}",) for i in (0,) * 5 + (1,) * 3 + (2,) * 2 + (3,) * 1],
+        "source string",
+    )
+    out = {r.host: (r.n_docs, r.alloc) for r in crawl_budget(docs, 10).collect()}
+    # shares: h0 50/11*... budget 10 over counts 5,3,2,1 of total 11:
+    # base floor(10*n/11) = 4,2,1,0; remainders 6,8,9,10 -> leftover 3
+    # goes to h3(10), h2(9), h1(8)
+    assert out == {"h0": (5, 4), "h1": (3, 3), "h2": (2, 2), "h3": (1, 1)}
+    assert sum(a for _, a in out.values()) == 10
+
+
+def test_crawl_budget_exact_total_and_ties(spark):
+    from skyway_spark.operators.urls import crawl_budget
+
+    docs = spark.createDataFrame(
+        [(f"h{i % 7}",) for i in range(77)], "source string"
+    )  # equal counts: all remainders equal -> ties break host asc
+    out = {r.host: r.alloc for r in crawl_budget(docs, 10).collect()}
+    assert sum(out.values()) == 10
+    # 7 hosts, base 1 each, 3 leftover -> h0,h1,h2 get 2
+    assert out == {"h0": 2, "h1": 2, "h2": 2, "h3": 1, "h4": 1, "h5": 1, "h6": 1}
+
+
+# ---------------------------------------------------------------------------
+# convex_hulls
+# ---------------------------------------------------------------------------
+
+
+def _hull_brute_maximal_edges(pts):
+    """Independent O(n^3) maximal-edge characterization."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return set(pts)
+    verts = set()
+    for a in pts:
+        for b in pts:
+            if a == b:
+                continue
+            ok = True
+            for q in pts:
+                if q == a or q == b:
+                    continue
+                cr = (b[0] - a[0]) * (q[1] - a[1]) - (b[1] - a[1]) * (q[0] - a[0])
+                if cr < 0:
+                    ok = False
+                    break
+                if cr == 0:
+                    out_a = (q[0] - a[0]) * (b[0] - a[0]) + (q[1] - a[1]) * (b[1] - a[1]) < 0
+                    out_b = (q[0] - b[0]) * (a[0] - b[0]) + (q[1] - b[1]) * (a[1] - b[1]) < 0
+                    if out_a or out_b:
+                        ok = False
+                        break
+            if ok:
+                verts.add(a)
+                verts.add(b)
+    return verts
+
+
+@pytest.mark.parametrize(
+    "pts",
+    [
+        [(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (1, 3)],        # square + interior
+        [(0, 0), (2, 0), (4, 0), (4, 4), (0, 4)],                # collinear edge point
+        [(0, 0), (1, 1), (2, 2), (3, 3)],                        # fully collinear
+        [(5, 5)],                                                # single point
+        [(0, 0), (7, 3)],                                        # two points
+        [((i * 13) % 17, (i * 7) % 11) for i in range(40)],      # pseudo-random
+    ],
+)
+def test_convex_hulls_matches_maximal_edges(spark, pts):
+    from skyway_spark.operators.geometry import convex_hulls
+
+    df = spark.createDataFrame(
+        [(1, x, y) for x, y in pts], "entity long, x long, y long"
+    )
+    got = {(r.hx, r.hy) for r in convex_hulls(df).collect()}
+    assert got == _hull_brute_maximal_edges(pts)
