@@ -4056,6 +4056,152 @@ def _user_hulls_sql() -> str:
     """
 
 
+KCORE_K = 9  # 36/40 hosts survive after a 2-round cascade (k=10 empties)
+KCORE_STRONG = 3  # host-graph edges with >= this many links
+
+
+def q_kcore(spark, sf):
+    """k-core of the strong host link graph (edges with >= 3 links,
+    k=9): iterative peeling over the contracting edge list — the
+    link-farm / dense-community extractor
+    (operators/graph.k_core)."""
+    from skyway_spark.operators.graph import k_core
+    from skyway_spark.operators.weblinks import extract_links, host_graph
+
+    links = extract_links(_linked_pages(spark))
+    hg = host_graph(links).where(F.col("n_links") >= KCORE_STRONG)
+    return k_core(hg, KCORE_K, src="src_host", dst="dst_host")
+
+
+def _kcore_sql(stages: int = 8) -> str:
+    """Unrolled peel: each stage drops nodes with degree < k and
+    filters the edge list; the fixture converges in 2 rounds (verified
+    offline), 8 stages is a 4x margin and every extra stage is
+    idempotent. Stages are MATERIALIZED — each e{{i}} is referenced
+    three times by stage i+1 and DuckDB would otherwise inline the
+    chain (3^stages blowup, measured)."""
+    chain = []
+    prev = "e0"
+    for i in range(1, stages + 1):
+        chain.append(f"""
+            n{i} AS MATERIALIZED (SELECT s FROM (
+                SELECT s, COUNT(*) AS deg FROM {prev} GROUP BY 1)
+                WHERE deg >= {KCORE_K}),
+            e{i} AS MATERIALIZED (
+                SELECT e.s, e.t FROM {prev} e
+                JOIN n{i} a ON e.s = a.s JOIN n{i} b ON e.t = b.s)""")
+        prev = f"e{i}"
+    body = ",".join(chain)
+    return f"""
+        WITH l AS MATERIALIZED ({_linked_links_sql(LINKED_PAGES_N)}),
+        hg AS (
+            SELECT src_host, dst_host FROM (
+                SELECT src_host, dst_host, COUNT(*) AS n FROM l GROUP BY 1, 2)
+            WHERE n >= {KCORE_STRONG} AND src_host <> dst_host),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT s, t FROM (
+                SELECT src_host AS s, dst_host AS t FROM hg
+                UNION ALL SELECT dst_host, src_host FROM hg)),
+        {body}
+        SELECT s AS node, COUNT(*)::BIGINT AS degree FROM {prev} GROUP BY 1
+    """
+
+
+SEG_N = 3000
+SEG_RES = 6
+
+
+def _segments_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Short integer-coordinate segments derived from events: start at
+    the centidegree event point, end at a deterministic offset < 1
+    degree — all-integer, so orientation tests are exact."""
+    (ev,) = _tables(spark, sf, "events")
+    i, u = F.col("event_id"), F.col("user_id")
+    y1 = (u * 7919 + i * 131) % 17000 - 8500
+    x1 = (i * 104729) % 36000 - 18000
+    return ev.where(i < SEG_N).select(
+        i.alias("id"),
+        (i % 2).alias("par"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + (i * 271) % 200 - 100).alias("x2"),
+        (y1 + (i * 331) % 200 - 100).alias("y2"),
+    )
+
+
+def q_segment_crossings(spark, sf):
+    """Road x rail proper-crossing pairs over integer segments: four
+    exact integer orientation signs per candidate; candidates from
+    ONE bbox-cover cell equi-join, never the |A|x|B| theta join
+    (operators/geometry.segment_crossings — oracle is the brute
+    cross join, which doubles as a candidate-completeness proof)."""
+    from skyway_spark.operators.geometry import segment_crossings
+
+    segs = _segments_df(spark, sf)
+    return segment_crossings(
+        segs.where(F.col("par") == 0).drop("par"),
+        segs.where(F.col("par") == 1).drop("par"),
+        SEG_RES,
+    )
+
+
+def _segment_crossings_sql() -> str:
+    o = lambda px, py, qx, qy, rx, ry: (  # noqa: E731
+        f"(({qx} - {px}) * ({ry} - {py}) - ({qy} - {py}) * ({rx} - {px}))"
+    )
+    o1 = o("a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1")
+    o2 = o("a.x1", "a.y1", "a.x2", "a.y2", "b.x2", "b.y2")
+    o3 = o("b.x1", "b.y1", "b.x2", "b.y2", "a.x1", "a.y1")
+    o4 = o("b.x1", "b.y1", "b.x2", "b.y2", "a.x2", "a.y2")
+    return f"""
+        WITH s AS (
+            SELECT event_id AS id, event_id % 2 AS par,
+                   (event_id * 104729) % 36000 - 18000 AS x1,
+                   (user_id * 7919 + event_id * 131) % 17000 - 8500 AS y1,
+                   ((event_id * 104729) % 36000 - 18000)
+                     + (event_id * 271) % 200 - 100 AS x2,
+                   ((user_id * 7919 + event_id * 131) % 17000 - 8500)
+                     + (event_id * 331) % 200 - 100 AS y2
+            FROM events WHERE event_id < {SEG_N})
+        SELECT a.id AS a_id, b.id AS b_id
+        FROM (SELECT * FROM s WHERE par = 0) a,
+             (SELECT * FROM s WHERE par = 1) b
+        WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
+          AND ((({o3}) > 0 AND ({o4}) < 0) OR (({o3}) < 0 AND ({o4}) > 0))
+    """
+
+
+def q_int8_quant(spark, sf):
+    """Worst-case int8 scalar-quantization reconstruction error per
+    embedding (per-dim affine codebook) — the ship/no-ship check for
+    a 4x-smaller ANN index; MAX is a selection, so exact
+    (operators/similarity.int8_quantize_error)."""
+    from skyway_spark.operators.similarity import int8_quantize_error
+
+    (emb,) = _tables(spark, sf, "embeddings")
+    return int8_quantize_error(emb)
+
+
+def _int8_quant_sql() -> str:
+    return """
+        WITH ex AS (
+            SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS v
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),
+        st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY 1),
+        j AS (
+            SELECT vec_id, v, mn, mx, (mx - mn) / 255.0 AS sc
+            FROM ex JOIN st USING (dim)),
+        e AS (
+            SELECT vec_id,
+                   CASE WHEN mx = mn THEN 0.0 ELSE
+                       abs(v - (mn + LEAST(255.0, GREATEST(0.0,
+                           round((v - mn) / sc))) * sc))
+                   END AS err
+            FROM j)
+        SELECT vec_id, MAX(err) AS max_abs_err FROM e GROUP BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -4271,6 +4417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idw": q_idw,
         "q_crawl_budget": q_crawl_budget,
         "q_user_hulls": q_user_hulls,
+        "q_kcore": q_kcore,
+        "q_segment_crossings": q_segment_crossings,
+        "q_int8_quant": q_int8_quant,
     }
 
 
@@ -7944,6 +8093,9 @@ def oracle_sql() -> dict[str, str]:
     out["q_idw"] = _idw_sql()
     out["q_crawl_budget"] = _crawl_budget_sql()
     out["q_user_hulls"] = _user_hulls_sql()
+    out["q_kcore"] = _kcore_sql()
+    out["q_segment_crossings"] = _segment_crossings_sql()
+    out["q_int8_quant"] = _int8_quant_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

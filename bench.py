@@ -197,6 +197,9 @@ BENCH_QUERIES = [
     "q_idw",
     "q_crawl_budget",
     "q_user_hulls",
+    "q_kcore",
+    "q_segment_crossings",
+    "q_int8_quant",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -492,3 +492,91 @@ def convex_hulls(
         .applyInPandas(chain, "e long, hx long, hy long")
         .select(F.col("e").alias(entity), "hx", "hy")
     )
+
+
+def segment_crossings(
+    a_segs: DataFrame,
+    b_segs: DataFrame,
+    res: int,
+    x_range: tuple[int, int] = (-18000, 18000),
+    y_range: tuple[int, int] = (-9000, 9000),
+) -> DataFrame:
+    """Proper-crossing pairs between two INTEGER-coordinate segment
+    sets (roads x railways, route x geofence edge) — the spatial
+    overlay primitive. A pair crosses iff the endpoints of each
+    segment lie strictly on opposite sides of the other's supporting
+    line: four integer orientation signs, bit-exact on any engine
+    (touching or collinear overlap is NOT a crossing).
+
+    Input schema both sides: (id, x1, y1, x2, y2) — integer grid
+    units spanning ``x_range``/``y_range``.
+
+    Scale shape: never the |A|x|B| theta join — each segment fans out
+    to the res-``res`` grid cells its bbox covers (integer floor-div
+    cover: tiny for short segments), candidates come from ONE cell
+    equi-join, crossings are filtered in the join stage, and the
+    (a_id, b_id) DISTINCT collapses multi-cell duplicates on the
+    already-small result. A crossing pair always shares the cell of
+    its intersection point (both bboxes contain it), so the cover is
+    lossless.
+
+    Output: (a_id, b_id).
+    """
+    nx, ny = 1 << (res + 1), 1 << res
+    xmin, xmax = x_range
+    ymin, ymax = y_range
+
+    def cover(df: DataFrame, tag: str) -> DataFrame:
+        cx = lambda c: F.greatest(  # noqa: E731
+            F.lit(0),
+            F.least(F.lit(nx - 1), F.expr(f"(({c} - {xmin}) * {nx}) div {xmax - xmin}")),
+        )
+        cy = lambda c: F.greatest(  # noqa: E731
+            F.lit(0),
+            F.least(F.lit(ny - 1), F.expr(f"(({c} - {ymin}) * {ny}) div {ymax - ymin}")),
+        )
+        return (
+            df.select(
+                F.col("id").alias(f"{tag}id"),
+                F.col("x1").alias(f"{tag}x1"), F.col("y1").alias(f"{tag}y1"),
+                F.col("x2").alias(f"{tag}x2"), F.col("y2").alias(f"{tag}y2"),
+                F.explode(
+                    F.sequence(
+                        F.least(cx("x1"), cx("x2")), F.greatest(cx("x1"), cx("x2"))
+                    )
+                ).alias("__cx"),
+                cy("y1").alias("__cy1"), cy("y2").alias("__cy2"),
+            )
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(
+                        F.least("__cy1", "__cy2"), F.greatest("__cy1", "__cy2")
+                    )
+                ).alias("__cy"),
+            )
+            .drop("__cy1", "__cy2")
+        )
+
+    a = cover(a_segs, "a")
+    b = cover(b_segs, "b")
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (F.col(qx) - F.col(px)) * (F.col(ry) - F.col(py)) - (
+            F.col(qy) - F.col(py)
+        ) * (F.col(rx) - F.col(px))
+
+    o1 = orient("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
+    o2 = orient("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
+    o3 = orient("bx1", "by1", "bx2", "by2", "ax1", "ay1")
+    o4 = orient("bx1", "by1", "bx2", "by2", "ax2", "ay2")
+    crossing = (
+        (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0)))
+        & (((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0)))
+    )
+    return (
+        a.join(b, ["__cx", "__cy"])
+        .where(crossing)
+        .select(F.col("aid").alias("a_id"), F.col("bid").alias("b_id"))
+        .distinct()
+    )

@@ -457,3 +457,52 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 64) -> DataFrame:
             F.coalesce("__cyc", F.lit(False)).alias("in_cycle"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst", max_iter: int = 200
+) -> DataFrame:
+    """The k-core of an undirected simple graph: the maximal subgraph
+    where every node keeps degree >= k — the standard link-spam /
+    dense-community filter on a host graph (peripheral hosts peel
+    away, the mutually-linked core remains).
+
+    Classic iterative peeling: drop nodes with degree < k, recompute,
+    repeat to fixpoint. Scale shape: each round is one degree groupBy
+    + one semi-join filter of the CONTRACTING edge list (the corpus
+    never re-enters — edges only shrink); lineage is cut per round
+    with localCheckpoint. Convergence in at most |V| rounds, checked
+    by node-count fixpoint; ``max_iter`` raises rather than returning
+    a non-core.
+
+    Output: (node, degree) — nodes of the k-core with their in-core
+    degree.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("t")).where(
+                F.col(src) != F.col(dst)
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = -1
+    for _ in range(max_iter):
+        deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.where(F.col("degree") >= k).select("s")
+        n = keep.count()
+        if n == prev_n:
+            return deg.where(F.col("degree") >= k).select(
+                F.col("s").alias("node"), "degree"
+            )
+        prev_n = n
+        sym = (
+            sym.join(keep, "s")
+            .join(keep.withColumnRenamed("s", "t"), "t")
+            .select("s", "t")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds")

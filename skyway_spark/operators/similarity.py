@@ -252,3 +252,50 @@ def semantic_dedup(
             "cluster",
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
         )
+
+
+def int8_quantize_error(
+    embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector worst-case reconstruction error of int8 scalar
+    quantization (per-dimension affine min/max codebook) — the
+    go/no-go check before shipping a quantized ANN index: if
+    max|v - recon| is small everywhere, 4x memory is free; a fat tail
+    means per-dim affine is the wrong codebook (use PQ).
+
+    q      = clamp(round((v - mn_d) / scale_d), 0..255)
+    recon  = mn_d + q * scale_d,   scale_d = (mx_d - mn_d) / 255
+    err    = max_d |v - recon|     (constant dims: q = 0, err = 0)
+
+    Engine-exactness: every step is per-element double arithmetic
+    with one pinned op order (round() is half-away-from-zero on both
+    engines, and the argument is >= 0 here); the per-vector reduction
+    is MAX — a selection, not a sum — so the result is bit-exact.
+
+    Scale shape: one posexplode shuffle to (dim, value), a 64-row
+    min/max aggregate, a broadcast join of that dim table back onto
+    the exploded corpus, one keyed max-groupBy per vector. At 100 TB
+    the dim table is still 64 rows — the join is always broadcast.
+    """
+    ex = embs.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("dim", "vf"),
+    ).select("vid", "dim", F.col("vf").cast("double").alias("v"))
+    stats = ex.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    j = ex.join(F.broadcast(stats), "dim")
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    q = F.least(
+        F.lit(255.0), F.greatest(F.lit(0.0), F.round((F.col("v") - F.col("mn")) / scale))
+    )
+    recon = F.col("mn") + q * scale
+    err = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.abs(F.col("v") - recon)
+    )
+    return (
+        j.select("vid", err.alias("err"))
+        .groupBy("vid")
+        .agg(F.max("err").alias("max_abs_err"))
+        .select(F.col("vid").alias(id_col), "max_abs_err")
+    )

@@ -339,3 +339,144 @@ def test_convex_hulls_matches_maximal_edges(spark, pts):
     )
     got = {(r.hx, r.hy) for r in convex_hulls(df).collect()}
     assert got == _hull_brute_maximal_edges(pts)
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+
+def _kcore_brute(edges, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, t in edges:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    while True:
+        drop = [n for n, nb in adj.items() if len(nb) < k]
+        if not drop:
+            break
+        for n in drop:
+            for nb in adj[n]:
+                adj[nb].discard(n)
+            del adj[n]
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_k_core_peels_cascade(spark):
+    from skyway_spark.operators.graph import k_core
+
+    # K5 plus a pendant path: path peels in cascading rounds, K5 stays
+    k5 = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    path = [("c0", "p1"), ("p1", "p2"), ("p2", "p3")]
+    edges = spark.createDataFrame(k5 + path, "src string, dst string")
+    got = {r.node: r.degree for r in k_core(edges, 4).collect()}
+    assert got == _kcore_brute(k5 + path, 4)
+    assert set(got) == {f"c{i}" for i in range(5)} and all(v == 4 for v in got.values())
+
+
+def test_k_core_empty_result(spark):
+    from skyway_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    assert k_core(edges, 3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# segment_crossings
+# ---------------------------------------------------------------------------
+
+
+def _cross_brute(A, B):
+    def o(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    out = set()
+    for aid, a1, a2 in A:
+        for bid, b1, b2 in B:
+            o1, o2 = o(a1, a2, b1), o(a1, a2, b2)
+            o3, o4 = o(b1, b2, a1), o(b1, b2, a2)
+            if ((o1 > 0) != (o2 > 0) and o1 != 0 and o2 != 0
+                    and (o3 > 0) != (o4 > 0) and o3 != 0 and o4 != 0):
+                out.add((aid, bid))
+    return out
+
+
+def test_segment_crossings_matches_brute(spark):
+    from skyway_spark.operators.geometry import segment_crossings
+
+    A = [(i, ((i * 97) % 161 - 80, (i * 61) % 161 - 80),
+          ((i * 97) % 161 - 80 + (i * 13) % 21 - 10,
+           (i * 61) % 161 - 80 + (i * 17) % 21 - 10)) for i in range(60)]
+    B = [(i, ((i * 89) % 161 - 80, (i * 71) % 161 - 80),
+          ((i * 89) % 161 - 80 + (i * 19) % 21 - 10,
+           (i * 71) % 161 - 80 + (i * 23) % 21 - 10)) for i in range(60)]
+    mk = lambda S: spark.createDataFrame(  # noqa: E731
+        [(i, p1[0], p1[1], p2[0], p2[1]) for i, p1, p2 in S],
+        "id long, x1 long, y1 long, x2 long, y2 long",
+    )
+    got = {(r.a_id, r.b_id) for r in segment_crossings(
+        mk(A), mk(B), res=4, x_range=(-100, 100), y_range=(-100, 100)).collect()}
+    want = _cross_brute(A, B)
+    assert got == want and len(want) > 0
+
+
+def test_segment_crossings_touch_is_not_crossing(spark):
+    from skyway_spark.operators.geometry import segment_crossings
+
+    a = spark.createDataFrame([(1, 0, 0, 10, 0)], "id long, x1 long, y1 long, x2 long, y2 long")
+    # touches a's interior at (5,0); collinear overlap; proper cross
+    b = spark.createDataFrame(
+        [(1, 5, 0, 5, 5), (2, 2, 0, 8, 0), (3, 5, -5, 5, 5)],
+        "id long, x1 long, y1 long, x2 long, y2 long",
+    )
+    got = {(r.a_id, r.b_id) for r in segment_crossings(
+        a, b, res=3, x_range=(-16, 16), y_range=(-16, 16)).collect()}
+    assert got == {(1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# int8_quantize_error
+# ---------------------------------------------------------------------------
+
+
+def test_int8_quantize_error_matches_brute(spark):
+    from skyway_spark.operators.similarity import int8_quantize_error
+
+    import numpy as np
+
+    vecs = [[float(((i * 37 + d * 11) % 200) / 10.0 - 10.0) for d in range(8)]
+            for i in range(30)]
+    vecs[5] = [3.25] * 8  # exercises values away from extremes
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r.max_abs_err for r in int8_quantize_error(df).collect()}
+    arr = np.array(vecs, dtype=np.float32).astype(np.float64)
+    mn, mx = arr.min(axis=0), arr.max(axis=0)
+    want = {}
+    for i, row in enumerate(arr):
+        errs = []
+        for d, v in enumerate(row):
+            if mx[d] == mn[d]:
+                errs.append(0.0)
+                continue
+            sc = (mx[d] - mn[d]) / 255.0
+            q = min(255.0, max(0.0, np.floor((v - mn[d]) / sc + 0.5)))
+            errs.append(abs(v - (mn[d] + q * sc)))
+        want[i] = max(errs)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+    assert max(got.values()) <= 0.5 * (arr.max() - arr.min()) / 255.0 * 1.0001 + 1e-12
+
+
+def test_int8_quantize_constant_dim_zero_error(spark):
+    from skyway_spark.operators.similarity import int8_quantize_error
+
+    df = spark.createDataFrame(
+        [(0, [1.5, 2.0]), (1, [1.5, 3.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r.max_abs_err for r in int8_quantize_error(df).collect()}
+    assert got[0] == 0.0 and got[1] == 0.0  # extremes reconstruct exactly
