@@ -674,3 +674,68 @@ def ngram_containment_pairs(
         )
         .select("id_a", "id_b", "inter", "size_a", "size_b")
     )
+
+
+def fuzzy_join_lev1(
+    a: DataFrame,
+    b: DataFrame,
+    key: str = "key",
+    id_col: str = "id",
+) -> DataFrame:
+    """Blocked fuzzy equi-join at edit distance <= 1 (record linkage /
+    title reconciliation) via the DELETION NEIGHBORHOOD: two strings
+    within one edit always share a variant of {s} ∪ Del1(s) (equal →
+    s itself; substitution at i → both delete i; insertion → the
+    longer side deletes the inserted char), so candidates come from an
+    exact equi-join on generated variants — never a theta join, never
+    a length-bucketed cross join. Candidates are verified with the
+    exact levenshtein() (same integer on any engine).
+
+    Scale shape: the variant explode is len(key)+1 per row (a
+    short-key constant); the join is keyed by variant string (AQE
+    handles popular variants); DISTINCT pair collapse runs on the
+    already-small candidate set. At 100 TB both sides shuffle once,
+    by variant.
+
+    Output: (a_id, b_id, dist) with dist <= 1.
+    """
+
+    ka, kb = F.col("a_key"), F.col("b_key")
+    av = a.select(
+        F.col(id_col).alias("a_id"), F.col(key).alias("a_key")
+    ).withColumn(
+        "__v",
+        F.explode(
+            F.concat(
+                F.array(F.col("a_key")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("a_key")),
+                    lambda i: F.concat(
+                        F.substring(F.col("a_key"), F.lit(1), i - 1),
+                        F.substring(F.col("a_key"), i + 1, F.length("a_key")),
+                    ),
+                ),
+            )
+        ),
+    )
+    bv = b.select(
+        F.col(id_col).alias("b_id"), F.col(key).alias("b_key")
+    ).withColumn(
+        "__v",
+        F.explode(
+            F.concat(
+                F.array(F.col("b_key")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("b_key")),
+                    lambda i: F.concat(
+                        F.substring(F.col("b_key"), F.lit(1), i - 1),
+                        F.substring(F.col("b_key"), i + 1, F.length("b_key")),
+                    ),
+                ),
+            )
+        ),
+    )
+    cand = av.join(bv, "__v").select("a_id", "a_key", "b_id", "b_key").distinct()
+    return cand.where(F.levenshtein(ka, kb) <= 1).select(
+        "a_id", "b_id", F.levenshtein(ka, kb).alias("dist")
+    )

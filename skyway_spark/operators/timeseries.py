@@ -131,3 +131,33 @@ def transition_counts(
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias("p"),
     )
+
+
+def rolling_distinct_active(
+    df: DataFrame, entity: str = "user_id", day: str = "day", window: int = 7
+) -> DataFrame:
+    """Rolling N-day distinct actives (WAU for window=7): for every
+    day PRESENT in the data, the count of distinct entities active in
+    the trailing ``window`` days. A plain window function cannot do
+    DISTINCT-over-range; the distributed shape is scatter-to-window:
+    each (entity, day) activity row is exploded to the <= N window
+    ENDS it belongs to, then one countDistinct groupBy per end day.
+
+    Scale shape: activity first collapses to DISTINCT (entity, day) —
+    the explode factor is then exactly ``window`` on an
+    already-aggregated table, and the final groupBy is keyed by day
+    (365 keys/year — broadcast-sized output). Ghost trailing days are
+    removed by a semi-join against the observed-day set.
+
+    Output: (day, n_active) — exact integers.
+    """
+    act = df.select(F.col(entity).alias("e"), F.col(day).alias("d")).distinct()
+    days = act.select(F.col("d").alias("day")).distinct()
+    scattered = act.select(
+        "e", F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(window - 1))).alias("day")
+    )
+    return (
+        scattered.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("e").alias("n_active"))
+    )

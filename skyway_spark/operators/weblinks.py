@@ -137,3 +137,31 @@ def crawl_frontier(links: DataFrame, crawled_urls: DataFrame, k: int = 50) -> Da
     return scores.orderBy(
         F.desc("n_hosts"), F.desc("n_refs"), F.asc("href")
     ).limit(k)
+
+
+def cocitation(links: DataFrame, min_count: int = 2) -> DataFrame:
+    """Co-citation host similarity: hosts are similar when the same
+    pages link to BOTH (Small 1973, applied to the web graph) — the
+    classic related-site signal that needs no content features.
+
+    Pipeline: per source page, the DISTINCT set of cited hosts; one
+    self-equi-join on src_url emits each unordered host pair once
+    (h1 < h2); a count groupBy yields the co-citation strength.
+
+    Scale shape: the fan-out per page is C(hosts-per-page, 2) — a
+    page-layout constant (pages cite a handful of hosts), NOT corpus
+    size; the join is keyed by src_url so AQE handles hub pages, and
+    the text/html never enters. Exact integer counts.
+
+    Output: (host_a, host_b, n_pages) with n_pages >= min_count.
+    """
+    per_page = links.select("src_url", "dst_host").distinct()
+    a = per_page.select("src_url", F.col("dst_host").alias("host_a"))
+    b = per_page.select("src_url", F.col("dst_host").alias("host_b"))
+    return (
+        a.join(b, "src_url")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .where(F.col("n_pages") >= min_count)
+    )
