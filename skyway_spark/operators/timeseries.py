@@ -161,3 +161,71 @@ def rolling_distinct_active(
         .groupBy("day")
         .agg(F.countDistinct("e").alias("n_active"))
     )
+
+
+def interval_union(
+    df: DataFrame,
+    key: str = "user_id",
+    start: str = "s",
+    end: str = "e",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-key union length of possibly-overlapping intervals — the
+    sweep-line primitive behind session coverage, geofence dwell time,
+    machine-utilization and SLA-uptime rollups.  Intervals that touch
+    (next.start == running.end) merge.
+
+    Algorithm: per key, sort by (start, end[, id]); an interval opens
+    a new island iff its start exceeds the running max end of all
+    PRECEDING intervals (classic interval-merge recast as two window
+    functions — a lag-style running max and a running sum over the
+    island flags — so it stays one sort-shuffle, no iterative loop);
+    islands then aggregate to (min start, max end).
+
+    Scale shape: exactly one shuffle (the per-key window sort); island
+    detection is O(1) state per row; the island groupBy is map-side
+    combined and output is islands-count-sized.  All arithmetic is
+    integer (caller supplies epoch-us or any monotone integer axis),
+    so results are engine-exact.
+
+    Output: (key, n_intervals, n_islands, covered) — covered in the
+    caller's units.
+    """
+    order = [F.col(start), F.col(end)] + ([F.col(id_col)] if id_col else [])
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = [F.col(key), F.col(start), F.col(end)] + (
+        [F.col(id_col)] if id_col else []
+    )
+    flagged = df.select(
+        *base,
+        F.when(F.col(start) > F.max(end).over(w_prev), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    ).select(
+        F.col(key).alias("k"),
+        F.col(start).alias("s"),
+        F.col(end).alias("e"),
+        F.sum("new_island").over(w_run).alias("island"),
+    )
+    islands = flagged.groupBy("k", "island").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        F.min("s").alias("is_"),
+        F.max("e").alias("ie"),
+    )
+    return (
+        islands.groupBy(F.col("k").alias(key))
+        .agg(
+            F.sum("n_iv").alias("n_intervals"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("ie") - F.col("is_")).alias("covered"),
+        )
+    )

@@ -308,3 +308,73 @@ def track_hausdorff(
         .agg(F.max("h").alias("h2"))
         .select(F.col("e").alias(entity), F.col("k").alias(track), "h2")
     )
+
+
+def heading_octants(
+    points: DataFrame,
+    entity_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts",),
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-entity movement-heading histogram over the 8 compass
+    octants — the direction-of-travel fingerprint (commute corridors
+    read E/W, delivery loops read flat) used for trajectory profiling
+    and map-matching priors.
+
+    Headings are classified on INTEGER coordinate deltas with the
+    classic branch-free octant reduction (fold into the first octant
+    by two conditional reflections, then one diagonal compare — the
+    same reduction Bresenham rasterizers use), so the result is exact
+    on any engine: no atan2, no floats, boundaries deterministically
+    assigned (each 45-degree ray belongs to the lower octant; octant 0
+    starts at due East, counter-clockwise).  Zero-displacement steps
+    carry no heading and are dropped.
+
+    Scale shape: one per-entity sort-shuffle for the lag window, then
+    a map-side-combined groupBy on (entity, octant) — output is
+    8 rows/entity max.  The window state is lag-1, so skewed entities
+    stream through a single pass.
+
+    Output: (entity, octant, heading, n_moves) with octant in 0..7 and
+    heading in E NE N NW W SW S SE.
+    """
+    w = Window.partitionBy(entity_col).orderBy(*[F.col(c) for c in order_cols])
+    dx = (F.col(x_col) - F.lag(x_col).over(w)).alias("dx")
+    dy = (F.col(y_col) - F.lag(y_col).over(w)).alias("dy")
+    moves = (
+        points.select(F.col(entity_col).alias("entity"), dx, dy)
+        .where(F.col("dx").isNotNull())
+        .where((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    # fold 1: reflect through origin when dy < 0 (octants 4-7 -> 0-3)
+    s1 = moves.select(
+        "entity",
+        F.when(F.col("dy") < 0, -F.col("dx")).otherwise(F.col("dx")).alias("x1"),
+        F.when(F.col("dy") < 0, -F.col("dy")).otherwise(F.col("dy")).alias("y1"),
+        F.when(F.col("dy") < 0, F.lit(4)).otherwise(F.lit(0)).alias("o1"),
+    )
+    # fold 2: rotate -90 deg when x < 0 (octants 2-3 -> 0-1)
+    s2 = s1.select(
+        "entity",
+        F.when(F.col("x1") < 0, F.col("y1")).otherwise(F.col("x1")).alias("x2"),
+        F.when(F.col("x1") < 0, -F.col("x1")).otherwise(F.col("y1")).alias("y2"),
+        (F.col("o1") + F.when(F.col("x1") < 0, F.lit(2)).otherwise(F.lit(0))).alias(
+            "o2"
+        ),
+    )
+    names = F.array(*[F.lit(s) for s in ("E", "NE", "N", "NW", "W", "SW", "S", "SE")])
+    oct_ = (
+        F.col("o2") + F.when(F.col("x2") < F.col("y2"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        s2.select("entity", oct_.alias("octant"))
+        .groupBy("entity", "octant")
+        .agg(F.count(F.lit(1)).alias("n_moves"))
+        .select(
+            "entity",
+            "octant",
+            F.element_at(names, F.col("octant") + 1).alias("heading"),
+            "n_moves",
+        )
+    )

@@ -165,3 +165,93 @@ def cocitation(links: DataFrame, min_count: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .where(F.col("n_pages") >= min_count)
     )
+
+
+def bibliographic_coupling(
+    links: DataFrame, min_count: int = 2, max_citers: int | None = None
+) -> DataFrame:
+    """Bibliographic-coupling host similarity: hosts are similar when
+    they link to the SAME targets (Kessler 1963 on the web graph) —
+    the out-link dual of [[cocitation]], and the signal that works for
+    NEW hosts nobody cites yet.
+
+    Pipeline: DISTINCT (src_host, dst_host) edges; one self-equi-join
+    keyed by dst_host emits each unordered citing pair once
+    (a < b); a count groupBy yields the number of shared targets.
+
+    Scale shape: fan-out per target is C(citers, 2) — quadratic in a
+    target's citing-host count, so universally-cited hub targets
+    (the web's "stop hosts") dominate; ``max_citers`` drops targets
+    cited by more than that many hosts BEFORE the self-join (the
+    standard stop-host cut — such targets carry no similarity signal
+    anyway), bounding the blowup; AQE handles the residual skew.
+    Page text/html never enters the shuffle.
+
+    Output: (host_a, host_b, n_shared) with n_shared >= min_count.
+    """
+    e = links.select("src_host", "dst_host").distinct()
+    if max_citers is not None:
+        small = (
+            e.groupBy("dst_host")
+            .agg(F.count(F.lit(1)).alias("__nc"))
+            .where(F.col("__nc") <= max_citers)
+            .select("dst_host")
+        )
+        e = e.join(small, "dst_host", "left_semi")
+    a = e.select("dst_host", F.col("src_host").alias("host_a"))
+    b = e.select("dst_host", F.col("src_host").alias("host_b"))
+    return (
+        a.join(b, "dst_host")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_count)
+    )
+
+
+def link_reciprocity(links: DataFrame) -> DataFrame:
+    """Per-host link reciprocity — the share of a host's distinct
+    out-neighbors that link back.  Low reciprocity on a high-out-degree
+    host is the classic link-farm / SEO-spam shape (directed-graph
+    reciprocity, Garlaschelli & Loffredo 2004); legitimate communities
+    inter-cite.
+
+    Pipeline: DISTINCT host edges with self-loops dropped; mutual
+    edges via one left-semi join against the reversed edge list; two
+    host-keyed count aggregates joined on host.
+
+    Scale shape: everything downstream of the first DISTINCT is
+    host-edge-sized (graph vocabulary, not corpus); the semi join is
+    an equi-join on the reversed pair key; counts are map-side
+    combined.  Exact integers; the ratio is a single division.
+
+    Output: (host, n_out, n_mutual, reciprocity) sorted nowhere —
+    callers order as needed.
+    """
+    e = (
+        links.select("src_host", "dst_host")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+    )
+    mutual = e.join(rev, ["src_host", "dst_host"], "left_semi")
+    out_deg = e.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    mut_deg = mutual.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_mutual")
+    )
+    return (
+        out_deg.join(mut_deg, "host", "left")
+        .select(
+            "host",
+            "n_out",
+            F.coalesce("n_mutual", F.lit(0)).alias("n_mutual"),
+            (
+                F.coalesce("n_mutual", F.lit(0)).cast("double")
+                / F.col("n_out").cast("double")
+            ).alias("reciprocity"),
+        )
+    )
