@@ -4472,6 +4472,106 @@ def _interval_union_sql() -> str:
     """
 
 
+AHASH_N = 500
+AHASH_BASE = 350
+AHASH_R = 3
+
+
+def _ahash_media(spark):
+    """Media fixture with planted visual near-dups: payload is the html
+    of page (i % AHASH_BASE); rows i >= AHASH_BASE append one '!' byte,
+    so each (i, i-AHASH_BASE) pair is a 1-byte mutation — the aHash
+    near-dup target — while unrelated pages stay far in Hamming space."""
+    pages = generate_pages(spark, AHASH_N, partitions=8)
+    idx = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    base = pages.select((idx % AHASH_BASE).alias("bk"), F.col("html").alias("bh")).where(
+        idx < AHASH_BASE
+    )
+    ids = pages.select(idx.alias("media_id"), (idx % AHASH_BASE).alias("bk"))
+    return ids.join(base, "bk").select(
+        "media_id",
+        F.when(
+            F.col("media_id") >= AHASH_BASE,
+            F.concat(F.col("bh").cast("string"), F.lit("!")).cast("binary"),
+        )
+        .otherwise(F.col("bh"))
+        .alias("payload"),
+    )
+
+
+def q_ahash(spark, sf):
+    """64-bit integer average-hash per media payload through the real
+    mapInPandas plumbing (operators/multimodal.ahash64) — bucket-fold
+    decode, strict integer mean threshold, engine-exact."""
+    from skyway_spark.operators.multimodal import ahash64
+
+    return ahash64(_ahash_media(spark))
+
+
+def _ahash_hash_sql() -> str:
+    """Hash derivation shared by the ahash oracles: page prose rebuilt
+    from the mention arithmetic, mutated payloads for i >= AHASH_BASE,
+    64 bucket sums, strict integer mean threshold, HUGEINT bit pack
+    wrapped to signed int64."""
+    return f"""
+        m AS ({_page_mentions_sql(AHASH_BASE)}),
+        prose AS (
+            SELECT t.i,
+                   'Page ' || t.i || ' tells a story about travel and places.' ||
+                   COALESCE(string_agg(m.mention, '' ORDER BY m.j), '') ||
+                   ' The end.' AS p
+            FROM range(0, {AHASH_BASE}) t(i) LEFT JOIN m ON m.i = t.i
+            GROUP BY t.i),
+        payload AS (
+            SELECT t.i AS media_id,
+                   '<html><body>' || b.p || '</body></html>' ||
+                   CASE WHEN t.i >= {AHASH_BASE} THEN '!' ELSE '' END AS h
+            FROM range(0, {AHASH_N}) t(i)
+            JOIN prose b ON b.i = t.i % {AHASH_BASE}),
+        sums AS (
+            SELECT media_id, (pp - 1) % 64 AS k,
+                   (SUM(ascii(substr(h, pp::INT, 1))) % 256)::BIGINT AS px
+            FROM payload, unnest(range(1, strlen(h) + 1)) AS u(pp)
+            GROUP BY 1, 2),
+        tot AS (SELECT media_id, (SUM(px))::BIGINT AS total FROM sums GROUP BY 1),
+        packed AS (
+            SELECT s.media_id,
+                   SUM(CASE WHEN 64 * s.px > t.total
+                            THEN (1::HUGEINT << s.k::INT) ELSE 0::HUGEINT END)
+                       AS hu
+            FROM sums s JOIN tot t USING (media_id) GROUP BY 1),
+        hashes AS (
+            SELECT media_id,
+                   (hu - CASE WHEN hu >= (1::HUGEINT << 63)
+                              THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END)::BIGINT
+                       AS ahash
+            FROM packed)
+    """
+
+
+def _ahash_sql() -> str:
+    return f"WITH {_ahash_hash_sql()} SELECT media_id, ahash FROM hashes"
+
+
+def q_ahash_pairs(spark, sf):
+    """Visual near-duplicate pairs at Hamming <= AHASH_R over aHash via
+    the pigeonhole band join (operators/multimodal.hamming_near_dup_pairs)
+    — never all-pairs; the oracle brute-forces the same contract."""
+    from skyway_spark.operators.multimodal import ahash64, hamming_near_dup_pairs
+
+    return hamming_near_dup_pairs(ahash64(_ahash_media(spark)), max_hamming=AHASH_R)
+
+
+def _ahash_pairs_sql() -> str:
+    return f"""
+        WITH {_ahash_hash_sql()}
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               bit_count(xor(a.ahash, b.ahash))::INT AS hamming
+        FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_R}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -4697,6 +4797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reciprocity": q_reciprocity,
         "q_heading_octants": q_heading_octants,
         "q_interval_union": q_interval_union,
+        "q_ahash": q_ahash,
+        "q_ahash_pairs": q_ahash_pairs,
     }
 
 
@@ -8380,6 +8482,8 @@ def oracle_sql() -> dict[str, str]:
     out["q_reciprocity"] = _reciprocity_sql()
     out["q_heading_octants"] = _heading_octants_sql()
     out["q_interval_union"] = _interval_union_sql()
+    out["q_ahash"] = _ahash_sql()
+    out["q_ahash_pairs"] = _ahash_pairs_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -246,3 +246,129 @@ def pages_to_media(pages: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+AHASH_DIM = 64
+
+
+def _ahash_int(payload: bytes, dim: int = AHASH_DIM) -> int:
+    """Integer average-hash of a byte payload over the deterministic
+    fold decoder: fold bytes into ``dim`` buckets (mod-256 sums, the
+    same fold as _fake_decode but kept integer), set bit k iff bucket k
+    strictly exceeds the bucket mean (dim*px > total — exact integer
+    compare, no float mean). Returns a signed two's-complement int64."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return 0
+    pad = (-arr.size) % dim
+    buckets = (np.pad(arr, (0, pad)).reshape(-1, dim).sum(axis=0) % 256).astype(
+        np.int64
+    )
+    total = int(buckets.sum())
+    h = 0
+    for k in range(dim):
+        if int(buckets[k]) * dim > total:
+            h |= 1 << k
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def ahash64(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual average-hash (aHash) per media row — the classic
+    image near-dup fingerprint: threshold each decoded cell against
+    the image mean, pack 64 bits.  With a real codec the cells are an
+    8x8 grayscale downsample; in this container the decode step is the
+    documented deterministic byte fold (real codecs stubbed per driver
+    instruction), so the hash is engine-exact and oracle-checkable
+    while the Spark plumbing (Arrow batches, generator-per-batch
+    memory bound) is the real thing.
+
+    Scale shape: one mapInPandas scan — no shuffle, one int64 out per
+    media row; payload bytes never leave the scan stage.
+
+    Output: (media_id, ahash:long).
+    """
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:  # pragma: no cover - real codec stub
+                [decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pd.array(
+                        [
+                            _ahash_int(p) if p is not None else 0
+                            for p in pdf["payload"]
+                        ],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        hashes,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("ahash", LongType(), False),
+            ]
+        ),
+    )
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """All id pairs whose 64-bit fingerprints differ in at most
+    ``max_hamming`` bits — visual near-duplicate detection over aHash
+    (or any 64-bit sketch).
+
+    Candidate generation is the pigeonhole band split (Manku et al.
+    2007, the SimHash dedup paper): the 64 bits split into
+    max_hamming+1 disjoint bands; two hashes within r bits MUST agree
+    exactly on at least one band, so candidates come from an exact
+    equi-join on (band_idx, band_bits) — never an all-pairs theta
+    join. Verification is one bit_count(xor) <= r on the candidate
+    set.
+
+    Scale shape: the explode factor is r+1 (a constant); the join is
+    keyed by band bits, map-side combined nothing — AQE handles bands
+    that concentrate (e.g. all-zero bands of near-blank images); the
+    DISTINCT collapse runs on candidates only.  Same shuffle discipline
+    as operators/dedup.simhash_near_dup_pairs, reused here for media.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    nb = max_hamming + 1
+    bands = []
+    for b in range(nb):
+        lo = 64 * b // nb
+        hi = 64 * (b + 1) // nb
+        piece = F.shiftrightunsigned(F.col(hash_col), lo)
+        if hi < 64:
+            piece = piece.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+        bands.append(F.struct(F.lit(b).alias("b"), piece.alias("k")))
+    keyed = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(F.array(*bands)).alias("band"),
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"), F.col("h").alias("h_a"), "band"
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), F.col("h").alias("h_b"), "band"
+    )
+    cand = (
+        a.join(b, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.where(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )
