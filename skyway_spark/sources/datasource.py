@@ -200,7 +200,49 @@ class _OsmPbfReader(DataSourceReader):
                     yield tuple(row.get(k) for k in order)
 
 
+class WarcDataSource(DataSource):
+    """``spark.read.format('warc')`` — Common-Crawl-style WARC files,
+    one partition per file, Content-Length-delimited records (parser
+    shared with sources/warc.read_warc). ``path`` is the file column
+    here (no synthetic file_id for disk reads)."""
+
+    @classmethod
+    def name(cls):
+        return "warc"
+
+    def schema(self):
+        from skyway_spark.sources.warc import WARC_SCHEMA
+
+        return _deep_nullable(
+            T.StructType(
+                [T.StructField("path", T.StringType())]
+                + [f for f in WARC_SCHEMA.fields if f.name != "file_id"]
+            )
+        )
+
+    def reader(self, schema):
+        return _WarcReader(self.options)
+
+
+class _WarcReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source needs a path: .load('/data/*.warc')")
+
+    def partitions(self):
+        return [_FilePartition(p) for p in _expand_paths(self.path)]
+
+    def read(self, partition):
+        from skyway_spark.sources.warc import parse_warc_bytes
+
+        with open(partition.path, "rb") as f:
+            data = f.read()
+        for tup in parse_warc_bytes(data):
+            yield (partition.path,) + tup
+
+
 def register_datasources(spark) -> None:
-    """Idempotent registration of all three formats on a session."""
-    for ds in (OplDataSource, OsmJsonDataSource, OsmPbfDataSource):
+    """Idempotent registration of all four formats on a session."""
+    for ds in (OplDataSource, OsmJsonDataSource, OsmPbfDataSource, WarcDataSource):
         spark.dataSource.register(ds)
