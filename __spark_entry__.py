@@ -4676,6 +4676,96 @@ def _warc_stats_sql() -> str:
     """
 
 
+LCSS_EPS_X, LCSS_EPS_Y, LCSS_MAX_PTS = 3000, 6000, 8
+
+
+def q_lcss_tracks(spark, sf):
+    """Noise-robust trajectory similarity: LCSS between each user's
+    consecutive daily tracks (first 8 points, integer grid coords,
+    eps-box match) — Vlachos et al. DP inside one applyInPandas over
+    equi-joined track pairs (operators/trajectory.lcss_tracks); the
+    oracle unrolls the same DP diagonal-by-diagonal in SQL."""
+    from skyway_spark.operators.trajectory import lcss_tracks
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+        ((F.col("user_id") * 7919 + F.col("event_id") * 131) % 17000).alias("x"),
+        ((F.col("event_id") * 104729) % 36000).alias("y"),
+        "ts",
+        "event_id",
+    )
+    return lcss_tracks(
+        pts,
+        eps_x=LCSS_EPS_X,
+        eps_y=LCSS_EPS_Y,
+        entity="user_id",
+        track="day",
+        order_cols=("ts", "event_id"),
+        max_pts=LCSS_MAX_PTS,
+    )
+
+
+def _lcss_sql() -> str:
+    """Diagonal-unrolled LCSS DP (house pattern: Python-generated CTE
+    chain, like _bellman_sql): cells on anti-diagonal d = i + j depend
+    only on diagonals d-1 (up, left) and d-2 (diag), so 2*max_pts - 1
+    CTEs cover every track pair; empty d0/d1 seed the boundary."""
+    K = LCSS_MAX_PTS
+    sql = f"""
+        WITH p AS (
+            SELECT user_id AS e,
+                   epoch_us(ts) // 86400000000 AS k,
+                   (user_id * 7919 + event_id * 131) % 17000 AS x,
+                   (event_id * 104729) % 36000 AS y,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, epoch_us(ts) // 86400000000
+                       ORDER BY ts, event_id) AS rn
+            FROM events),
+        q AS (SELECT * FROM p WHERE rn <= {K}),
+        b AS (SELECT e, k - 1 AS k, rn AS j, x AS bx, y AS by FROM q),
+        mt AS MATERIALIZED (
+            -- materialized: every diagonal CTE references mt; inlining
+            -- would re-scan the events parquet 2*K-1 times (file-handle
+            -- exhaustion, and a 15x scan blowup)
+            SELECT a.e, a.k, a.rn AS i, b.j,
+                   (abs(a.x - b.bx) <= {LCSS_EPS_X}
+                    AND abs(a.y - b.by) <= {LCSS_EPS_Y}) AS mm
+            FROM q a JOIN b ON a.e = b.e AND a.k = b.k),
+        na AS (SELECT e, k, MAX(i) AS n FROM mt GROUP BY 1, 2),
+        nb AS (SELECT e, k, MAX(j) AS m FROM mt GROUP BY 1, 2),
+        d0 AS (SELECT NULL::BIGINT AS e, NULL::BIGINT AS k,
+                      NULL::BIGINT AS i, NULL::BIGINT AS j, NULL::BIGINT AS v
+               WHERE false),
+        d1 AS (SELECT * FROM d0)"""
+    for d in range(2, 2 * K + 1):
+        sql += f""",
+        d{d} AS MATERIALIZED (
+            -- materialized like mt: each diagonal is referenced twice by
+            -- d+1 and once by d+2; inlining would expand ~2^d subtrees
+            SELECT m.e, m.k, m.i, m.j,
+                   GREATEST(COALESCE(u.v, 0), COALESCE(l.v, 0),
+                            CASE WHEN m.mm THEN COALESCE(g.v, 0) + 1
+                                 ELSE 0 END)::BIGINT AS v
+            FROM mt m
+            LEFT JOIN d{d - 1} u
+              ON u.e = m.e AND u.k = m.k AND u.i = m.i - 1 AND u.j = m.j
+            LEFT JOIN d{d - 1} l
+              ON l.e = m.e AND l.k = m.k AND l.i = m.i AND l.j = m.j - 1
+            LEFT JOIN d{d - 2} g
+              ON g.e = m.e AND g.k = m.k AND g.i = m.i - 1 AND g.j = m.j - 1
+            WHERE m.i + m.j = {d})"""
+    allc = " UNION ALL ".join(f"SELECT * FROM d{d}" for d in range(2, 2 * K + 1))
+    return sql + f""",
+        allc AS ({allc})
+        SELECT na.e AS user_id, na.k AS day, na.n::INT AS n_a, nb.m::INT AS n_b,
+               c.v AS lcss
+        FROM na JOIN nb ON na.e = nb.e AND na.k = nb.k
+        JOIN allc c ON c.e = na.e AND c.k = na.k AND c.i = na.n AND c.j = nb.m
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -4905,6 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ahash_pairs": q_ahash_pairs,
         "q_warc_parse": q_warc_parse,
         "q_warc_stats": q_warc_stats,
+        "q_lcss_tracks": q_lcss_tracks,
     }
 
 
@@ -8592,6 +8683,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_ahash_pairs"] = _ahash_pairs_sql()
     out["q_warc_parse"] = _warc_parse_sql()
     out["q_warc_stats"] = _warc_stats_sql()
+    out["q_lcss_tracks"] = _lcss_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -310,6 +310,105 @@ def track_hausdorff(
     )
 
 
+def lcss_tracks(
+    points: DataFrame,
+    eps_x: int,
+    eps_y: int,
+    entity: str = "entity",
+    track: str = "track",
+    x: str = "x",
+    y: str = "y",
+    order_cols: tuple[str, ...] = ("ts",),
+    max_pts: int = 8,
+) -> DataFrame:
+    """LCSS (Longest Common SubSequence) similarity between an
+    entity's CONSECUTIVE tracks — the noise-robust trajectory
+    similarity of Vlachos/Kollios/Gunopulos (ICDE'02): two points
+    match when both integer coordinate deltas are within (eps_x,
+    eps_y); LCSS is the longest order-preserving chain of matches, so
+    outlier points cost nothing (unlike Hausdorff, which they
+    dominate; track_hausdorff is the companion).
+
+    All-integer (coords, eps, DP table), so bit-exact on any engine.
+    The DP recurrence L[i][j] = max(L[i-1][j], L[i][j-1],
+    match ? L[i-1][j-1]+1 : 0) is the standard one (when a cell
+    matches, diag+1 dominates up/left because adjacent LCSS cells
+    differ by at most 1 — the max form and the textbook form agree).
+
+    Scale shape: candidate pairs come from the (entity, track)=
+    (entity, track+1) EQUI-join pattern — never a track cross join;
+    each track is clipped to its first ``max_pts`` points (one keyed
+    window, lag-free), so the per-pair DP is a <= max_pts^2 constant.
+    The DP itself runs inside ONE applyInPandas over (entity, pair)
+    groups — Arrow batches, numpy table, no Python per row; only
+    (ids, seq, 2 ints) ever shuffle, never raw streams.
+
+    Output: (entity, track, n_a, n_b, lcss) comparing track with
+    track+1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    w = Window.partitionBy(entity, track).orderBy(*[F.col(c) for c in order_cols])
+    clipped = (
+        points.select(
+            F.col(entity).alias("e"),
+            F.col(track).alias("k"),
+            F.col(x).alias("px"),
+            F.col(y).alias("py"),
+            *[F.col(c) for c in order_cols],
+        )
+        .withColumn("i", F.row_number().over(
+            Window.partitionBy("e", "k").orderBy(*[F.col(c) for c in order_cols])
+        ))
+        .where(F.col("i") <= max_pts)
+        .select("e", "k", "i", "px", "py")
+    )
+    tagged = clipped.select(
+        "e", F.col("k").alias("pair"), F.lit(0).alias("side"), "i", "px", "py"
+    ).unionByName(
+        clipped.select(
+            "e", (F.col("k") - 1).alias("pair"), F.lit(1).alias("side"), "i", "px", "py"
+        )
+    )
+
+    ex, ey = int(eps_x), int(eps_y)
+
+    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 0].sort_values("i")
+        b = pdf[pdf["side"] == 1].sort_values("i")
+        n, m = len(a), len(b)
+        if n == 0 or m == 0:
+            return pd.DataFrame(
+                columns=["e", "k", "n_a", "n_b", "lcss"]
+            ).astype({"e": "int64", "k": "int64", "n_a": "int32",
+                      "n_b": "int32", "lcss": "int64"})
+        ax, ay = a["px"].to_numpy(np.int64), a["py"].to_numpy(np.int64)
+        bx, by = b["px"].to_numpy(np.int64), b["py"].to_numpy(np.int64)
+        L = np.zeros((n + 1, m + 1), dtype=np.int64)
+        for i in range(1, n + 1):
+            match = (np.abs(ax[i - 1] - bx) <= ex) & (np.abs(ay[i - 1] - by) <= ey)
+            for j in range(1, m + 1):
+                d = L[i - 1, j - 1] + 1 if match[j - 1] else 0
+                L[i, j] = max(L[i - 1, j], L[i, j - 1], d)
+        return pd.DataFrame(
+            {
+                "e": [int(pdf["e"].iloc[0])],
+                "k": [int(pdf["pair"].iloc[0])],
+                "n_a": pd.array([n], dtype="int32"),
+                "n_b": pd.array([m], dtype="int32"),
+                "lcss": [int(L[n, m])],
+            }
+        )
+
+    out = tagged.groupBy("e", "pair").applyInPandas(
+        dp, "e long, k long, n_a int, n_b int, lcss long"
+    )
+    return out.select(
+        F.col("e").alias(entity), F.col("k").alias(track), "n_a", "n_b", "lcss"
+    )
+
+
 def heading_octants(
     points: DataFrame,
     entity_col: str = "user_id",
