@@ -4766,6 +4766,43 @@ def _lcss_sql() -> str:
     """
 
 
+CUSUM_MU, CUSUM_K, CUSUM_H = 5000, 1000, 30000
+
+
+def q_cusum(spark, sf):
+    """Two-sided CUSUM drift alarms per user over the event value
+    stream (Page's sequential changepoint test, integer-quantized) —
+    the max(0, .) recurrence computed exactly via the prefix-sum /
+    running-extremum identity, one keyed window shuffle
+    (operators/stats.cusum_changepoints)."""
+    from skyway_spark.operators.stats import cusum_changepoints
+
+    (ev,) = _tables(spark, sf, "events")
+    return cusum_changepoints(ev, mu_q=CUSUM_MU, k_q=CUSUM_K, h_q=CUSUM_H)
+
+
+def _cusum_sql() -> str:
+    up, dn = CUSUM_MU + CUSUM_K, CUSUM_MU - CUSUM_K
+    return f"""
+        WITH x AS (
+            SELECT user_id AS entity, ts, event_id AS point_id,
+                   CAST(floor(value * 100) AS BIGINT) AS v_q
+            FROM events),
+        p AS (
+            SELECT *, (SUM(v_q - {up}) OVER w)::BIGINT AS p_hi,
+                      (SUM(v_q - {dn}) OVER w)::BIGINT AS p_lo
+            FROM x WINDOW w AS (PARTITION BY entity ORDER BY ts, point_id
+                                ROWS UNBOUNDED PRECEDING)),
+        s AS (
+            SELECT *, (p_hi - LEAST(0, MIN(p_hi) OVER w))::BIGINT AS s_hi,
+                      (p_lo - GREATEST(0, MAX(p_lo) OVER w))::BIGINT AS s_lo
+            FROM p WINDOW w AS (PARTITION BY entity ORDER BY ts, point_id
+                                ROWS UNBOUNDED PRECEDING))
+        SELECT entity, ts, point_id, v_q, s_hi, s_lo
+        FROM s WHERE s_hi > {CUSUM_H} OR s_lo < -{CUSUM_H}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -4996,6 +5033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_parse": q_warc_parse,
         "q_warc_stats": q_warc_stats,
         "q_lcss_tracks": q_lcss_tracks,
+        "q_cusum": q_cusum,
     }
 
 
@@ -8684,6 +8722,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_warc_parse"] = _warc_parse_sql()
     out["q_warc_stats"] = _warc_stats_sql()
     out["q_lcss_tracks"] = _lcss_sql()
+    out["q_cusum"] = _cusum_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -332,3 +332,67 @@ def running_zscore_flags(
         w.where((F.col("n") >= min_n) & (dev * dev > F.lit(z2) * var_n2))
         .select("entity", "ts", "point_id", "v_q", F.col("n").alias("n_prior"))
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    mu_q: int,
+    k_q: int,
+    h_q: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) per entity — the
+    classic sequential changepoint test: quantized values v = floor(
+    value*scale) accumulate upper/lower statistics around the target
+    ``mu_q`` with allowance ``k_q`` and alarm threshold ``h_q`` (all
+    in quantized units)
+
+        S+_t = max(0, S+_{t-1} + (v_t - mu_q) - k_q)
+        S-_t = min(0, S-_{t-1} + (v_t - mu_q) + k_q)
+
+    and a row is an alarm when S+ > h_q or S- < -h_q.
+
+    Engine-exact via the prefix-scan identity: the max(0, .)
+    recurrence is NOT a window aggregate, but with P_t = prefix sum of
+    (v - k_q),   S+_t = P_t - min(0, running_min(P))   exactly (the
+    running min plays the role of the last reset), and dually for S-.
+    All integer, so bit-exact on any engine, and the whole operator is
+    ONE entity-keyed sort shuffle: both prefix sums and both running
+    extrema share a single window partitioning/ordering, so Catalyst
+    plans one sort + one window stage; the alarm predicate is
+    scan-stage Column math.  O(1) window state per row -> skewed
+    entities stream.
+
+    Output: alarm rows (entity, ts, point_id, v_q, s_hi, s_lo).
+    """
+    from pyspark.sql import Window
+
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    w = (
+        Window.partitionBy("entity")
+        .orderBy(F.col("ts"), F.col("point_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("point_id"),
+        v.alias("v_q"),
+    ).select(
+        "*",
+        F.sum(F.col("v_q") - (mu_q + k_q)).over(w).alias("p_hi"),
+        F.sum(F.col("v_q") - (mu_q - k_q)).over(w).alias("p_lo"),
+    )
+    s_hi = F.col("p_hi") - F.least(F.lit(0), F.min("p_hi").over(w))
+    s_lo = F.col("p_lo") - F.greatest(F.lit(0), F.max("p_lo").over(w))
+    return (
+        pref.select(
+            "entity", "ts", "point_id", "v_q",
+            s_hi.alias("s_hi"), s_lo.alias("s_lo"),
+        )
+        .where((F.col("s_hi") > h_q) | (F.col("s_lo") < -h_q))
+    )
