@@ -733,3 +733,131 @@ def readability(
         den.alias("fk_den"),
         (num <= F.lit(1200) * den).alias("readable"),
     )
+
+
+BPE_L, BPE_R = "\x02", "\x03"
+
+
+def _bpe_wrap(col: Column) -> Column:
+    """Column: word -> sentinel-wrapped symbol stream, one symbol per
+    char: 'ab' -> '\\x02a\\x03\\x02b\\x03'.  The two-sided sentinels make
+    a merge a plain left-to-right string replace with NO boundary
+    sharing between adjacent matches (' a b '-style single separators
+    would swallow the next match's leading space)."""
+    return F.regexp_replace(col, "(.)", BPE_L + "$1" + BPE_R)
+
+
+def _bpe_merge_pat(a: str, b: str) -> tuple[str, str]:
+    return (BPE_L + a + BPE_R + BPE_L + b + BPE_R, BPE_L + a + b + BPE_R)
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges (Sennrich et al. 2016) over the
+    corpus: start from characters within whitespace words, repeatedly
+    count adjacent symbol pairs and merge the most frequent (ties by
+    pair lexicographic — a total order, so training is deterministic
+    on any engine/partitioning).  Returns [(left, right, count), ...]
+    in merge order.
+
+    Scale shape per iteration (= the whole cost of tokenizer training
+    at 100 TB): one corpus scan + ONE map-side-combined groupBy whose
+    key space is the symbol-pair alphabet, then a 1-row driver sync —
+    the same shape as Lloyd's k-means here (operators/kmeans.py).
+    Merges applied so far ride the scan as chained replace() Columns
+    (JVM codegen, no Python).  A production run would persist the
+    re-wrapped stream between iterations; at contract scale the
+    re-derivation from text is cheaper than the cache write.
+    """
+    stream = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).select(_bpe_wrap(F.col("tok")).alias("s"))
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        arr = stream.select(
+            F.split(
+                F.col("s").substr(F.lit(2), F.length("s") - 2), BPE_R + BPE_L
+            ).alias("a")
+        ).where(F.size("a") >= 2)
+        pairs = arr.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.struct(
+                        F.element_at("a", i).alias("x"),
+                        F.element_at("a", i + 1).alias("y"),
+                    ),
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p.x", "p.y")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0].x, top[0].y, top[0].n
+        merges.append((a, b, int(n)))
+        pat, rep = _bpe_merge_pat(a, b)
+        stream = stream.select(F.replace("s", F.lit(pat), F.lit(rep)).alias("s"))
+    return merges
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to every document: per whitespace
+    word, wrap to the symbol stream, run the merges in order (each one
+    left-to-right simultaneous, the standard BPE encode), and emit
+
+        (id, n_tokens, seg)
+
+    with ``seg`` the readable segmentation ('lo/w/er new/est' style:
+    symbols joined by '/', words by ' ') and ``n_tokens`` the total
+    symbol count (counted from the sentinels — exact even if the text
+    itself contains '/').
+
+    Scale shape: pure scan-stage Column math — ONE transform lambda
+    per doc over the word array, chained JVM replace()s inside it,
+    zero shuffles, zero Python.
+    """
+
+    def encode(w: Column) -> Column:
+        s = _bpe_wrap(w)
+        for a, b, *_ in merges:
+            pat, rep = _bpe_merge_pat(a, b)
+            s = F.replace(s, F.lit(pat), F.lit(rep))
+        return s
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    enc = F.transform(words, encode)
+    n_tokens = F.aggregate(
+        enc,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.length(s)
+        - F.length(F.replace(s, F.lit(BPE_L), F.lit(""))),
+    )
+    seg = F.concat_ws(
+        " ",
+        F.transform(
+            enc,
+            lambda s: F.when(F.length(s) < 2, F.lit("")).otherwise(
+                F.replace(
+                    s.substr(F.lit(2), F.length(s) - 2),
+                    F.lit(BPE_R + BPE_L),
+                    F.lit("/"),
+                )
+            ),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), n_tokens.alias("n_tokens"), seg.alias("seg")
+    )
