@@ -4935,6 +4935,45 @@ def _cdc_dedup_sql() -> str:
     """
 
 
+def q_media_clusters(spark, sf):
+    """Visual near-dup CLUSTERS: aHash band-join pairs at Hamming <=
+    AHASH_R fed into the contraction connected-components operator;
+    every media row gets a canonical cluster id (min reachable id,
+    singletons label themselves) — the survivor-selection input for
+    image dedup (operators/multimodal + operators/graph)."""
+    from skyway_spark.operators.graph import connected_components
+    from skyway_spark.operators.multimodal import ahash64, hamming_near_dup_pairs
+
+    media = _ahash_media(spark)
+    pairs = hamming_near_dup_pairs(ahash64(media), max_hamming=AHASH_R)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return media.select("media_id").join(
+        cc, media.media_id == cc.node, "left"
+    ).select(
+        "media_id",
+        F.coalesce(F.col("component"), F.col("media_id")).alias("cluster"),
+    )
+
+
+def _media_clusters_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_ahash_hash_sql()},
+        pr AS (
+            SELECT a.media_id AS s, b.media_id AS t
+            FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_R}),
+        e AS (SELECT s, t FROM pr UNION SELECT t, s FROM pr),
+        reach(s, t) AS (
+            SELECT s, t FROM e
+            UNION
+            SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s),
+        lab AS (SELECT s AS node, LEAST(s, MIN(t)) AS component
+                FROM reach GROUP BY s)
+        SELECT h.media_id, COALESCE(l.component, h.media_id) AS cluster
+        FROM hashes h LEFT JOIN lab l ON l.node = h.media_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -5169,6 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokenize": q_bpe_tokenize,
         "q_cdc_chunks": q_cdc_chunks,
         "q_cdc_dedup": q_cdc_dedup,
+        "q_media_clusters": q_media_clusters,
     }
 
 
@@ -8861,6 +8901,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_bpe_tokenize"] = _bpe_tokenize_sql()
     out["q_cdc_chunks"] = _cdc_chunks_sql()
     out["q_cdc_dedup"] = _cdc_dedup_sql()
+    out["q_media_clusters"] = _media_clusters_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l
