@@ -81,3 +81,67 @@ def bm25_scores(
     for i in range(1, len(terms)):
         score = score + F.col(f"__s{i}")
     return per_term.select("doc_id", score.alias("score"))
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    score_a: str,
+    score_b: str,
+    k: int = 10,
+    p_num: int = 9,
+    p_den: int = 10,
+) -> DataFrame:
+    """Truncated Rank-Biased Overlap (Webber et al. 2010) between two
+    rankings of the same key set — the top-weighted ranking-agreement
+    measure (how similarly do PageRank and HITS order the hosts?).
+
+        RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |A_:d  ∩ B_:d| / d
+
+    computed EXACTLY in integers: with p = p_num/p_den every
+    coefficient scales to an int64 by S = p_den^k * lcm(1..k), and the
+    per-depth overlap sum inverts to a per-ITEM closed form — an item
+    at ranks (ra, rb) contributes suffix[max(ra, rb)], the tail sum of
+    scaled coefficients.  So the whole measure is: rank, join, one
+    array-literal lookup, one sum.  Output: 1 row
+    (k, scale_den, n_shared, rbo_num); true RBO = rbo_num/scale_den.
+
+    Scale shape: rankings are aggregate-sized (hosts, not pages), so
+    the two global row_number windows are dimension-sized by contract
+    (same convention as the skyline/top-k operators); everything after
+    is an equi-join on the key + a 1-row aggregate.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    L = math.lcm(*range(1, k + 1))
+    coeff = [
+        (p_den - p_num) * p_num ** (d - 1) * p_den ** (k - d) * (L // d)
+        for d in range(1, k + 1)
+    ]
+    suffix = [sum(coeff[d - 1 :]) for d in range(1, k + 1)]
+    scale_den = p_den**k * L
+    ra = a.select(
+        F.col(key).alias("key"),
+        F.row_number()
+        .over(Window.orderBy(F.col(score_a).desc(), F.col(key)))
+        .alias("ra"),
+    ).where(F.col("ra") <= k)
+    rb = b.select(
+        F.col(key).alias("key"),
+        F.row_number()
+        .over(Window.orderBy(F.col(score_b).desc(), F.col(key)))
+        .alias("rb"),
+    ).where(F.col("rb") <= k)
+    suf = F.array(*[F.lit(s).cast("long") for s in suffix])
+    j = ra.join(rb, "key").select(
+        F.element_at(suf, F.greatest("ra", "rb")).alias("s")
+    )
+    return j.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.lit(scale_den).cast("long").alias("scale_den"),
+        F.count(F.lit(1)).alias("n_shared"),
+        F.coalesce(F.sum("s"), F.lit(0).cast("long")).alias("rbo_num"),
+    )
