@@ -624,3 +624,72 @@ def session_window_counts(
 # stateful path here (sessionize, segment_trips_stream, geofence_stream,
 # zscore_stream); the operators port mechanically to StatefulProcessor
 # once the dependency is available.
+
+
+CUSUM_OUTPUT_DDL = (
+    "entity bigint, ts timestamp, point_id bigint, v_q bigint, "
+    "s_hi bigint, s_lo bigint"
+)
+_CUSUM_STATE_DDL = "s_hi bigint, s_lo bigint"
+
+
+def cusum_stream(
+    points: DataFrame,
+    mu_q: int,
+    k_q: int,
+    h_q: int,
+    watermark: str = "2 hours",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Streaming twin of operators/stats.cusum_changepoints: per entity
+    the state is just the two CUSUM statistics (s_hi, s_lo) — O(1) per
+    entity — updated with the literal Page recurrence
+
+        s_hi = max(0, s_hi + (v - mu_q) - k_q)
+        s_lo = min(0, s_lo + (v - mu_q) + k_q)
+
+    and emitted whenever s_hi > h_q or s_lo < -h_q.  The batch operator
+    computes the same values via the prefix-sum identity; parity on
+    time-ordered arrival is test-pinned, which doubles as an
+    independent proof of the identity on real data."""
+    import pandas as pd  # local import: workers deserialize the closure
+
+    quant = points.withWatermark(ts_col, watermark).select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("point_id"),
+        F.floor(F.col(value_col) * scale).cast("long").alias("v_q"),
+    )
+
+    def fn(key, pdf_iter, state):
+        s_hi, s_lo = (state.get if state.exists else (0, 0))
+        chunks = list(pdf_iter)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "point_id"])
+        out = {k: [] for k in ("ts", "point_id", "v_q", "s_hi", "s_lo")}
+        for ts_val, pid, vq in zip(pdf["ts"], pdf["point_id"], pdf["v_q"]):
+            vq = int(vq)
+            s_hi = max(0, s_hi + (vq - mu_q) - k_q)
+            s_lo = min(0, s_lo + (vq - mu_q) + k_q)
+            if s_hi > h_q or s_lo < -h_q:
+                out["ts"].append(ts_val)
+                out["point_id"].append(int(pid))
+                out["v_q"].append(vq)
+                out["s_hi"].append(s_hi)
+                out["s_lo"].append(s_lo)
+        state.update((s_hi, s_lo))
+        if out["ts"]:
+            yield pd.DataFrame({"entity": [key[0]] * len(out["ts"]), **out})
+
+    return quant.groupBy("entity").applyInPandasWithState(
+        fn,
+        CUSUM_OUTPUT_DDL,
+        _CUSUM_STATE_DDL,
+        "append",
+        "NoTimeout",
+    )
