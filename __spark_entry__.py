@@ -5170,6 +5170,50 @@ def _rbo_sql() -> str:
     """
 
 
+SPAN_LEN, SPAN_MOD = 3, 5
+
+
+def q_span_corrupt(spark, sf):
+    """T5-style span corruption over documents: deterministic ~20% of
+    3-token blocks masked to <X_k> sentinels, targets carry the masked
+    content — the denoising-objective data prep, hash-of-id
+    reproducible (operators/textstats.span_corrupt)."""
+    from skyway_spark.operators.textstats import span_corrupt
+
+    (docs,) = _tables(spark, sf, "documents")
+    return span_corrupt(docs, span_len=SPAN_LEN, mask_mod=SPAN_MOD)
+
+
+def _span_corrupt_sql() -> str:
+    from skyway_spark.operators.textstats import SPAN_P
+
+    L = SPAN_LEN
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+        bl AS (
+            SELECT doc_id, b,
+                   array_to_string(ws[(b * {L} + 1):(b * {L} + {L})], ' ')
+                       AS chunk,
+                   ((doc_id * 16807 + b * 48271) % {SPAN_P}) % {SPAN_MOD} = 0
+                       AS masked
+            FROM w, unnest(range(0, (len(ws) + {L} - 1) // {L})) r(b)),
+        lab AS (
+            SELECT doc_id, b, chunk, masked,
+                   SUM(masked::INT) OVER (PARTITION BY doc_id ORDER BY b) AS k
+            FROM bl)
+        SELECT doc_id,
+               (SUM(masked::INT))::BIGINT AS n_masked,
+               string_agg(CASE WHEN masked THEN '<X_' || k || '>'
+                               ELSE chunk END, ' ' ORDER BY b) AS masked_text,
+               COALESCE(string_agg(CASE WHEN masked
+                                        THEN '<X_' || k || '> ' || chunk END,
+                                   ' ' ORDER BY b), '') AS targets
+        FROM lab GROUP BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -5408,6 +5452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hex_assign": q_hex_assign,
         "q_hex_disk": q_hex_disk,
         "q_rbo_rankings": q_rbo_rankings,
+        "q_span_corrupt": q_span_corrupt,
     }
 
 
@@ -9104,6 +9149,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_hex_assign"] = _hex_assign_sql()
     out["q_hex_disk"] = _hex_disk_sql()
     out["q_rbo_rankings"] = _rbo_sql()
+    out["q_span_corrupt"] = _span_corrupt_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -861,3 +861,88 @@ def bpe_tokenize(
     return docs.select(
         F.col(id_col), n_tokens.alias("n_tokens"), seg.alias("seg")
     )
+
+
+SPAN_P = 2147483647
+
+
+def span_corrupt(
+    docs: DataFrame,
+    span_len: int = 3,
+    mask_mod: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span corruption: whitespace tokens group into fixed
+    ``span_len`` blocks; a deterministic hash of (doc_id, block) marks
+    ~1/``mask_mod`` of blocks as masked.  The input side replaces each
+    masked block with an ordinal sentinel <X_k>; the target side is
+    the sentinel-prefixed masked content — the standard denoising
+    objective pair, reproducible bit-for-bit (hash-of-id, no RNG).
+
+    Output: (doc_id, n_masked, masked_text, targets).
+
+    Scale shape: blocks explode row-locally (narrow rows: id, block
+    ordinal, short string), one doc-keyed window gives sentinel
+    ordinals, one groupBy rebuilds the strings with order-pinned
+    concat — two shuffles sharing the doc key.  No Python, no UDFs.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    nblocks = F.ceil(F.size(words) / F.lit(span_len)).cast("int")
+    blocks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("ws"),
+        F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        F.concat_ws(
+            " ", F.slice("ws", F.col("b") * span_len + 1, span_len)
+        ).alias("chunk"),
+        (
+            F.pmod(
+                F.col("doc_id") * 16807 + F.col("b").cast("long") * 48271,
+                F.lit(SPAN_P),
+            )
+            % mask_mod
+            == 0
+        ).alias("masked"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("b")
+    labeled = blocks.withColumn(
+        "k", F.sum(F.col("masked").cast("int")).over(w)
+    ).select(
+        "doc_id",
+        "b",
+        F.when(F.col("masked"), F.concat(F.lit("<X_"), F.col("k"), F.lit(">")))
+        .otherwise(F.col("chunk"))
+        .alias("piece"),
+        F.when(
+            F.col("masked"),
+            F.concat(F.lit("<X_"), F.col("k"), F.lit("> "), F.col("chunk")),
+        ).alias("tgt"),
+        F.col("masked").cast("int").alias("m"),
+    )
+    return labeled.groupBy("doc_id").agg(
+        F.sum("m").alias("n_masked"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "piece"))),
+                lambda s: s["piece"],
+            ),
+        ).alias("masked_text"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("tgt").isNotNull(), F.struct("b", "tgt"))
+                    )
+                ),
+                lambda s: s["tgt"],
+            ),
+        ).alias("targets"),
+    )
