@@ -5214,6 +5214,55 @@ def _span_corrupt_sql() -> str:
     """
 
 
+RA_SCALE = 1 << 20
+
+
+def q_ra_links(spark, sf):
+    """Resource-Allocation link prediction on the strong host graph
+    (edge weight >= 5 anchors): which unlinked host pairs share the
+    most discounted common neighbors — the related-site discovery
+    primitive, integer-exact via scale div deg
+    (operators/graph.ra_link_prediction)."""
+    from skyway_spark.operators import weblinks
+    from skyway_spark.operators.graph import ra_link_prediction
+
+    links = weblinks.extract_links(_linked_pages(spark))
+    hg = (
+        links.groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    )
+    return ra_link_prediction(hg, top_n=50, scale=RA_SCALE)
+
+
+def _ra_links_sql() -> str:
+    return f"""
+        WITH l AS ({_linked_links_sql(LINKED_PAGES_N)}),
+        hg AS (SELECT src_host, dst_host FROM l
+               GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        und AS (SELECT DISTINCT least(src_host, dst_host) AS s,
+                       greatest(src_host, dst_host) AS t
+                FROM hg WHERE src_host != dst_host),
+        sym AS (SELECT s, t FROM und UNION ALL SELECT t, s FROM und),
+        deg AS (SELECT s AS z, COUNT(*) AS deg FROM sym GROUP BY 1),
+        wz AS (SELECT z, ({RA_SCALE} // deg)::BIGINT AS w FROM deg),
+        nb AS (SELECT sym.s AS z, sym.t AS n, w
+               FROM sym JOIN wz ON wz.z = sym.s),
+        wedges AS (
+            SELECT x.n AS a, y.n AS b, COUNT(*)::BIGINT AS n_common,
+                   (SUM(x.w))::BIGINT AS ra_score
+            FROM nb x JOIN nb y ON x.z = y.z AND x.n < y.n
+            GROUP BY 1, 2),
+        cand AS (
+            SELECT w.* FROM wedges w
+            LEFT JOIN und u ON u.s = w.a AND u.t = w.b
+            WHERE u.s IS NULL)
+        SELECT a, b, n_common, ra_score FROM cand
+        ORDER BY ra_score DESC, a, b LIMIT 50
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -5453,6 +5502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hex_disk": q_hex_disk,
         "q_rbo_rankings": q_rbo_rankings,
         "q_span_corrupt": q_span_corrupt,
+        "q_ra_links": q_ra_links,
     }
 
 
@@ -9150,6 +9200,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_hex_disk"] = _hex_disk_sql()
     out["q_rbo_rankings"] = _rbo_sql()
     out["q_span_corrupt"] = _span_corrupt_sql()
+    out["q_ra_links"] = _ra_links_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l
