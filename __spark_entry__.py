@@ -5263,6 +5263,36 @@ def _ra_links_sql() -> str:
     """
 
 
+def q_hull_diameter(spark, sf):
+    """Territory diameter per user: max squared vertex distance over
+    the convex hull (hull diameter == point-set diameter) with the
+    deterministic witness pair — the roaming-range metric; the pair
+    join runs on hull vertices only (operators/geometry.hull_diameter
+    over convex_hulls)."""
+    from skyway_spark.operators.geometry import hull_diameter
+
+    return hull_diameter(q_user_hulls(spark, sf), entity="user_id")
+
+
+def _hull_diameter_sql() -> str:
+    return f"""
+        WITH hv AS ({_user_hulls_sql()}),
+        pr AS (
+            SELECT a.user_id, a.hx AS ax, a.hy AS ay, b.hx AS bx, b.hy AS by,
+                   (a.hx - b.hx) * (a.hx - b.hx)
+                 + (a.hy - b.hy) * (a.hy - b.hy) AS d2
+            FROM hv a JOIN hv b
+              ON a.user_id = b.user_id
+             AND (a.hx < b.hx OR (a.hx = b.hx AND a.hy <= b.hy))),
+        rk AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY d2 DESC, ax, ay, bx, by) AS rn
+            FROM pr)
+        SELECT user_id, d2, ax, ay, bx, by FROM rk WHERE rn = 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -5503,6 +5533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rbo_rankings": q_rbo_rankings,
         "q_span_corrupt": q_span_corrupt,
         "q_ra_links": q_ra_links,
+        "q_hull_diameter": q_hull_diameter,
     }
 
 
@@ -9201,6 +9232,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_rbo_rankings"] = _rbo_sql()
     out["q_span_corrupt"] = _span_corrupt_sql()
     out["q_ra_links"] = _ra_links_sql()
+    out["q_hull_diameter"] = _hull_diameter_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -580,3 +580,41 @@ def segment_crossings(
         .select(F.col("aid").alias("a_id"), F.col("bid").alias("b_id"))
         .distinct()
     )
+
+
+def hull_diameter(hulls: DataFrame, entity: str = "entity") -> DataFrame:
+    """Territory diameter per entity: the maximum squared distance
+    between convex-hull vertices (the hull diameter EQUALS the point-
+    set diameter) with the witness pair.  Integer coordinates -> d2 is
+    exact; the witness is the (d2 desc, ax, ay, bx, by) minimum —
+    a total order, so engine-deterministic.
+
+    Scale shape: the self-join runs on HULL VERTICES (grid-bounded,
+    dozens per entity), never the corpus — the whole point of hulling
+    first; one entity-keyed join + one window over vertex pairs.
+
+    Output: (entity, d2, ax, ay, bx, by) with (ax,ay) <= (bx,by)."""
+    from pyspark.sql import Window
+
+    a = hulls.select(
+        F.col(entity).alias("e"), F.col("hx").alias("ax"), F.col("hy").alias("ay")
+    )
+    b = hulls.select(
+        F.col(entity).alias("e"), F.col("hx").alias("bx"), F.col("hy").alias("by")
+    )
+    pairs = a.join(b, "e").where(
+        (F.col("ax") < F.col("bx"))
+        | ((F.col("ax") == F.col("bx")) & (F.col("ay") <= F.col("by")))
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    w = Window.partitionBy("e").orderBy(
+        F.col("d2").desc(), "ax", "ay", "bx", "by"
+    )
+    return (
+        pairs.select("e", "ax", "ay", "bx", "by", d2.alias("d2"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("e").alias(entity), "d2", "ax", "ay", "bx", "by")
+    )
