@@ -5293,6 +5293,83 @@ def _hull_diameter_sql() -> str:
     """
 
 
+TBL_N = 400
+
+
+def _table_pages(spark):
+    """Pages with deterministic HTML tables: table 0 has 1+i%3 rows x
+    2+i%2 cols of 'v{i}-{r}-{c}' cells; every 4th page adds a second
+    1x2 table of 's{i}-{c}' cells.  The oracle rebuilds the cell grid
+    from this arithmetic, so it is ground truth BY CONSTRUCTION — the
+    extractor must parse its way back to it."""
+    df = spark.range(0, TBL_N, 1, 8)
+    i = F.col("id")
+    rows_n = (i % 3 + 1).cast("int")
+    cols_n = (i % 2 + 2).cast("int")
+    cell = lambda r, c: F.concat(
+        F.lit("<td>v"), i, F.lit("-"), r, F.lit("-"), c, F.lit("</td>")
+    )
+    t0 = F.concat(
+        F.lit("<table>"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), rows_n - 1),
+                lambda r: F.concat(
+                    F.lit("<tr>"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.sequence(F.lit(0), cols_n - 1), lambda c: cell(r, c)
+                        ),
+                    ),
+                    F.lit("</tr>"),
+                ),
+            ),
+        ),
+        F.lit("</table>"),
+    )
+    t1 = F.concat(
+        F.lit('<table class="s"><tr><td>s'), i, F.lit("-0</td><td>s"),
+        i, F.lit("-1</td></tr></table>"),
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>T"), i, F.lit("</h1>"), t0,
+        F.when(i % 4 == 0, t1).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return df.select(
+        F.concat(F.lit("https://t.example/p/"), i).alias("url"),
+        html.alias("html"),
+    )
+
+
+def q_web_tables(spark, sf):
+    """WDC-style web-table extraction: every <table> cell with its
+    (table, row, col) position via the three-level posexplode regex
+    descent (operators/weblinks.extract_tables) — checked against the
+    construction-side cell grid."""
+    from skyway_spark.operators.weblinks import extract_tables
+
+    return extract_tables(_table_pages(spark))
+
+
+def _web_tables_sql() -> str:
+    return f"""
+        SELECT 'https://t.example/p/' || i AS url, 0::INT AS table_idx,
+               r::INT AS row_idx, c::INT AS col_idx,
+               'v' || i || '-' || r || '-' || c AS cell
+        FROM range(0, {TBL_N}) t(i),
+             unnest(range(0, 1 + i % 3)) a(r),
+             unnest(range(0, 2 + i % 2)) b(c)
+        UNION ALL
+        SELECT 'https://t.example/p/' || i, 1::INT, 0::INT, c::INT,
+               's' || i || '-' || c
+        FROM range(0, {TBL_N}) t(i), unnest(range(0, 2)) b(c)
+        WHERE i % 4 = 0
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -5534,6 +5611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_corrupt": q_span_corrupt,
         "q_ra_links": q_ra_links,
         "q_hull_diameter": q_hull_diameter,
+        "q_web_tables": q_web_tables,
     }
 
 
@@ -9233,6 +9311,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_span_corrupt"] = _span_corrupt_sql()
     out["q_ra_links"] = _ra_links_sql()
     out["q_hull_diameter"] = _hull_diameter_sql()
+    out["q_web_tables"] = _web_tables_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -255,3 +255,48 @@ def link_reciprocity(links: DataFrame) -> DataFrame:
             ).alias("reciprocity"),
         )
     )
+
+
+def extract_tables(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """HTML table extraction — the WDC-web-tables primitive: pull
+    every <table> from every page and emit one row per CELL with its
+    (table, row, col) position, so downstream relational ops can treat
+    the web's tables as data.
+
+    Three-level lazy-quantifier regex descent (<table> -> <tr> ->
+    <td>), each level its OWN posexplode projection (generators cannot
+    nest in one expression, and separate selects keep each regex
+    whole-stage-codegen'd).  Attributes on the tags are tolerated
+    ([^>]*); nested tables are out of scope (documented, like every
+    regex-based table corpus).
+
+    Scale shape: pure scan-stage explodes — zero shuffles; html never
+    leaves the scan (only the matched fragments survive projection).
+
+    Output: (url, table_idx, row_idx, col_idx, cell) — 0-based indices.
+    """
+    h = F.decode(F.col(html_col), "utf-8") if dict(pages.dtypes)[html_col] == "binary" \
+        else F.col(html_col)
+    tables = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(h, F.lit(r"<table[^>]*>(.*?)</table>"), 1)
+        ).alias("table_idx", "tbl"),
+    )
+    rows = tables.select(
+        "url",
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all("tbl", F.lit(r"<tr[^>]*>(.*?)</tr>"), 1)
+        ).alias("row_idx", "row"),
+    )
+    return rows.select(
+        "url",
+        "table_idx",
+        "row_idx",
+        F.posexplode(
+            F.regexp_extract_all("row", F.lit(r"<td[^>]*>(.*?)</td>"), 1)
+        ).alias("col_idx", "cell"),
+    )
