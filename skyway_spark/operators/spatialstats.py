@@ -461,3 +461,93 @@ def idw_cells(
     return g.select(
         "cell", F.size("__ns").alias("n_stations"), (num / den).alias("idw")
     )
+
+
+def variogram_hex(
+    points: DataFrame,
+    size_u: int,
+    max_band: int = 3,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "v_q",
+) -> DataFrame:
+    """Empirical semivariogram by hex-distance band — the spatial-
+    correlation-range diagnostic (how far does the signal stay
+    correlated?), computed at corpus scale WITHOUT point pairs: per
+    hex cell keep the integer moments (n, s, ssq); then for cells a,b
+
+        sum_{i in a, j in b} (z_i - z_j)^2
+            = n_b*ssq_a + n_a*ssq_b - 2*s_a*s_b
+
+    and within a cell (unordered) it is n*ssq - s^2 — so the pair sums
+    are EXACT from cell summaries, and the join fans out only over the
+    constant k-ring offset list (operators/knn-style), never O(N^2).
+    All integer -> engine-exact. True semivariance = ssd/(2*n_pairs).
+
+    Scale shape: one cell groupBy (map-side combined) + one offset
+    explode (<= 3k(k+1)+3k per cell) + one cell-keyed equi-join on the
+    CELL table (aggregate-sized), + one band groupBy.  Points shuffle
+    once.
+
+    Output: (band, n_pairs, ssd) for band 0..max_band.
+    """
+    from skyway_spark.functions import hexgrid as hx
+
+    q, r = hx.hex_qr(F.col(x_col), F.col(y_col), size_u)
+    cells_df = (
+        points.select(q.alias("q"), r.alias("r"), F.col(value_col).alias("v"))
+        .groupBy("q", "r")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ssq"),
+        )
+    )
+    d0 = cells_df.agg(
+        F.lit(0).cast("int").alias("band"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+        F.sum(F.col("n") * F.col("ssq") - F.col("s") * F.col("s")).alias("ssd"),
+    )
+    offs = [
+        (dq, dr, (abs(dq) + abs(dr) + abs(dq + dr)) // 2)
+        for dq, dr in hx.disk_offsets(max_band)
+        if (dq, dr) != (0, 0)
+    ]
+    off_arr = F.array(
+        *[
+            F.struct(
+                F.lit(dq).cast("long").alias("dq"),
+                F.lit(dr).cast("long").alias("dr"),
+                F.lit(b).cast("int").alias("band"),
+            )
+            for dq, dr, b in offs
+        ]
+    )
+    a = cells_df.select(
+        F.col("q"), F.col("r"), F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+        F.col("ssq").alias("ssq_a"), F.explode(off_arr).alias("o"),
+    ).select(
+        "q", "r", "n_a", "s_a", "ssq_a",
+        (F.col("q") + F.col("o.dq")).alias("q2"),
+        (F.col("r") + F.col("o.dr")).alias("r2"),
+        F.col("o.band").alias("band"),
+    )
+    b = cells_df.select(
+        F.col("q").alias("q2"), F.col("r").alias("r2"),
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+        F.col("ssq").alias("ssq_b"),
+    )
+    # keep one orientation of each unordered cell pair
+    pairs = a.join(b, ["q2", "r2"]).where(
+        (F.col("q") < F.col("q2"))
+        | ((F.col("q") == F.col("q2")) & (F.col("r") < F.col("r2")))
+    )
+    cross = pairs.groupBy("band").agg(
+        F.sum(F.col("n_a") * F.col("n_b")).alias("n_pairs"),
+        F.sum(
+            F.col("n_b") * F.col("ssq_a")
+            + F.col("n_a") * F.col("ssq_b")
+            - 2 * F.col("s_a") * F.col("s_b")
+        ).alias("ssd"),
+    )
+    return d0.unionByName(cross)
