@@ -5517,6 +5517,42 @@ def _variogram_sql() -> str:
     """
 
 
+def q_warc_pipeline(spark, sf):
+    """The flagship pipeline fed from WARC ingestion end-to-end: pages
+    serialize to WARC blobs, the byte parser recovers the responses,
+    the page text is rebuilt from the HTTP body (byte-identical — the
+    input_hint invariant), geo-entities extract, and mentions roll up
+    per qcell.  Proves a reference user can run the whole engine off
+    the crawl-archive container format."""
+    from skyway_spark.operators.extract import extract_geo_entities
+    from skyway_spark.sources.warc import pages_to_warc, read_warc
+
+    pages = generate_pages(spark, WARC_N, partitions=8)
+    recs = read_warc(pages_to_warc(pages, WARC_PER_FILE, WARC_REQ_EVERY))
+    rebuilt = recs.where(F.col("warc_type") == "response").select(
+        "url",
+        F.col("html").substr(F.lit(13), F.length("html") - 26).alias("text"),
+        F.lit("und").alias("lang"),
+    )
+    ents = extract_geo_entities(rebuilt)
+    return ents.groupBy(
+        cells.cell_encode(F.col("lat"), F.col("lon"), CELL_RES).alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("url").alias("n_urls"),
+    )
+
+
+def _warc_pipeline_sql() -> str:
+    return f"""
+        WITH m AS ({_page_mentions_sql(WARC_N)})
+        SELECT {_cell_sql("lat", "lon", CELL_RES)} AS cell,
+               COUNT(*) AS n_mentions,
+               (COUNT(DISTINCT url))::BIGINT AS n_urls
+        FROM m GROUP BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -5761,6 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_web_tables": q_web_tables,
         "q_curve_locality": q_curve_locality,
         "q_variogram": q_variogram,
+        "q_warc_pipeline": q_warc_pipeline,
     }
 
 
@@ -9463,6 +9500,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_web_tables"] = _web_tables_sql()
     out["q_curve_locality"] = _curve_locality_sql()
     out["q_variogram"] = _variogram_sql()
+    out["q_warc_pipeline"] = _warc_pipeline_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -200,6 +200,26 @@ BENCH_QUERIES = [
     "q_kcore",
     "q_segment_crossings",
     "q_int8_quant",
+    # round-3 final batch
+    "q_ahash",
+    "q_ahash_pairs",
+    "q_warc_parse",
+    "q_warc_stats",
+    "q_lcss_tracks",
+    "q_cusum",
+    "q_bpe_tokenize",
+    "q_cdc_chunks",
+    "q_cdc_dedup",
+    "q_media_clusters",
+    "q_hex_assign",
+    "q_hex_disk",
+    "q_rbo_rankings",
+    "q_span_corrupt",
+    "q_ra_links",
+    "q_hull_diameter",
+    "q_web_tables",
+    "q_curve_locality",
+    "q_variogram",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
