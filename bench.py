@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "q_web_tables",
     "q_curve_locality",
     "q_variogram",
+    "q_warc_pipeline",
+    "q_jaccard_join",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -845,3 +845,81 @@ def cdc_duplicate_chunks(
         .limit(top_n)
         .select("chunk_len", "n_copies", "n_docs", "chunk")
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold_pct: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering
+    (PPJoin family, Xiao et al. 2008) — the deterministic counterpart
+    to MinHash-LSH: no false negatives, no probability knobs.
+
+    Theorem used: order all tokens by global (frequency asc, token)
+    — rarest first; if J(A, B) >= t then A and B must share a token
+    within each one's first  |X| - ceil(t*|X|) + 1  rarest tokens.  So
+    candidates come from an equi-join on PREFIX tokens only — the
+    prefix is short and starts with globally RARE tokens, which is
+    precisely what keeps the join's per-key fan-out small at corpus
+    scale (the frequent tokens that would explode the join never enter
+    a prefix unless a set is nearly all-frequent).
+
+    Verification is exact: intersection counted by joining the full
+    distinct-token lists of candidate pairs; the threshold test
+    cross-multiplies (100*inter >= t_pct*(na+nb-inter)) — all integer.
+
+    Scale shape: one groupBy for token frequencies (alphabet-sized), a
+    doc-keyed sort to build ranked token arrays, the prefix equi-join
+    (bounded fan-out by rarity), and a candidate-keyed count join.
+    Text never shuffles — only (doc_id, token-rank) pairs.
+
+    Output: (id_a, id_b, n_inter, n_union) for pairs with
+    J >= threshold_pct/100, id_a < id_b.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias(
+            "tok"
+        ),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    from pyspark.sql import Window
+
+    rank = freq.select(
+        "tok",
+        F.row_number().over(Window.orderBy("f", "tok")).alias("rk"),
+    )
+    ranked = toks.join(rank, "tok").select("id", "rk")
+    per_doc = ranked.groupBy("id").agg(
+        F.sort_array(F.collect_list("rk")).alias("rks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    t = int(threshold_pct)
+    # prefix length n - ceil(t*n/100) + 1, all integer
+    plen = F.col("n") - F.ceil(F.col("n") * t / 100).cast("long") + 1
+    pref = per_doc.select(
+        "id", "n", F.explode(F.slice("rks", 1, plen.cast("int"))).alias("rk")
+    )
+    a = pref.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "rk")
+    b = pref.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "rk")
+    cand = (
+        a.join(b, "rk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    ta = ranked.select(F.col("id").alias("id_a"), "rk")
+    tb = ranked.select(F.col("id").alias("id_b"), "rk")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "rk"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    uni = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.where(F.col("n_inter") * 100 >= t * uni)
+        .select("id_a", "id_b", "n_inter", uni.alias("n_union"))
+    )
