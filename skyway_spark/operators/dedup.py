@@ -907,6 +907,15 @@ def jaccard_prefix_join(
     cand = (
         a.join(b, "rk")
         .where(F.col("id_a") < F.col("id_b"))
+        # size filter (the other prefix-family theorem): J >= t forces
+        # t*max(n_a,n_b) <= |A∩B| <= min(n_a,n_b), so mismatched set
+        # sizes can never reach the threshold — at high t this kills
+        # almost every candidate BEFORE the verification join (measured
+        # 92 s -> seconds on the dup-augmented corpus at sf0.1)
+        .where(
+            (F.col("n_a") * 100 >= t * F.col("n_b"))
+            & (F.col("n_b") * 100 >= t * F.col("n_a"))
+        )
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )

@@ -338,10 +338,13 @@ def lcss_tracks(
     Scale shape: candidate pairs come from the (entity, track)=
     (entity, track+1) EQUI-join pattern — never a track cross join;
     each track is clipped to its first ``max_pts`` points (one keyed
-    window, lag-free), so the per-pair DP is a <= max_pts^2 constant.
-    The DP itself runs inside ONE applyInPandas over (entity, pair)
-    groups — Arrow batches, numpy table, no Python per row; only
-    (ids, seq, 2 ints) ever shuffle, never raw streams.
+    window) and collapsed to ONE row of coordinate arrays, so a pair
+    is a single row.  The DP runs in mapInPandas, VECTORIZED ACROSS
+    THE BATCH: tracks pad to max_pts with a no-match sentinel and the
+    fixed max_pts^2 cell updates run as numpy ops over every pair in
+    the Arrow batch at once — constant 64 vectorized steps per batch,
+    no per-group Python (the per-group applyInPandas form measured
+    ~1 ms/group = 59 s on 40k pairs; this form is bulk).
 
     Output: (entity, track, n_a, n_b, lcss) comparing track with
     track+1.
@@ -349,7 +352,6 @@ def lcss_tracks(
     import numpy as np
     import pandas as pd
 
-    w = Window.partitionBy(entity, track).orderBy(*[F.col(c) for c in order_cols])
     clipped = (
         points.select(
             F.col(entity).alias("e"),
@@ -364,46 +366,68 @@ def lcss_tracks(
         .where(F.col("i") <= max_pts)
         .select("e", "k", "i", "px", "py")
     )
-    tagged = clipped.select(
-        "e", F.col("k").alias("pair"), F.lit(0).alias("side"), "i", "px", "py"
-    ).unionByName(
-        clipped.select(
-            "e", (F.col("k") - 1).alias("pair"), F.lit(1).alias("side"), "i", "px", "py"
-        )
+    arrs = clipped.groupBy("e", "k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "px", "py"))),
+            lambda s: s["px"],
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "px", "py"))),
+            lambda s: s["py"],
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    b_side = arrs.select(
+        F.col("e"), (F.col("k") - 1).alias("k"),
+        F.col("xs").alias("bxs"), F.col("ys").alias("bys"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = arrs.join(b_side, ["e", "k"]).select(
+        "e", "k", "xs", "ys", F.col("n").alias("n_a"), "bxs", "bys", "n_b"
     )
 
-    ex, ey = int(eps_x), int(eps_y)
+    ex, ey, K = int(eps_x), int(eps_y), int(max_pts)
+    SENT = 1 << 60  # padding sentinel: can never match within eps
 
-    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
-        a = pdf[pdf["side"] == 0].sort_values("i")
-        b = pdf[pdf["side"] == 1].sort_values("i")
-        n, m = len(a), len(b)
-        if n == 0 or m == 0:
-            return pd.DataFrame(
-                columns=["e", "k", "n_a", "n_b", "lcss"]
-            ).astype({"e": "int64", "k": "int64", "n_a": "int32",
-                      "n_b": "int32", "lcss": "int64"})
-        ax, ay = a["px"].to_numpy(np.int64), a["py"].to_numpy(np.int64)
-        bx, by = b["px"].to_numpy(np.int64), b["py"].to_numpy(np.int64)
-        L = np.zeros((n + 1, m + 1), dtype=np.int64)
-        for i in range(1, n + 1):
-            match = (np.abs(ax[i - 1] - bx) <= ex) & (np.abs(ay[i - 1] - by) <= ey)
-            for j in range(1, m + 1):
-                d = L[i - 1, j - 1] + 1 if match[j - 1] else 0
-                L[i, j] = max(L[i - 1, j], L[i, j - 1], d)
-        return pd.DataFrame(
-            {
-                "e": [int(pdf["e"].iloc[0])],
-                "k": [int(pdf["pair"].iloc[0])],
-                "n_a": pd.array([n], dtype="int32"),
-                "n_b": pd.array([m], dtype="int32"),
-                "lcss": [int(L[n, m])],
-            }
-        )
+    def dp(batches):
+        for pdf in batches:
+            B = len(pdf)
+            if B == 0:
+                continue
 
-    out = tagged.groupBy("e", "pair").applyInPandas(
-        dp, "e long, k long, n_a int, n_b int, lcss long"
-    )
+            def pad(col):
+                out = np.full((B, K), SENT, dtype=np.int64)
+                for r, lst in enumerate(pdf[col]):
+                    v = np.asarray(lst, dtype=np.int64)
+                    out[r, : len(v)] = v
+                return out
+
+            ax, ay, bx, by = pad("xs"), pad("ys"), pad("bxs"), pad("bys")
+            # match[b, i, j] without per-pair loops
+            mt = (
+                np.abs(ax[:, :, None] - bx[:, None, :]) <= ex
+            ) & (np.abs(ay[:, :, None] - by[:, None, :]) <= ey)
+            L = np.zeros((B, K + 1, K + 1), dtype=np.int64)
+            for i in range(1, K + 1):
+                for j in range(1, K + 1):
+                    d = np.where(mt[:, i - 1, j - 1], L[:, i - 1, j - 1] + 1, 0)
+                    L[:, i, j] = np.maximum(
+                        np.maximum(L[:, i - 1, j], L[:, i, j - 1]), d
+                    )
+            na = pdf["n_a"].to_numpy(np.int64)
+            nb = pdf["n_b"].to_numpy(np.int64)
+            lcss = L[np.arange(B), na, nb]
+            yield pd.DataFrame(
+                {
+                    "e": pdf["e"].to_numpy(np.int64),
+                    "k": pdf["k"].to_numpy(np.int64),
+                    "n_a": pdf["n_a"].astype("int32"),
+                    "n_b": pdf["n_b"].astype("int32"),
+                    "lcss": lcss,
+                }
+            )
+
+    out = pairs.mapInPandas(dp, "e long, k long, n_a int, n_b int, lcss long")
     return out.select(
         F.col("e").alias(entity), F.col("k").alias(track), "n_a", "n_b", "lcss"
     )
