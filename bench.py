@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "q_variogram",
     "q_warc_pipeline",
     "q_jaccard_join",
+    "q_matryoshka_recall",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

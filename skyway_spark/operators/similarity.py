@@ -299,3 +299,73 @@ def int8_quantize_error(
         .agg(F.max("err").alias("max_abs_err"))
         .select(F.col("vid").alias(id_col), "max_abs_err")
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    prefix_dims: int = 16,
+    k: int = 10,
+    query_mod: int = 50,
+    scale_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prefix-dimension retrieval quality (the Matryoshka/MRL
+    question): if the index keeps only the first ``prefix_dims`` of
+    each embedding, how much of the FULL-vector top-k survives?  Per
+    query (every ``query_mod``-th vector): rank the corpus by exact
+    integer dot product under full dims and under the prefix, count
+    the candidates in BOTH top-k sets.
+
+    Engine-exact: dims quantize to floor(v * 2^scale_bits) int64 once;
+    dot products are integer sums; ranks break ties by candidate id —
+    a total order, so recall is deterministic (no float argsort).
+
+    Scale shape: the query side is tiny by construction and broadcasts
+    across the corpus scan (the labeled brute-force convention of
+    q_embed_topk — the IVF/LSH operators are the indexed path); ranks
+    are per-query windows over corpus-sized groups; one shuffle.
+
+    Output: (query_id, n_overlap) with n_overlap in [0, k].
+    """
+    scale = 1 << scale_bits
+    qv = F.transform(
+        F.col(vec_col), lambda v: F.floor(v.cast("double") * scale).cast("long")
+    )
+    quant = emb.select(F.col(id_col).alias("id"), qv.alias("q"))
+    qs = quant.where(F.col("id") % query_mod == 0).select(
+        F.col("id").alias("query_id"), F.col("q").alias("qa")
+    )
+    cs = quant.where(F.col("id") % query_mod != 0).select(
+        F.col("id").alias("cand_id"), F.col("q").alias("qb")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = F.broadcast(qs).crossJoin(cs).select(
+        "query_id",
+        "cand_id",
+        dot(F.col("qa"), F.col("qb")).alias("d_full"),
+        dot(
+            F.slice("qa", 1, prefix_dims), F.slice("qb", 1, prefix_dims)
+        ).alias("d_pre"),
+    )
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("query_id").orderBy(F.col("d_full").desc(), "cand_id")
+    wp = Window.partitionBy("query_id").orderBy(F.col("d_pre").desc(), "cand_id")
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    return ranked.groupBy("query_id").agg(
+        F.sum(((F.col("rf") <= k) & (F.col("rp") <= k)).cast("long")).alias(
+            "n_overlap"
+        )
+    )
