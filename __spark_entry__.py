@@ -5643,6 +5643,56 @@ def _matryoshka_sql() -> str:
     """
 
 
+def q_pit_join(spark, sf):
+    """Point-in-time join of facts against the SCD2 history (the
+    feature-store correctness primitive: the version valid AT the
+    fact's seq — no leakage, no staleness).  Facts are the odd events,
+    the history is q_scd2's; every fact matches at most one version
+    because SCD2 intervals partition each key's timeline
+    (operators/cdc.pit_join)."""
+    from skyway_spark.operators.cdc import changelog_to_scd2, pit_join
+
+    (ev,) = _tables(spark, sf, "events")
+    hist = changelog_to_scd2(_cdc_changes(spark, sf), ["doc_id"])
+    facts = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        (F.col("user_id") % 600).alias("doc_id"),
+        F.col("event_id").alias("at_seq"),
+    )
+    out = pit_join(facts, hist, ["doc_id"], "at_seq")
+    return out.select(
+        "event_id", "doc_id", "at_seq", "lang", "source", "n_chars",
+        "valid_from", "valid_to",
+    )
+
+
+def _pit_join_sql() -> str:
+    return """
+        WITH ch AS (
+            SELECT (user_id % 600) AS doc_id, event_id AS seq,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   event_type AS lang,
+                   'ev-' || (user_id % 7)::VARCHAR AS source,
+                   (user_id + event_id)::BIGINT AS n_chars
+            FROM events),
+        h AS (
+            SELECT doc_id, seq, op, lang, source, n_chars,
+                   lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+            FROM ch),
+        hist AS (SELECT doc_id, lang, source, n_chars, seq AS valid_from,
+                        valid_to
+                 FROM h WHERE op = 'U'),
+        facts AS (
+            SELECT event_id, (user_id % 600) AS doc_id, event_id AS at_seq
+            FROM events WHERE event_id % 2 = 1)
+        SELECT f.event_id, f.doc_id, f.at_seq, d.lang, d.source, d.n_chars,
+               d.valid_from, d.valid_to
+        FROM facts f JOIN hist d
+          ON d.doc_id = f.doc_id AND f.at_seq >= d.valid_from
+         AND (d.valid_to IS NULL OR f.at_seq < d.valid_to)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -5890,6 +5940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_pipeline": q_warc_pipeline,
         "q_jaccard_join": q_jaccard_join,
         "q_matryoshka_recall": q_matryoshka_recall,
+        "q_pit_join": q_pit_join,
     }
 
 
@@ -9595,6 +9646,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_warc_pipeline"] = _warc_pipeline_sql()
     out["q_jaccard_join"] = _jaccard_join_sql()
     out["q_matryoshka_recall"] = _matryoshka_sql()
+    out["q_pit_join"] = _pit_join_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "q_warc_pipeline",
     "q_jaccard_join",
     "q_matryoshka_recall",
+    "q_pit_join",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -214,3 +214,36 @@ def snapshot_diff(
         .where(F.col("op").isNotNull())
         .drop("__in_old", "__in_new")
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    at_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (PIT) join — the feature-store correctness
+    primitive: each fact row picks the dimension VERSION whose
+    [valid_from, valid_to) interval contains the fact's ``at`` value,
+    never a later one (no leakage) and never an earlier one (no
+    staleness).  Inner semantics: facts before the key's first version
+    or inside a delete gap drop out.
+
+    Scale shape: an equi-join on the key with the interval predicate
+    as join condition — versions-per-key is the small fan-out (bounded
+    by change frequency, not corpus size), so this stays a plain
+    shuffled hash/sort-merge join; SCD2 intervals partition each key's
+    timeline, so every fact matches AT MOST one version and the join
+    never amplifies.
+    """
+    f = facts
+    cond = [f[k] == history[k] for k in key_cols]
+    cond.append(f[at_col] >= history[from_col])
+    cond.append(history[to_col].isNull() | (f[at_col] < history[to_col]))
+    joined = f.join(history, cond, "inner")
+    return joined.select(
+        *[f[c] for c in facts.columns],
+        *[history[c] for c in history.columns if c not in facts.columns],
+    )
