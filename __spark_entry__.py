@@ -5693,6 +5693,47 @@ def _pit_join_sql() -> str:
     """
 
 
+KANON_K = 8
+
+
+def q_k_anonymity(spark, sf):
+    """k-anonymity publishing census over the documents table's quasi
+    identifiers (lang, source, n_chars) with the 2-level
+    generalization ladder — every published group has >= 8 members at
+    the finest level that reaches 8; smaller remainders suppress
+    (operators/pii.k_anonymity_census)."""
+    from skyway_spark.operators.pii import k_anonymity_census
+
+    (docs,) = _tables(spark, sf, "documents")
+    return k_anonymity_census(docs, k=KANON_K)
+
+
+def _k_anonymity_sql() -> str:
+    k = KANON_K
+    return f"""
+        WITH base AS (
+            SELECT lang AS c1, source AS c2, n_chars // 100 AS b1,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1, 2, 3),
+        lvl0 AS (SELECT c1, c2, b1 AS bucket, 0::INT AS level, n
+                 FROM base WHERE n >= {k}),
+        rest1 AS (
+            SELECT c1, c2, b1 // 5 AS b2, (SUM(n))::BIGINT AS n
+            FROM base WHERE n < {k} GROUP BY 1, 2, 3),
+        lvl1 AS (SELECT c1, c2, b2 AS bucket, 1::INT AS level, n
+                 FROM rest1 WHERE n >= {k}),
+        rest2 AS (
+            SELECT c1, c2, (SUM(n))::BIGINT AS n
+            FROM rest1 WHERE n < {k} GROUP BY 1, 2),
+        lvl2 AS (SELECT c1, c2, NULL::BIGINT AS bucket, 2::INT AS level, n
+                 FROM rest2 WHERE n >= {k}),
+        lvl3 AS (SELECT c1, c2, NULL::BIGINT AS bucket, 3::INT AS level, n
+                 FROM rest2 WHERE n < {k})
+        SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+        UNION ALL SELECT * FROM lvl2 UNION ALL SELECT * FROM lvl3
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -5941,6 +5982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_join": q_jaccard_join,
         "q_matryoshka_recall": q_matryoshka_recall,
         "q_pit_join": q_pit_join,
+        "q_k_anonymity": q_k_anonymity,
     }
 
 
@@ -9647,6 +9689,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_jaccard_join"] = _jaccard_join_sql()
     out["q_matryoshka_recall"] = _matryoshka_sql()
     out["q_pit_join"] = _pit_join_sql()
+    out["q_k_anonymity"] = _k_anonymity_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "q_jaccard_join",
     "q_matryoshka_recall",
     "q_pit_join",
+    "q_k_anonymity",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

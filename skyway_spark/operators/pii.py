@@ -64,3 +64,64 @@ def redact_pii(
         n_ip.alias("n_ips"),
         red.alias("redacted"),
     )
+
+
+def k_anonymity_census(
+    df: DataFrame,
+    k: int,
+    cat_cols: tuple[str, str] = ("lang", "source"),
+    num_col: str = "n_chars",
+    fine: int = 100,
+    coarse: int = 500,
+) -> DataFrame:
+    """k-anonymity publishing census with a generalization ladder —
+    the governance primitive behind quasi-identifier release: rows
+    publish at the FINEST generalization whose group reaches size
+    ``k``.  Ladder: level 0 = (cats, num div fine), level 1 = (cats,
+    num div coarse; fine must divide coarse so the hierarchy nests),
+    level 2 = cats only, level 3 = suppressed.  Rows already published
+    at a finer level never re-enter a coarser group (the standard
+    bottom-up DGH walk).
+
+    Output: one row per PUBLISHED group — (c1, c2, bucket, level, n)
+    with bucket NULL from level 2 up; suppressed rows appear as the
+    single level-3 row per (c1, c2).
+
+    Scale shape: everything after the first fine-grained groupBy runs
+    on GROUP COUNTS, not rows — three nested aggregates over an
+    ever-smaller key space; the corpus shuffles once.
+    """
+    assert coarse % fine == 0, "fine must divide coarse (nested hierarchy)"
+    c1, c2 = cat_cols
+    base = df.groupBy(
+        F.col(c1).alias("c1"),
+        F.col(c2).alias("c2"),
+        F.expr(f"cast({num_col} as bigint) div {fine}").alias("b1"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lvl0 = base.where(F.col("n") >= k).select(
+        "c1", "c2", F.col("b1").alias("bucket"),
+        F.lit(0).cast("int").alias("level"), "n",
+    )
+    rest1 = (
+        base.where(F.col("n") < k)
+        .groupBy("c1", "c2", F.expr(f"b1 div {coarse // fine}").alias("b2"))
+        .agg(F.sum("n").alias("n"))
+    )
+    lvl1 = rest1.where(F.col("n") >= k).select(
+        "c1", "c2", F.col("b2").alias("bucket"),
+        F.lit(1).cast("int").alias("level"), "n",
+    )
+    rest2 = (
+        rest1.where(F.col("n") < k)
+        .groupBy("c1", "c2")
+        .agg(F.sum("n").alias("n"))
+    )
+    lvl2 = rest2.where(F.col("n") >= k).select(
+        "c1", "c2", F.lit(None).cast("long").alias("bucket"),
+        F.lit(2).cast("int").alias("level"), "n",
+    )
+    lvl3 = rest2.where(F.col("n") < k).select(
+        "c1", "c2", F.lit(None).cast("long").alias("bucket"),
+        F.lit(3).cast("int").alias("level"), "n",
+    )
+    return lvl0.unionByName(lvl1).unionByName(lvl2).unionByName(lvl3)
