@@ -13,9 +13,9 @@ def test_ladder_semantics_and_conservation(spark):
     # group B: 3+4 rows in two fine buckets of the SAME coarse bucket
     # (each < k, together 7 >= k at level 1)
     rows += [("en", "s2", 110)] * 3 + [("en", "s2", 320)] * 4
-    # group C: 2+2 rows in DIFFERENT coarse buckets (level 1 fails,
-    # 4 rows publish at level 2 = cats only)
-    rows += [("de", "s1", 120)] * 2 + [("de", "s1", 620)] * 2
+    # group C: 3+3 rows in DIFFERENT coarse buckets (each coarse group
+    # < k, together 6 >= k at level 2 = cats only)
+    rows += [("de", "s1", 120)] * 3 + [("de", "s1", 620)] * 3
     # group D: 1 row alone -> suppressed (level 3)
     rows += [("fr", "s9", 100)]
     df = spark.createDataFrame(rows, "lang string, source string, n_chars long")
@@ -24,7 +24,7 @@ def test_ladder_semantics_and_conservation(spark):
     assert got == {
         ("en", "s1", 1, 0): 10,
         ("en", "s2", 0, 1): 7,
-        ("de", "s1", None, 2): 4,
+        ("de", "s1", None, 2): 6,
         ("fr", "s9", None, 3): 1,
     }
     # every published/suppressed group >= k except the suppressed level
