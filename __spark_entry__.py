@@ -5734,6 +5734,113 @@ def _k_anonymity_sql() -> str:
     """
 
 
+PRUNE_Q = 20
+
+
+def q_prune_stats(spark, sf):
+    """Manifest file-skipping effectiveness — the reason a 100 TB
+    table lays out by STR tiles: for 20 deterministic query bboxes,
+    how many data files (and rows) must be read under the STR spatial
+    layout vs round-robin ingestion order.  Pure integer bbox
+    intersect over the two 32-file manifests; the STR side prunes to a
+    handful of files, the round-robin side reads everything — the
+    Iceberg min/max-stats story, measured (operators/partitioner)."""
+    from skyway_spark.operators import partitioner
+
+    pts = _event_grid_ints(spark, sf)
+    man_str = partitioner.str_tile_stats(
+        partitioner.str_pack(pts, sx=8, sy=4, x_col="x", y_col="y", id_col="event_id")
+    ).select(
+        (F.col("tx") * 4 + F.col("ty")).alias("file_id"),
+        "n_points", "x_min", "x_max", "y_min", "y_max",
+    )
+    man_rr = pts.groupBy((F.col("event_id") % 32).alias("file_id")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+    )
+    qs = spark.range(PRUNE_Q).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 7919) % 34200).alias("qx0"),
+        (((F.col("id") * 7919) % 34200) + 1800).alias("qx1"),
+        ((F.col("id") * 104729) % 16150).alias("qy0"),
+        (((F.col("id") * 104729) % 16150) + 850).alias("qy1"),
+    )
+
+    def scan(man, pfx):
+        hit = qs.join(
+            man,
+            (F.col("x_min") <= F.col("qx1")) & (F.col("x_max") >= F.col("qx0"))
+            & (F.col("y_min") <= F.col("qy1")) & (F.col("y_max") >= F.col("qy0")),
+        )
+        agg = hit.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias(f"{pfx}_files"),
+            F.sum("n_points").alias(f"{pfx}_rows"),
+        )
+        return qs.select("query_id").join(agg, "query_id", "left").select(
+            "query_id",
+            F.coalesce(F.col(f"{pfx}_files"), F.lit(0)).alias(f"{pfx}_files"),
+            F.coalesce(F.col(f"{pfx}_rows"), F.lit(0)).cast("long").alias(f"{pfx}_rows"),
+        )
+
+    return scan(man_str, "str").join(scan(man_rr, "rr"), "query_id")
+
+
+def _prune_stats_sql() -> str:
+    # same integer grid as oracle_sql()'s local _GRID_INT_SQL (that one
+    # is function-local, so restated here)
+    grid = """
+            SELECT event_id, (event_id * 104729) % 36000 AS x,
+                   (user_id * 7919) % 17000 AS y
+            FROM events
+    """
+    return f"""
+        WITH pts AS ({grid}),
+        t AS (SELECT *, ntile(8) OVER (ORDER BY x, event_id) - 1 AS tx
+              FROM pts),
+        u AS (SELECT *, ntile(4) OVER (PARTITION BY tx
+                  ORDER BY y, event_id) - 1 AS ty
+              FROM t),
+        mstr AS (
+            SELECT tx * 4 + ty AS file_id, COUNT(*) AS n_points,
+                   MIN(x) AS x_min, MAX(x) AS x_max,
+                   MIN(y) AS y_min, MAX(y) AS y_max
+            FROM u GROUP BY 1),
+        mrr AS (
+            SELECT event_id % 32 AS file_id, COUNT(*) AS n_points,
+                   MIN(x) AS x_min, MAX(x) AS x_max,
+                   MIN(y) AS y_min, MAX(y) AS y_max
+            FROM pts GROUP BY 1),
+        qs AS (
+            SELECT i AS query_id,
+                   (i * 7919) % 34200 AS qx0, (i * 7919) % 34200 + 1800 AS qx1,
+                   (i * 104729) % 16150 AS qy0,
+                   (i * 104729) % 16150 + 850 AS qy1
+            FROM range(0, {PRUNE_Q}) r(i)),
+        hs AS (
+            SELECT q.query_id, COUNT(*)::BIGINT AS str_files,
+                   (SUM(m.n_points))::BIGINT AS str_rows
+            FROM qs q JOIN mstr m
+              ON m.x_min <= q.qx1 AND m.x_max >= q.qx0
+             AND m.y_min <= q.qy1 AND m.y_max >= q.qy0
+            GROUP BY 1),
+        hr AS (
+            SELECT q.query_id, COUNT(*)::BIGINT AS rr_files,
+                   (SUM(m.n_points))::BIGINT AS rr_rows
+            FROM qs q JOIN mrr m
+              ON m.x_min <= q.qx1 AND m.x_max >= q.qx0
+             AND m.y_min <= q.qy1 AND m.y_max >= q.qy0
+            GROUP BY 1)
+        SELECT q.query_id,
+               COALESCE(hs.str_files, 0)::BIGINT AS str_files,
+               COALESCE(hs.str_rows, 0)::BIGINT AS str_rows,
+               COALESCE(hr.rr_files, 0)::BIGINT AS rr_files,
+               COALESCE(hr.rr_rows, 0)::BIGINT AS rr_rows
+        FROM qs q LEFT JOIN hs ON hs.query_id = q.query_id
+                  LEFT JOIN hr ON hr.query_id = q.query_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -5983,6 +6090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matryoshka_recall": q_matryoshka_recall,
         "q_pit_join": q_pit_join,
         "q_k_anonymity": q_k_anonymity,
+        "q_prune_stats": q_prune_stats,
     }
 
 
@@ -9690,6 +9798,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_matryoshka_recall"] = _matryoshka_sql()
     out["q_pit_join"] = _pit_join_sql()
     out["q_k_anonymity"] = _k_anonymity_sql()
+    out["q_prune_stats"] = _prune_stats_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "q_matryoshka_recall",
     "q_pit_join",
     "q_k_anonymity",
+    "q_prune_stats",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
