@@ -5841,6 +5841,43 @@ def _prune_stats_sql() -> str:
     """
 
 
+def q_seq_patterns(spark, sf):
+    """Length-2 sequential-pattern support (the GSP/PrefixSpan
+    primitive): for every ordered event-type pair (a, b), how many
+    users have SOME a-event strictly before SOME b-event under the
+    (ts, event_id) total order — computed from per-(user, type)
+    first/last summaries, so the join fans out over the type alphabet,
+    never over events."""
+    (ev,) = _tables(spark, sf, "events")
+    ut = ev.groupBy(
+        F.col("user_id").alias("u"), F.col("event_type").alias("t")
+    ).agg(
+        F.min(F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid"))).alias("first"),
+        F.max(F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid"))).alias("last"),
+    )
+    a = ut.select("u", F.col("t").alias("t_a"), F.col("first").alias("fa"))
+    b = ut.select("u", F.col("t").alias("t_b"), F.col("last").alias("lb"))
+    pairs = a.join(b, "u").where(
+        (F.col("t_a") != F.col("t_b")) & (F.col("fa") < F.col("lb"))
+    )
+    return pairs.groupBy("t_a", "t_b").agg(
+        F.countDistinct("u").alias("n_users")
+    )
+
+
+def _seq_patterns_sql() -> str:
+    return """
+        WITH ut AS (
+            SELECT user_id AS u, event_type AS t,
+                   MIN(ROW(ts, event_id)) AS first,
+                   MAX(ROW(ts, event_id)) AS last
+            FROM events GROUP BY 1, 2)
+        SELECT a.t AS t_a, b.t AS t_b, (COUNT(DISTINCT a.u))::BIGINT AS n_users
+        FROM ut a JOIN ut b ON a.u = b.u AND a.t != b.t AND a.first < b.last
+        GROUP BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -6091,6 +6128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pit_join": q_pit_join,
         "q_k_anonymity": q_k_anonymity,
         "q_prune_stats": q_prune_stats,
+        "q_seq_patterns": q_seq_patterns,
     }
 
 
@@ -9799,6 +9837,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_pit_join"] = _pit_join_sql()
     out["q_k_anonymity"] = _k_anonymity_sql()
     out["q_prune_stats"] = _prune_stats_sql()
+    out["q_seq_patterns"] = _seq_patterns_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

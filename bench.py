@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "q_pit_join",
     "q_k_anonymity",
     "q_prune_stats",
+    "q_seq_patterns",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
