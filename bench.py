@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "q_k_anonymity",
     "q_prune_stats",
     "q_seq_patterns",
+    "q_nearest_centroid",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -369,3 +369,84 @@ def matryoshka_recall(
             "n_overlap"
         )
     )
+
+
+def nearest_centroid_confusion(
+    emb: DataFrame,
+    scale_bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classifier train + eval in one pass — the
+    embedding-space sanity check (are the labels linearly separated by
+    their means?): per-label centroids from integer-quantized sums,
+    every vector classified to the closest centroid, confusion matrix
+    out.
+
+    Exactness: dims quantize once (floor(v*2^b)); centroids quantize
+    as floor(sum*2^b / n) via explicit floor division — a documented,
+    deterministic rounding (the true rational centroid would need
+    cross-multiplied argmin whose products overflow int64 at dim 64);
+    distances are integer sums; argmin ties break by label.
+
+    Scale shape: training is one (label, dim) groupBy — map-side
+    combined, alphabet-sized output — then a LABELS x DIMS driver sync
+    (the kmeans.py convention: kilobytes); classification rides the
+    scan as Column math against centroid literals.  One shuffle for
+    the confusion groupBy.
+
+    Output: (label, pred, n) — exact confusion matrix.
+    """
+    scale = 1 << scale_bits
+    quant = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.transform(
+            F.col(vec_col), lambda v: F.floor(v.cast("double") * scale).cast("long")
+        ).alias("q"),
+    )
+    sums = (
+        quant.select(
+            "label", F.posexplode("q").alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, int]] = {}
+    for r in sums:
+        # floor division on possibly-negative sums (python // floors,
+        # matching the SQL mirror's pmod construction)
+        by_label.setdefault(int(r.label), {})[int(r.dim)] = (
+            int(r.s) * scale // int(r.n)
+        )
+    labels = sorted(by_label)
+    dims = max(max(d) for d in by_label.values()) + 1
+    cents = {
+        lab: F.array(*[F.lit(by_label[lab][d]).cast("long") for d in range(dims)])
+        for lab in labels
+    }
+
+    def dist(lab):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"), cents[lab], lambda x, c: (x * scale - c) * (x * scale - c)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(dist(lab).alias("d"), F.lit(lab).cast("int").alias("l"))
+                for lab in labels
+            ]
+        )
+    )
+    return (
+        quant.select("label", best["l"].alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
