@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "q_prune_stats",
     "q_seq_patterns",
     "q_nearest_centroid",
+    "q_marker_thinning",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

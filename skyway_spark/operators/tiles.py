@@ -309,3 +309,52 @@ def rasterize_segments(
         .groupBy(F.col("c.x").alias("x"), F.col("c.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("n_segs"))
     )
+
+
+def marker_thinning(
+    points: DataFrame,
+    zooms: tuple[int, ...] = (3, 5, 7),
+    id_col: str = "id",
+    weight_col: str = "w",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Zoom-pyramid marker thinning — what a map front-end renders
+    instead of 10^12 points: per (zoom, tile), keep ONE representative
+    marker (the heaviest by ``weight_col``, event id breaking ties —
+    a total order, so the survivor is engine-deterministic) plus the
+    cluster count.
+
+    Scale shape: one map-side-combined groupBy per zoom over
+    (tile_x, tile_y) — aggregate-sized output (<= 4^z tiles); the
+    zoom levels union as independent branches of one scan.
+
+    Output: (zoom, tile_x, tile_y, n_points, rep_id, rep_w).
+    """
+    from skyway_spark.functions import cells
+
+    outs = []
+    for z in zooms:
+        tx, ty = cells.tile_xy(F.col(lat_col), F.col(lon_col), z)
+        rep = F.max(
+            F.struct(F.col(weight_col).alias("w"), F.col(id_col).alias("i"))
+        )
+        outs.append(
+            points.groupBy(tx.alias("tile_x"), ty.alias("tile_y"))
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                rep.alias("rep"),
+            )
+            .select(
+                F.lit(z).cast("int").alias("zoom"),
+                "tile_x",
+                "tile_y",
+                "n_points",
+                F.col("rep.i").alias("rep_id"),
+                F.col("rep.w").alias("rep_w"),
+            )
+        )
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
