@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "q_seq_patterns",
     "q_nearest_centroid",
     "q_marker_thinning",
+    "q_posting_sizes",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
