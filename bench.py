@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "q_nearest_centroid",
     "q_marker_thinning",
     "q_posting_sizes",
+    "q_line_of_sight",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -551,3 +551,59 @@ def variogram_hex(
         ).alias("ssd"),
     )
     return d0.unionByName(cross)
+
+
+def line_of_sight(
+    pairs: DataFrame,
+    height,
+    tower: int = 50,
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+) -> DataFrame:
+    """Integer viewshed between cell pairs: walk the same round-to-
+    nearest DDA as rasterize_segments from observer to target and
+    count intermediate cells whose terrain rises above the sightline.
+    The sightline test is division-free — cell k of s blocks iff
+
+        h(cell_k) * s  >  (h_obs + tower) * (s - k) + h_tgt * k
+
+    (both sides integer; the right side is the linearly-interpolated
+    sightline scaled by s), so the result is engine-exact.
+
+    ``height`` is a callable (x Column, y Column) -> integer Column —
+    terrain rides the walk as scan-stage math, never a join.
+
+    Scale shape: row-local sequence+filter per pair (JVM HOFs), zero
+    shuffles beyond whatever produced the pairs.
+
+    Output: input pair columns + (steps, n_blockers, visible).
+    """
+    d_x, d_y = F.col(bx) - F.col(ax), F.col(by) - F.col(ay)
+    adx, ady = F.abs(d_x), F.abs(d_y)
+    steps = F.greatest(adx, ady)
+    s1 = F.greatest(steps, F.lit(1))
+    sx, sy = F.signum(d_x).cast("long"), F.signum(d_y).cast("long")
+
+    def off(k, ad):
+        return F.floor((2 * k * ad + s1) / (2 * s1)).cast("long")
+
+    h_a, h_b = height(F.col(ax), F.col(ay)), height(F.col(bx), F.col(by))
+
+    def blocks(k):
+        xk = F.col(ax) + sx * off(k, adx)
+        yk = F.col(ay) + sy * off(k, ady)
+        lhs = height(xk, yk) * s1
+        rhs = (h_a + F.lit(int(tower))) * (s1 - k) + h_b * k
+        return lhs > rhs
+
+    inner = F.when(
+        steps >= 2, F.filter(F.sequence(F.lit(1), steps - 1), blocks)
+    ).otherwise(F.array().cast("array<int>"))
+    out = pairs.select(
+        "*",
+        steps.cast("int").alias("steps"),
+        F.size(inner).alias("n_blockers"),
+    )
+    return out.withColumn("visible", F.col("n_blockers") == 0)
