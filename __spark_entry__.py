@@ -6113,6 +6113,103 @@ def _line_of_sight_sql() -> str:
     """
 
 
+MIX_TARGETS = {"src0": 40, "src1": 25, "src2": 20, "src3": 10, "src4": 5}
+
+
+def q_data_mixture(spark, sf):
+    """Training-mixture planning: given per-source whitespace-token
+    inventories and target mixture percentages, the largest total
+    budget B such that every source can fill its share (B = min over
+    sources of tokens*100/pct, integer floor), each source's quota,
+    and its fill rate in basis points — the static data-mixing
+    arithmetic, all integer."""
+    (docs,) = _tables(spark, sf, "documents")
+    tgt = spark.createDataFrame(
+        sorted(MIX_TARGETS.items()), "source string, target_pct long"
+    )
+    inv = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("tokens")
+    )
+    j = inv.join(F.broadcast(tgt), "source")
+    budget = j.agg(
+        F.min(F.floor(F.col("tokens") * 100 / F.col("target_pct")).cast("long")).alias("b")
+    )
+    out = j.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "tokens",
+        "target_pct",
+        F.col("b").alias("budget"),
+        (F.col("b") * F.col("target_pct") / 100).cast("long").alias("quota"),
+        (
+            (F.col("b") * F.col("target_pct") / 100).cast("long")
+            * 10000
+            / F.col("tokens")
+        )
+        .cast("long")
+        .alias("fill_bp"),
+    )
+    return out
+
+
+def _data_mixture_sql() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(MIX_TARGETS.items()))
+    return f"""
+        WITH inv AS (
+            SELECT source,
+                   (SUM(len(string_split_regex(trim(text), '\\s+'))))::BIGINT
+                       AS tokens
+            FROM documents GROUP BY 1),
+        tgt AS (SELECT * FROM (VALUES {vals}) v(source, target_pct)),
+        j AS (SELECT i.source, i.tokens, t.target_pct::BIGINT AS target_pct
+              FROM inv i JOIN tgt t USING (source)),
+        b AS (SELECT MIN(tokens * 100 // target_pct)::BIGINT AS budget FROM j)
+        SELECT j.source, j.tokens, j.target_pct, b.budget,
+               (b.budget * j.target_pct // 100)::BIGINT AS quota,
+               ((b.budget * j.target_pct // 100) * 10000 // j.tokens)::BIGINT
+                   AS fill_bp
+        FROM j, b
+    """
+
+
+def q_dead_links(spark, sf):
+    """Dead-link rate per destination host under a PARTIAL crawl:
+    pages with id % 5 == 0 are uncrawled, so anchors targeting them
+    are dead — the crawl-completeness metric (left join on the crawled
+    url dimension; counts only shuffle)."""
+    from skyway_spark.operators import weblinks
+
+    pages = _linked_pages(spark)
+    links = weblinks.extract_links(pages)
+    pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    known = (
+        pages.where(pid % 5 != 0)
+        .select(F.col("url").alias("href"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = links.join(known, "href", "left")
+    return marked.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_dead"),
+    )
+
+
+def _dead_links_sql() -> str:
+    from skyway_spark.sources import generate as g
+
+    H = g.LINK_HOSTS
+    return f"""
+        WITH l AS ({_linked_links_sql(LINKED_PAGES_N)}),
+        known AS (
+            SELECT 'https://h' || (i % {H}) || '.example/p/' || i AS u
+            FROM range(0, {LINKED_PAGES_N}) t(i) WHERE i % 5 != 0)
+        SELECT dst_host, COUNT(*)::BIGINT AS n_links,
+               (SUM(CASE WHEN k.u IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_dead
+        FROM l LEFT JOIN known k ON k.u = l.href
+        GROUP BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -6368,6 +6465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_marker_thinning": q_marker_thinning,
         "q_posting_sizes": q_posting_sizes,
         "q_line_of_sight": q_line_of_sight,
+        "q_data_mixture": q_data_mixture,
+        "q_dead_links": q_dead_links,
     }
 
 
@@ -10081,6 +10180,8 @@ def oracle_sql() -> dict[str, str]:
     out["q_marker_thinning"] = _marker_thinning_sql()
     out["q_posting_sizes"] = _posting_sizes_sql()
     out["q_line_of_sight"] = _line_of_sight_sql()
+    out["q_data_mixture"] = _data_mixture_sql()
+    out["q_dead_links"] = _dead_links_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

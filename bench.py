@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "q_marker_thinning",
     "q_posting_sizes",
     "q_line_of_sight",
+    "q_data_mixture",
+    "q_dead_links",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
