@@ -6029,6 +6029,8 @@ def _posting_sizes_sql() -> str:
 
 
 LOS_OBS, LOS_TOP, LOS_TOWER = 3, 12, 50
+VOR_SEEDS = 5
+BFS_MIN_LINKS, BFS_MAX_HOPS = 3, 6
 
 
 def q_line_of_sight(spark, sf):
@@ -6207,6 +6209,130 @@ def _dead_links_sql() -> str:
                (SUM(CASE WHEN k.u IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_dead
         FROM l LEFT JOIN known k ON k.u = l.href
         GROUP BY 1
+    """
+
+
+def q_focal_stats(spark, sf):
+    """Raster map-algebra focal statistics (3x3 queen+self window
+    sum/max/min/occupancy) over the integer event-cell grid — the
+    scatter/gather stencil: cells explode into their 9 window
+    memberships, ONE groupBy on the window center, one join back
+    (operators/spatialstats.focal_stats)."""
+    from skyway_spark.operators import spatialstats
+
+    cells = spatialstats.cell_counts(_event_cells_int(spark, sf).drop("ts"))
+    return spatialstats.focal_stats(cells)
+
+
+def q_voronoi(spark, sf):
+    """Discrete Voronoi partition of the event-cell raster around its
+    5 hottest cells (nearest-facility assignment): seeds broadcast,
+    per-cell argmin is one map-side-combined min(struct(d2, rk))
+    groupBy — no window, no sort
+    (operators/spatialstats.discrete_voronoi)."""
+    from pyspark.sql import Window
+
+    from skyway_spark.operators import spatialstats
+
+    cells = spatialstats.cell_counts(
+        _event_cells_int(spark, sf).drop("ts")
+    ).localCheckpoint(eager=True)
+    seeds = (
+        cells.withColumn(
+            "seed_rk",
+            F.row_number().over(Window.orderBy(F.col("x").desc(), "cx", "cy")),
+        )
+        .where(F.col("seed_rk") <= VOR_SEEDS)
+        .select(F.col("cx").alias("sx"), F.col("cy").alias("sy"), "seed_rk")
+    )
+    return spatialstats.discrete_voronoi(cells, seeds)
+
+
+def _voronoi_sql() -> str:
+    return f"""
+        WITH pts AS (
+            SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                   ((event_id * 104729) % 36000) // 100 AS cy
+            FROM events),
+        cells AS MATERIALIZED (
+            SELECT cx, cy, COUNT(*) AS x FROM pts GROUP BY 1, 2),
+        seeds AS (
+            SELECT * FROM (
+                SELECT cx AS sx, cy AS sy,
+                       (row_number() OVER (ORDER BY x DESC, cx, cy))::INT
+                           AS seed_rk
+                FROM cells)
+            WHERE seed_rk <= {VOR_SEEDS}),
+        j AS (
+            SELECT c.cx, c.cy, c.x, s.seed_rk,
+                   ((c.cx - s.sx) * (c.cx - s.sx)
+                    + (c.cy - s.sy) * (c.cy - s.sy))::BIGINT AS d2
+            FROM cells c CROSS JOIN seeds s),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY cx, cy ORDER BY d2, seed_rk) AS rn
+              FROM j)
+        SELECT cx, cy, x, seed_rk, d2 FROM r WHERE rn = 1
+    """
+
+
+def q_bfs_hops(spark, sf):
+    """BFS shortest-hop distances (bounded to 6 levels) from the
+    top-outlinking host over the strong host link graph, with the
+    shortest-path fan-in per node — frontier-expansion BFS with
+    localCheckpoint lineage truncation (operators/graph.bfs_hops);
+    oracle = bounded recursive CTE + MIN(hop)."""
+    from pyspark.sql import Window
+
+    from skyway_spark.operators.graph import bfs_hops
+    from skyway_spark.operators.weblinks import extract_links, host_graph
+
+    hg = (
+        host_graph(extract_links(_linked_pages(spark)))
+        .where(F.col("n_links") >= BFS_MIN_LINKS)
+        .localCheckpoint(eager=True)
+    )
+    root = (
+        hg.groupBy("src_host")
+        .agg(F.sum("n_links").alias("tot"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("tot").desc(), "src_host")),
+        )
+        .where(F.col("rk") == 1)
+        .select(F.col("src_host").alias("node"))
+    )
+    return bfs_hops(hg, root, src="src_host", dst="dst_host", max_hops=BFS_MAX_HOPS)
+
+
+def _bfs_hops_sql() -> str:
+    return f"""
+        WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
+        hg AS MATERIALIZED (
+            SELECT src_host, dst_host, COUNT(*) AS n_links FROM l
+            GROUP BY 1, 2 HAVING COUNT(*) >= {BFS_MIN_LINKS}),
+        root AS (
+            SELECT node FROM (
+                SELECT src_host AS node,
+                       row_number() OVER (
+                           ORDER BY (SUM(n_links))::BIGINT DESC, src_host) AS rk
+                FROM hg GROUP BY src_host)
+            WHERE rk = 1),
+        reach(node, hop) AS (
+            SELECT node, 0 FROM root
+            UNION
+            SELECT hg.dst_host, r.hop + 1
+            FROM reach r JOIN hg ON hg.src_host = r.node
+            WHERE r.hop < {BFS_MAX_HOPS}),
+        vis AS MATERIALIZED (
+            SELECT node, MIN(hop) AS hop FROM reach GROUP BY 1),
+        par AS (
+            SELECT v.node, v.hop, COUNT(DISTINCT p.node) AS n_parents
+            FROM vis v
+            JOIN hg ON hg.dst_host = v.node
+            JOIN vis p ON p.node = hg.src_host AND p.hop = v.hop - 1
+            GROUP BY 1, 2)
+        SELECT v.node, v.hop, (COALESCE(p.n_parents, 0))::BIGINT AS n_parents
+        FROM vis v LEFT JOIN par p ON p.node = v.node AND p.hop = v.hop
     """
 
 
@@ -6467,6 +6593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_of_sight": q_line_of_sight,
         "q_data_mixture": q_data_mixture,
         "q_dead_links": q_dead_links,
+        "q_focal_stats": q_focal_stats,
+        "q_voronoi": q_voronoi,
+        "q_bfs_hops": q_bfs_hops,
     }
 
 
@@ -10182,6 +10311,27 @@ def oracle_sql() -> dict[str, str]:
     out["q_line_of_sight"] = _line_of_sight_sql()
     out["q_data_mixture"] = _data_mixture_sql()
     out["q_dead_links"] = _dead_links_sql()
+    out["q_focal_stats"] = """
+            WITH pts AS (
+                SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                       ((event_id * 104729) % 36000) // 100 AS cy
+                FROM events),
+            cells AS MATERIALIZED (
+                SELECT cx, cy, COUNT(*) AS x FROM pts GROUP BY 1, 2),
+            foc AS (
+                SELECT a.cx + o.dx AS tx, a.cy + o.dy AS ty,
+                       (SUM(a.x))::BIGINT AS f_sum, MAX(a.x) AS f_max,
+                       MIN(a.x) AS f_min, COUNT(*) AS f_n
+                FROM cells a
+                JOIN (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0),
+                             (0, 1), (1, -1), (1, 0), (1, 1)) o(dx, dy)
+                  ON TRUE
+                GROUP BY 1, 2)
+            SELECT c.cx, c.cy, c.x, f.f_sum, f.f_max, f.f_min, f.f_n
+            FROM cells c JOIN foc f ON c.cx = f.tx AND c.cy = f.ty
+        """
+    out["q_voronoi"] = _voronoi_sql()
+    out["q_bfs_hops"] = _bfs_hops_sql()
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

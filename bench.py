@@ -233,6 +233,9 @@ BENCH_QUERIES = [
     "q_line_of_sight",
     "q_data_mixture",
     "q_dead_links",
+    "q_focal_stats",
+    "q_voronoi",
+    "q_bfs_hops",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

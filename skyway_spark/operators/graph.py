@@ -560,3 +560,67 @@ def ra_link_prediction(
         .limit(top_n)
         .select("a", "b", "n_common", "ra_score")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    roots: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Breadth-first shortest-hop distances from ``roots`` over a
+    directed edge list, bounded to ``max_hops`` levels, plus the
+    shortest-path fan-in (#distinct predecessors at hop-1).
+
+    Output (node, hop, n_parents); n_parents = 0 for roots.
+
+    Scale shape: the classic frontier-expansion BFS — each level is
+    ONE equi-join of the (shrinking) frontier against the edge list
+    plus an anti-join against the visited map, both keyed on node id;
+    the corpus-sized work is the first level, later levels shuffle
+    only the frontier.  localCheckpoint truncates the per-level
+    lineage (same discipline as connected_components), and the loop
+    exits early when a frontier is empty, so dense graphs stop at
+    their true eccentricity, not at max_hops."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        roots.select(F.col("node"), F.lit(0).alias("hop"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_t").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    par = (
+        visited.select(F.col("node").alias("p"), F.col("hop").alias("p_hop"))
+        .join(e, F.col("p") == F.col("_s"))
+        .select(F.col("_t").alias("node"), "p_hop", "p")
+    )
+    fan = (
+        visited.join(
+            par,
+            (visited["node"] == par["node"]) & (par["p_hop"] == visited["hop"] - 1),
+        )
+        .groupBy(visited["node"].alias("node"), visited["hop"].alias("hop"))
+        .agg(F.count_distinct("p").alias("n_parents"))
+    )
+    return (
+        visited.join(fan, ["node", "hop"], "left")
+        .select("node", "hop", F.coalesce("n_parents", F.lit(0).cast("long")).alias("n_parents"))
+    )

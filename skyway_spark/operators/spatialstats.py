@@ -607,3 +607,74 @@ def line_of_sight(
         F.size(inner).alias("n_blockers"),
     )
     return out.withColumn("visible", F.col("n_blockers") == 0)
+
+
+def focal_stats(cells: DataFrame) -> DataFrame:
+    """Raster map-algebra focal statistics: 3x3 queen+self window
+    sum / max / min / occupancy over a sparse integer cell raster.
+
+    Input (cx, cy, x) integer cell values; output one row per OCCUPIED
+    cell: (cx, cy, x, f_sum, f_max, f_min, f_n).
+
+    Scale shape — scatter/gather, not a theta join: every cell row
+    explodes into its 9 window *memberships* (a 9x fan-out of the
+    aggregate-sized cell table, never the corpus), then ONE
+    map-side-combined groupBy on the window-center key, then one
+    equi-join back onto the occupied cells.  At 10^12 rows upstream the
+    corpus has already collapsed to cells before this runs; the stencil
+    cost is 9x the *cell vocabulary*, the classic distributed-raster
+    focal pattern (contrast hot_spots' rook+self neighbor join, which
+    is the same idea specialized to G_i*)."""
+    offs = F.expr(
+        "flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+    )
+    scat = cells.select(
+        "cx", "cy", "x", F.explode(offs).alias("o")
+    ).select(
+        (F.col("o.dx") + F.col("cx")).alias("tx"),
+        (F.col("o.dy") + F.col("cy")).alias("ty"),
+        "x",
+    )
+    foc = scat.groupBy("tx", "ty").agg(
+        F.sum("x").alias("f_sum"),
+        F.max("x").alias("f_max"),
+        F.min("x").alias("f_min"),
+        F.count(F.lit(1)).alias("f_n"),
+    )
+    return cells.join(
+        foc,
+        (F.col("cx") == F.col("tx")) & (F.col("cy") == F.col("ty")),
+    ).select("cx", "cy", "x", "f_sum", "f_max", "f_min", "f_n")
+
+
+def discrete_voronoi(cells: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Discrete (raster) Voronoi partition: assign every occupied cell
+    to its nearest seed by squared Euclidean integer distance, ties
+    broken by seed rank — the raster twin of a nearest-facility join.
+
+    ``cells`` is (cx, cy, x); ``seeds`` is (sx, sy, seed_rk) and is
+    dimension-sized (top-k hot cells, facility sites, ...).  Output
+    (cx, cy, x, seed_rk, d2).
+
+    Scale shape: the seed table broadcasts (it is k rows); the argmin
+    is ONE map-side-combined groupBy min(struct(d2, rk)) — no sort, no
+    window, and the cell table never shuffles on a skewed key.  All
+    arithmetic is int64 (coords are grid indices, d2 exact)."""
+    j = cells.crossJoin(F.broadcast(seeds))
+    dx = F.col("cx") - F.col("sx")
+    dy = F.col("cy") - F.col("sy")
+    best = (
+        j.select(
+            "cx", "cy", "x",
+            F.struct(
+                (dx * dx + dy * dy).cast("long").alias("d2"),
+                F.col("seed_rk").alias("seed_rk"),
+            ).alias("cand"),
+        )
+        .groupBy("cx", "cy", "x")
+        .agg(F.min("cand").alias("b"))
+    )
+    return best.select(
+        "cx", "cy", "x", F.col("b.seed_rk").alias("seed_rk"), F.col("b.d2").alias("d2")
+    )
