@@ -6336,6 +6336,52 @@ def _bfs_hops_sql() -> str:
     """
 
 
+def q_concordance(spark, sf):
+    """KWIC concordance for the token 'table' over documents: split /
+    posexplode / slice / array_join, all JVM Column work in the scan
+    stage (operators/textstats.concordance)."""
+    from skyway_spark.operators.textstats import concordance
+
+    (docs,) = _tables(spark, sf, "documents")
+    return concordance(docs, "table", ctx=2)
+
+
+def q_rle_raster(spark, sf):
+    """Run-length structure of the occupied event-cell raster, row by
+    row (n_cells / n_runs / max_run per cy) — gaps-and-islands lag
+    trick, one shuffle partitioned by raster row
+    (operators/spatialstats.rle_rows)."""
+    from skyway_spark.operators import spatialstats
+
+    return spatialstats.rle_rows(_event_cells_int(spark, sf).drop("ts"))
+
+
+def q_acf(spark, sf):
+    """Integer autocorrelation raw moments of the hourly event-count
+    series at lags 1..24 — broadcast lag list, ONE self equi-join on
+    the shifted hour key over the aggregate-sized series; all sums
+    exact int64, normalization deferred
+    (operators/timeseries.acf_counts)."""
+    from skyway_spark.operators.timeseries import acf_counts
+
+    (ev,) = _tables(spark, sf, "events")
+    counts = ev.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).alias("x"))
+    return acf_counts(counts, max_lag=24)
+
+
+def q_kmv_distinct(spark, sf):
+    """KMV bottom-k distinct sketch per event type (k=64) with exact
+    distinct-hash count alongside its (k-1)*P/h_(k) estimate — the
+    mergeable bottom-k cardinality estimator; floor division kept
+    integer on both engines (operators/sketches.kmv_distinct)."""
+    from skyway_spark.operators.sketches import kmv_distinct
+
+    (ev,) = _tables(spark, sf, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order each round.  Round 3 rotates
@@ -6596,6 +6642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_focal_stats": q_focal_stats,
         "q_voronoi": q_voronoi,
         "q_bfs_hops": q_bfs_hops,
+        "q_concordance": q_concordance,
+        "q_rle_raster": q_rle_raster,
+        "q_acf": q_acf,
+        "q_kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -10332,6 +10382,81 @@ def oracle_sql() -> dict[str, str]:
         """
     out["q_voronoi"] = _voronoi_sql()
     out["q_bfs_hops"] = _bfs_hops_sql()
+    out["q_concordance"] = """
+            WITH toks AS (
+                SELECT doc_id AS id, string_split(text, ' ') AS t
+                FROM documents),
+            hits AS (
+                SELECT id, t,
+                       unnest(range(1, len(t) + 1)) AS pos,
+                       unnest(t) AS tok
+                FROM toks)
+            SELECT id, pos,
+                   COALESCE(array_to_string(
+                       t[GREATEST(1, pos - 2):pos - 1], ' '), '') AS left_ctx,
+                   COALESCE(array_to_string(
+                       t[pos + 1:LEAST(len(t), pos + 2)], ' '), '') AS right_ctx
+            FROM hits WHERE tok = 'table'
+        """
+    out["q_rle_raster"] = """
+            WITH pts AS (
+                SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                       ((event_id * 104729) % 36000) // 100 AS cy
+                FROM events),
+            cells AS (SELECT DISTINCT cx, cy FROM pts),
+            m AS (
+                SELECT cx, cy,
+                       CASE WHEN lag(cx) OVER w IS NULL
+                                 OR cx - lag(cx) OVER w != 1
+                            THEN 1 ELSE 0 END AS is_start
+                FROM cells
+                WINDOW w AS (PARTITION BY cy ORDER BY cx)),
+            r AS (
+                SELECT cy,
+                       SUM(is_start) OVER (PARTITION BY cy ORDER BY cx
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+                FROM m),
+            pr AS (SELECT cy, run_id, COUNT(*) AS run_len
+                   FROM r GROUP BY 1, 2)
+            SELECT cy, (SUM(run_len))::BIGINT AS n_cells,
+                   COUNT(*) AS n_runs, MAX(run_len) AS max_run
+            FROM pr GROUP BY 1
+        """
+    out["q_acf"] = """
+            WITH e AS (
+                SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+            c AS MATERIALIZED (
+                SELECT h, COUNT(*) AS x FROM e GROUP BY 1),
+            l AS (SELECT unnest(range(1, 25)) AS lag),
+            j AS (
+                SELECT l.lag, a.x AS xa, b.x AS xb
+                FROM l JOIN c a ON TRUE
+                JOIN c b ON b.h = a.h + l.lag)
+            SELECT lag, COUNT(*) AS n_pairs,
+                   (SUM(xa * xb))::BIGINT AS sum_xy,
+                   (SUM(xa))::BIGINT AS sum_x,
+                   (SUM(xb))::BIGINT AS sum_y,
+                   (SUM(xa * xa))::BIGINT AS sum_xx,
+                   (SUM(xb * xb))::BIGINT AS sum_yy
+            FROM j GROUP BY 1
+        """
+    out["q_kmv_distinct"] = """
+            WITH dh AS (
+                SELECT event_type AS g,
+                       (user_id * 1103515245 + 12345) % 2147483647 AS h
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT g, h,
+                         row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                  FROM dh),
+            a AS (SELECT g, COUNT(*) AS n_hashes,
+                         MAX(CASE WHEN rn = 64 THEN h END) AS kth_min
+                  FROM r GROUP BY 1)
+            SELECT g AS event_type, n_hashes, kth_min,
+                   CASE WHEN kth_min IS NOT NULL
+                        THEN ((63::BIGINT) * 2147483647) // kth_min
+                        ELSE n_hashes END AS kmv_est
+            FROM a
+        """
     out["q_host_components"] = f"""
             WITH RECURSIVE l AS ({_linked_links_sql(LINKED_PAGES_N)}),
             hg AS (SELECT src_host, dst_host FROM l

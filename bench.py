@@ -236,6 +236,10 @@ BENCH_QUERIES = [
     "q_focal_stats",
     "q_voronoi",
     "q_bfs_hops",
+    "q_concordance",
+    "q_rle_raster",
+    "q_acf",
+    "q_kmv_distinct",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

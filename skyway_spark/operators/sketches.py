@@ -232,3 +232,55 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per
+    group, with its estimate checked against the exact hash-distinct
+    count: hash every value into [0, PRIME), keep the k smallest
+    DISTINCT hashes per group, and estimate D ~ (k-1) * PRIME / h_(k)
+    — the mergeable bottom-k alternative to HLL when you also need the
+    sample of survivors (the same sketch family as the repo's
+    deterministic bottom-k sampler, pointed at cardinality).
+
+    Output (group, n_hashes, kth_min, kmv_est): n_hashes = exact
+    distinct-hash count, kth_min = the k-th smallest hash (null when
+    the group has fewer than k distinct values — the estimator then
+    falls back to the exact count), kmv_est integer floor-division.
+
+    Scale shape: ONE groupBy to distinct (group, hash) — map-side
+    combined, the only corpus-sized shuffle — then a bounded per-group
+    sort of the distinct-hash table.  At web scale the distinct table
+    is vocabulary-sized; nothing global sorts."""
+    from pyspark.sql import Window
+
+    h = F.pmod(
+        F.col(value_col).cast("long") * F.lit(_A1) + F.lit(_B1), F.lit(PRIME)
+    )
+    dh = (
+        df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .groupBy("g", "h")
+        .agg(F.lit(1).alias("__one"))
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = dh.select(
+        "g", "h", F.row_number().over(w).alias("rn")
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_min"),
+    )
+    # integer floor division (both sides positive, so trunc == floor and
+    # Spark `div` matches DuckDB `//` exactly — no float round-trip)
+    est = F.when(
+        F.col("kth_min").isNotNull(),
+        F.expr(f"CAST({(k - 1) * PRIME} AS BIGINT) div kth_min"),
+    ).otherwise(F.col("n_hashes"))
+    return agg.select(
+        F.col("g").alias(group_col), "n_hashes", "kth_min", est.alias("kmv_est")
+    )

@@ -678,3 +678,45 @@ def discrete_voronoi(cells: DataFrame, seeds: DataFrame) -> DataFrame:
     return best.select(
         "cx", "cy", "x", F.col("b.seed_rk").alias("seed_rk"), F.col("b.d2").alias("d2")
     )
+
+
+def rle_rows(cells: DataFrame) -> DataFrame:
+    """Run-length structure of a sparse raster, row by row: for each
+    raster row cy, the occupied-cell count, the number of maximal runs
+    of consecutive occupied cells, and the longest run — the RLE size
+    accounting a tile compressor or coverage-mask encoder needs before
+    choosing an encoding.
+
+    Input (cx, cy, ...) occupied cells (any extra columns ignored).
+    Output (cy, n_cells, n_runs, max_run).
+
+    Scale shape: ONE shuffle partitioned by cy (each raster row sorts
+    independently — no global sort), the gaps-and-islands lag trick
+    for run boundaries, then a per-row aggregate.  Row widths are
+    bounded by the grid, so no partition outgrows memory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cy").orderBy("cx")
+    runs = cells.select("cx", "cy").distinct().select(
+        "cx",
+        "cy",
+        F.when(
+            F.lag("cx").over(w).isNull() | (F.col("cx") - F.lag("cx").over(w) != 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    run_ids = runs.select(
+        "cx",
+        "cy",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    per_run = run_ids.groupBy("cy", "run_id").agg(F.count(F.lit(1)).alias("run_len"))
+    return per_run.groupBy("cy").agg(
+        F.sum("run_len").alias("n_cells"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("max_run"),
+    )

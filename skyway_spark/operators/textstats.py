@@ -946,3 +946,47 @@ def span_corrupt(
             ),
         ).alias("targets"),
     )
+
+
+def concordance(
+    docs: DataFrame,
+    term: str,
+    ctx: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """KWIC (keyword-in-context) concordance: every occurrence of
+    ``term`` as a whitespace token, with up to ``ctx`` tokens of left
+    and right context — the corpus-linguistics view of a query term,
+    and the snippet generator of a search stack.
+
+    Output (id, pos, left_ctx, right_ctx); pos is the 1-based token
+    position.  Everything is JVM Column work in the scan stage
+    (split / posexplode / slice / array_join): the only shuffle is
+    whatever the caller does with the hits, and the token array is
+    staged through one select so posexplode and the slices reference a
+    single computed array, not three re-computations (the repo's
+    HOF-staging discipline)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("t")
+    )
+    hits = toks.select(
+        "id", "t", F.posexplode("t").alias("p0", "tok")
+    ).where(F.col("tok") == term)
+    pos = F.col("p0") + 1  # 1-based
+    left_start = F.greatest(F.lit(1), pos - ctx)
+    return hits.select(
+        "id",
+        pos.cast("long").alias("pos"),
+        F.array_join(
+            F.slice(F.col("t"), left_start, pos - left_start), " "
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice(
+                F.col("t"),
+                pos + 1,
+                F.least(F.lit(ctx), F.size("t") - pos),
+            ),
+            " ",
+        ).alias("right_ctx"),
+    )

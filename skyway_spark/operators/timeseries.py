@@ -229,3 +229,39 @@ def interval_union(
             F.sum(F.col("ie") - F.col("is_")).alias("covered"),
         )
     )
+
+
+def acf_counts(
+    counts: DataFrame,
+    max_lag: int = 24,
+    key: str = "h",
+    val: str = "x",
+) -> DataFrame:
+    """Integer autocorrelation raw moments of a regularly-keyed count
+    series at lags 1..max_lag: for each lag the number of aligned
+    pairs and the exact int64 sums (sum x_t*x_{t+lag}, sum x_t,
+    sum x_{t+lag}, sum of squares of both ends), from which any ACF
+    normalization is one engine-local float step — the seasonality
+    detector over event volumes, kept engine-exact by deferring the
+    division (same discipline as morans_i / variogram).
+
+    Scale shape: ``counts`` is already aggregate-sized (one row per
+    hour/bucket); the lag alignment is a broadcast of the lag list
+    crossed with the series and ONE self equi-join on the shifted key
+    — never a window over an unpartitioned global sort."""
+    lags = F.explode(
+        F.sequence(F.lit(1).cast("long"), F.lit(max_lag).cast("long"))
+    ).alias("lag")
+    a = counts.select(F.col(key).alias("ha"), F.col(val).alias("xa")).crossJoin(
+        counts.sparkSession.range(1).select(lags)
+    )
+    b = counts.select(F.col(key).alias("hb"), F.col(val).alias("xb"))
+    j = a.join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+    return j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sum_xy"),
+        F.sum("xa").alias("sum_x"),
+        F.sum("xb").alias("sum_y"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sum_xx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("sum_yy"),
+    )

@@ -74,3 +74,59 @@ def test_bfs_hops_respects_bound(spark):
     out = bfs_hops(edges, roots, max_hops=3)
     assert out.agg(F.max("hop")).first()[0] == 3
     assert out.count() == 4
+
+
+def test_concordance_contexts(spark):
+    from skyway_spark.operators.textstats import concordance
+
+    docs = spark.createDataFrame(
+        [(1, "table a b table c"), (2, "x table"), (3, "no hits here")],
+        "doc_id long, text string",
+    )
+    out = {(r.id, r.pos): r for r in concordance(docs, "table").collect()}
+    assert set(out) == {(1, 1), (1, 4), (2, 2)}
+    assert (out[(1, 1)].left_ctx, out[(1, 1)].right_ctx) == ("", "a b")
+    assert (out[(1, 4)].left_ctx, out[(1, 4)].right_ctx) == ("a b", "c")
+    assert (out[(2, 2)].left_ctx, out[(2, 2)].right_ctx) == ("x", "")
+
+
+def test_rle_rows_runs(spark):
+    from skyway_spark.operators.spatialstats import rle_rows
+
+    cells = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (7, 0), (5, 1)], "cx long, cy long"
+    )
+    out = {r.cy: r for r in rle_rows(cells).collect()}
+    assert (out[0].n_cells, out[0].n_runs, out[0].max_run) == (4, 2, 3)
+    assert (out[1].n_cells, out[1].n_runs, out[1].max_run) == (1, 1, 1)
+
+
+def test_acf_counts_lag_alignment(spark):
+    from skyway_spark.operators.timeseries import acf_counts
+
+    counts = spark.createDataFrame(
+        [(0, 2), (1, 3), (2, 5), (4, 7)], "h long, x long"
+    )
+    out = {r.lag: r for r in acf_counts(counts, max_lag=2).collect()}
+    # lag 1: (0,1) (1,2) pairs -> 2*3 + 3*5 = 21; (3,4) missing, (2,3) missing
+    assert (out[1].n_pairs, out[1].sum_xy) == (2, 21)
+    # lag 2: (0,2) and (2,4) -> 2*5 + 5*7 = 45
+    assert (out[2].n_pairs, out[2].sum_xy, out[2].sum_x, out[2].sum_y) == (
+        2, 45, 7, 12,
+    )
+
+
+def test_kmv_distinct_small_group_falls_back(spark):
+    from skyway_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 2, 1]] + [("b", v) for v in range(200)],
+        "g string, v long",
+    )
+    out = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    # group a has 3 distinct values < k -> exact fallback
+    assert out["a"].kth_min is None and out["a"].kmv_est == 3
+    r = out["b"]
+    assert r.n_hashes == 200 and r.kth_min is not None
+    # estimate within a loose multiplicative band of the truth
+    assert 200 / 3 <= r.kmv_est <= 200 * 3
