@@ -6336,6 +6336,85 @@ def _bfs_hops_sql() -> str:
     """
 
 
+RESAMPLE_STEP_US = 21_600_000_000  # 6 h
+
+
+def q_resample_track(spark, sf):
+    """Linear resampling of each user's event track onto a fixed 6-hour
+    grid — union + ONE window pass brackets every grid instant with its
+    neighboring points; interpolated positions are exact int64 via the
+    pmod floor-division identity (operators/trajectory.resample_tracks)."""
+    from pyspark.sql import Window
+
+    from skyway_spark.operators.trajectory import resample_tracks
+
+    (ev,) = _tables(spark, sf, "events")
+    raw = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        ((F.col("event_id") * 104729) % 36000).alias("x"),
+        (((F.col("user_id") + F.col("event_id")) * 7919) % 17000).alias("y"),
+    )
+    w = Window.partitionBy("user_id", "t").orderBy("event_id")
+    pts = (
+        raw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "t", "x", "y")
+    )
+    return resample_tracks(pts, RESAMPLE_STEP_US)
+
+
+def _resample_track_sql() -> str:
+    S = RESAMPLE_STEP_US
+    return f"""
+        WITH p0 AS (
+            SELECT user_id, epoch_us(ts) AS t,
+                   (event_id * 104729) % 36000 AS x,
+                   ((user_id + event_id) * 7919) % 17000 AS y,
+                   row_number() OVER (
+                       PARTITION BY user_id, epoch_us(ts)
+                       ORDER BY event_id) AS rn
+            FROM events),
+        pts AS MATERIALIZED (
+            SELECT user_id, t, x, y FROM p0 WHERE rn = 1),
+        b AS (SELECT user_id, MIN(t) AS ta, MAX(t) AS tb
+              FROM pts GROUP BY 1),
+        grid AS (
+            SELECT user_id,
+                   unnest(range(((ta + {S - 1}) // {S}) * {S}, tb, {S})) AS g
+            FROM b WHERE ((ta + {S - 1}) // {S}) * {S} < tb),
+        pre AS (
+            SELECT * FROM (
+                SELECT g.user_id, g.g, p.t, p.x, p.y,
+                       row_number() OVER (PARTITION BY g.user_id, g.g
+                           ORDER BY p.t DESC) AS rn
+                FROM grid g JOIN pts p
+                  ON p.user_id = g.user_id AND p.t <= g.g)
+            WHERE rn = 1),
+        nxt AS (
+            SELECT * FROM (
+                SELECT g.user_id, g.g, p.t, p.x, p.y,
+                       row_number() OVER (PARTITION BY g.user_id, g.g
+                           ORDER BY p.t ASC) AS rn
+                FROM grid g JOIN pts p
+                  ON p.user_id = g.user_id AND p.t > g.g)
+            WHERE rn = 1),
+        j AS (
+            SELECT pr.user_id, pr.g,
+                   nx.t - pr.t AS dt,
+                   pr.x AS x0, pr.y AS y0,
+                   (nx.x - pr.x) * (pr.g - pr.t) AS nxv,
+                   (nx.y - pr.y) * (pr.g - pr.t) AS nyv
+            FROM pre pr JOIN nxt nx
+              ON nx.user_id = pr.user_id AND nx.g = pr.g)
+        SELECT user_id, g,
+               x0 + ((nxv - (((nxv % dt) + dt) % dt)) // dt) AS xi,
+               y0 + ((nyv - (((nyv % dt) + dt) % dt)) // dt) AS yi
+        FROM j
+    """
+
+
 def q_concordance(spark, sf):
     """KWIC concordance for the token 'table' over documents: split /
     posexplode / slice / array_join, all JVM Column work in the scan
@@ -6646,6 +6725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rle_raster": q_rle_raster,
         "q_acf": q_acf,
         "q_kmv_distinct": q_kmv_distinct,
+        "q_resample_track": q_resample_track,
     }
 
 
@@ -10382,6 +10462,7 @@ def oracle_sql() -> dict[str, str]:
         """
     out["q_voronoi"] = _voronoi_sql()
     out["q_bfs_hops"] = _bfs_hops_sql()
+    out["q_resample_track"] = _resample_track_sql()
     out["q_concordance"] = """
             WITH toks AS (
                 SELECT doc_id AS id, string_split(text, ' ') AS t

@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "q_rle_raster",
     "q_acf",
     "q_kmv_distinct",
+    "q_resample_track",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

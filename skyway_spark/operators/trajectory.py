@@ -501,3 +501,89 @@ def heading_octants(
             "n_moves",
         )
     )
+
+
+def resample_tracks(
+    pts,
+    step: int,
+    user: str = "user_id",
+    t: str = "t",
+    x: str = "x",
+    y: str = "y",
+):
+    """Resample irregular integer tracks onto a fixed time grid by
+    linear interpolation — the align-before-compare primitive behind
+    track distance measures, OD matrices and map matching.
+
+    ``pts`` is one row per (user, t) with integer position (x, y) and
+    strictly increasing t per user; output is (user, g, xi, yi) for
+    every grid instant g (multiple of ``step``) strictly inside the
+    track's [t_min, t_max).
+
+    Exactness: xi = x0 + floor((x1-x0)*(g-t0) / (t1-t0)) computed with
+    the pmod floor-division identity, so the interpolated position is
+    engine-exact int64 even when the segment slope is negative (Spark
+    ``div`` and DuckDB ``//`` truncate toward zero; floor differs on
+    negative numerators — VERDICT r1's floor-div trap, handled in the
+    operator, mirrored in the oracle).
+
+    Scale shape: the union-then-ONE-sort-shuffle as-of pattern
+    (operators/asof.py): grid instants and track points union into one
+    relation partitioned by user, a single window pass annotates every
+    grid row with its bracketing points (last/first ignoreNulls), and
+    interpolation is scan-stage Column math.  No per-user loops, no
+    grid x track join blowup."""
+    from pyspark.sql import Window
+
+    b = pts.groupBy(user).agg(F.min(t).alias("ta"), F.max(t).alias("tb"))
+    gs = F.expr(f"((ta + {step - 1}) div {step}) * {step}")
+    grid = (
+        b.select(F.col(user), gs.alias("gs"), "tb")
+        .where(F.col("gs") < F.col("tb"))
+        .select(
+            user,
+            F.explode(
+                F.sequence(
+                    F.col("gs"), F.col("tb") - 1, F.lit(step).cast("long")
+                )
+            ).alias("tt"),
+        )
+    )
+    p = pts.select(
+        user, F.col(t).alias("tt"), F.col(x).alias("_x"), F.col(y).alias("_y"),
+        F.lit(1).alias("is_pt"),
+    )
+    g = grid.select(
+        user, "tt", F.lit(None).cast("long").alias("_x"),
+        F.lit(None).cast("long").alias("_y"), F.lit(0).alias("is_pt"),
+    )
+    u = p.unionByName(g)
+    w = Window.partitionBy(user).orderBy("tt", F.col("is_pt").desc())
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    pt = F.when(
+        F.col("is_pt") == 1,
+        F.struct(F.col("tt").alias("t"), F.col("_x").alias("x"), F.col("_y").alias("y")),
+    )
+    ann = u.select(
+        user, "tt", "is_pt",
+        F.last(pt, ignorenulls=True).over(wb).alias("p0"),
+        F.first(pt, ignorenulls=True).over(wf).alias("p1"),
+    ).where(
+        (F.col("is_pt") == 0) & F.col("p0").isNotNull() & F.col("p1").isNotNull()
+    )
+    staged = ann.select(
+        F.col(user).alias("u"),
+        F.col("tt").alias("g"),
+        (F.col("p1.t") - F.col("p0.t")).alias("dt"),
+        F.col("p0.x").alias("x0"),
+        F.col("p0.y").alias("y0"),
+        ((F.col("p1.x") - F.col("p0.x")) * (F.col("tt") - F.col("p0.t"))).alias("nx"),
+        ((F.col("p1.y") - F.col("p0.y")) * (F.col("tt") - F.col("p0.t"))).alias("ny"),
+    )
+    return staged.select(
+        F.col("u").alias(user),
+        "g",
+        (F.col("x0") + F.expr("(nx - pmod(nx, dt)) div dt")).alias("xi"),
+        (F.col("y0") + F.expr("(ny - pmod(ny, dt)) div dt")).alias("yi"),
+    )

@@ -130,3 +130,34 @@ def test_kmv_distinct_small_group_falls_back(spark):
     assert r.n_hashes == 200 and r.kth_min is not None
     # estimate within a loose multiplicative band of the truth
     assert 200 / 3 <= r.kmv_est <= 200 * 3
+
+
+def test_resample_tracks_interpolation(spark):
+    from skyway_spark.operators.trajectory import resample_tracks
+
+    # one user: points at t=5,25 moving x 0->10, y 100->90 (negative slope)
+    pts = spark.createDataFrame(
+        [(1, 5, 0, 100), (1, 25, 10, 90), (2, 3, 7, 7)],
+        "user_id long, t long, x long, y long",
+    )
+    out = {(r.user_id, r.g): r for r in resample_tracks(pts, 10).collect()}
+    # grid for user 1: 10, 20 (both < 25); user 2 has a single point -> none
+    assert set(out) == {(1, 10), (1, 20)}
+    # t=10: x = 0 + floor(10*5/20) = 2; y = 100 + floor(-10*5/20) = 100 + (-3) = 97
+    assert (out[(1, 10)].xi, out[(1, 10)].yi) == (2, 97)
+    # t=20: x = floor(10*15/20) = 7; y = 100 + floor(-10*15/20) = 100 - 8 = 92
+    assert (out[(1, 20)].xi, out[(1, 20)].yi) == (7, 92)
+
+
+def test_resample_tracks_on_grid_point_is_exact(spark):
+    from skyway_spark.operators.trajectory import resample_tracks
+
+    pts = spark.createDataFrame(
+        [(1, 0, 3, 4), (1, 10, 13, 14), (1, 20, 23, 24)],
+        "user_id long, t long, x long, y long",
+    )
+    out = {r.g: r for r in resample_tracks(pts, 10).collect()}
+    # g=0 and g=10 coincide with points -> exact positions; g=20 excluded (== t_max)
+    assert set(out) == {0, 10}
+    assert (out[0].xi, out[0].yi) == (3, 4)
+    assert (out[10].xi, out[10].yi) == (13, 14)
