@@ -6337,6 +6337,107 @@ def _bfs_hops_sql() -> str:
 
 
 RESAMPLE_STEP_US = 21_600_000_000  # 6 h
+DILATE_THR, DILATE_R = 4, 2
+MK_TOP = 20
+
+
+def q_dilate(spark, sf):
+    """Morphological dilation (radius-2 Chebyshev buffer) of the hot
+    event cells (count >= 4): scatter/gather stencil over the
+    aggregate-sized source set, min-distance + coverage per buffered
+    cell (operators/spatialstats.dilate_cells)."""
+    from skyway_spark.operators import spatialstats
+
+    cells = spatialstats.cell_counts(_event_cells_int(spark, sf).drop("ts"))
+    src = cells.where(F.col("x") >= DILATE_THR).select("cx", "cy")
+    return spatialstats.dilate_cells(src, radius=DILATE_R)
+
+
+def _dilate_sql() -> str:
+    return f"""
+        WITH pts AS (
+            SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                   ((event_id * 104729) % 36000) // 100 AS cy
+            FROM events),
+        cells AS (SELECT cx, cy, COUNT(*) AS x FROM pts GROUP BY 1, 2),
+        src AS (SELECT cx, cy FROM cells WHERE x >= {DILATE_THR}),
+        scat AS (
+            SELECT s.cx + o.dx AS cx, s.cy + o.dy AS cy,
+                   GREATEST(ABS(o.dx), ABS(o.dy))::BIGINT AS d
+            FROM src s
+            CROSS JOIN (SELECT tx.dx, ty.dy
+                        FROM range({-DILATE_R}, {DILATE_R + 1}) tx(dx),
+                             range({-DILATE_R}, {DILATE_R + 1}) ty(dy)) o)
+        SELECT cx, cy, MIN(d) AS d_cheb, COUNT(*) AS n_sources
+        FROM scat GROUP BY 1, 2
+    """
+
+
+def q_mann_kendall(spark, sf):
+    """Mann-Kendall S statistic of the daily count series for the 20
+    hottest event cells — nonparametric trend detection next to
+    cell_trends' OLS slope; day pairs self-join only the
+    (cells x days)-sized aggregate (operators/spatialstats.mann_kendall)."""
+    from pyspark.sql import Window
+
+    from skyway_spark.operators import spatialstats
+
+    ev = _event_cells_int(spark, sf)
+    cells = spatialstats.cell_counts(ev.drop("ts")).localCheckpoint(eager=True)
+    top = (
+        cells.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("x").desc(), "cx", "cy")),
+        )
+        .where(F.col("rk") <= MK_TOP)
+        .select("cx", "cy")
+    )
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (
+        ev.join(F.broadcast(top), ["cx", "cy"])
+        .groupBy("cx", "cy", day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return spatialstats.mann_kendall(daily)
+
+
+def _mann_kendall_sql() -> str:
+    return f"""
+        WITH pts AS (
+            SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                   ((event_id * 104729) % 36000) // 100 AS cy,
+                   epoch_us(ts) // 86400000000 AS d
+            FROM events),
+        cells AS MATERIALIZED (
+            SELECT cx, cy, COUNT(*) AS x FROM pts GROUP BY 1, 2),
+        top AS (
+            SELECT cx, cy FROM (
+                SELECT cx, cy, row_number() OVER (
+                    ORDER BY x DESC, cx, cy) AS rk FROM cells)
+            WHERE rk <= {MK_TOP}),
+        daily AS MATERIALIZED (
+            SELECT p.cx, p.cy, p.d, COUNT(*) AS y
+            FROM pts p JOIN top USING (cx, cy)
+            GROUP BY 1, 2, 3),
+        pairs AS (
+            SELECT a.cx, a.cy,
+                   CASE WHEN b.y > a.y THEN 1
+                        WHEN b.y < a.y THEN -1 ELSE 0 END AS sg,
+                   CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS pos,
+                   CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS neg
+            FROM daily a JOIN daily b
+              ON a.cx = b.cx AND a.cy = b.cy AND a.d < b.d),
+        per AS (
+            SELECT cx, cy, COUNT(*) AS n_pairs,
+                   (SUM(pos))::BIGINT AS n_pos,
+                   (SUM(neg))::BIGINT AS n_neg,
+                   (SUM(sg))::BIGINT AS s
+            FROM pairs GROUP BY 1, 2),
+        nd AS (SELECT cx, cy, COUNT(*) AS n_days FROM daily GROUP BY 1, 2)
+        SELECT nd.cx, nd.cy, nd.n_days, per.n_pairs, per.n_pos,
+               per.n_neg, per.s
+        FROM nd JOIN per ON nd.cx = per.cx AND nd.cy = per.cy
+    """
 
 
 def q_resample_track(spark, sf):
@@ -6726,6 +6827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_acf": q_acf,
         "q_kmv_distinct": q_kmv_distinct,
         "q_resample_track": q_resample_track,
+        "q_dilate": q_dilate,
+        "q_mann_kendall": q_mann_kendall,
     }
 
 
@@ -10463,6 +10566,8 @@ def oracle_sql() -> dict[str, str]:
     out["q_voronoi"] = _voronoi_sql()
     out["q_bfs_hops"] = _bfs_hops_sql()
     out["q_resample_track"] = _resample_track_sql()
+    out["q_dilate"] = _dilate_sql()
+    out["q_mann_kendall"] = _mann_kendall_sql()
     out["q_concordance"] = """
             WITH toks AS (
                 SELECT doc_id AS id, string_split(text, ' ') AS t

@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     "q_acf",
     "q_kmv_distinct",
     "q_resample_track",
+    "q_dilate",
+    "q_mann_kendall",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

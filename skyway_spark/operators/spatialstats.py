@@ -720,3 +720,71 @@ def rle_rows(cells: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_runs"),
         F.max("run_len").alias("max_run"),
     )
+
+
+def dilate_cells(cells: DataFrame, radius: int = 2) -> DataFrame:
+    """Morphological dilation (raster buffer) of an occupied-cell set:
+    every cell within Chebyshev distance ``radius`` of a source cell,
+    with its distance to the nearest source and the number of sources
+    covering it — the integer-grid stand-in for a vector buffer, and
+    the precursor of coverage masks / safety margins around hot zones.
+
+    Input (cx, cy) source cells; output (cx, cy, d_cheb, n_sources)
+    over the dilated set (sources appear with d_cheb = 0).
+
+    Scale shape: the same scatter/gather stencil as focal_stats — each
+    source explodes into its (2r+1)^2 covered cells (a bounded fan-out
+    of the aggregate-sized source table), then ONE map-side-combined
+    groupBy takes min-distance and coverage count.  No theta join, no
+    distance predicate."""
+    k = radius
+    offs = F.expr(
+        f"flatten(transform(sequence({-k}, {k}), dx ->"
+        f" transform(sequence({-k}, {k}), dy -> struct(dx, dy))))"
+    )
+    scat = cells.select(
+        "cx", "cy", F.explode(offs).alias("o")
+    ).select(
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+        F.greatest(F.abs(F.col("o.dx")), F.abs(F.col("o.dy"))).cast("long").alias("d"),
+    )
+    return scat.groupBy(
+        F.col("tx").alias("cx"), F.col("ty").alias("cy")
+    ).agg(
+        F.min("d").alias("d_cheb"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+
+
+def mann_kendall(daily: DataFrame) -> DataFrame:
+    """Mann-Kendall trend statistic per cell — the nonparametric
+    sibling of cell_trends' OLS slope: S = sum over day pairs i<j of
+    sign(y_j - y_i), exact int64 (no ranks, no division; |S| large =
+    monotone trend, ties contribute 0).
+
+    Input (cx, cy, d, y) daily counts for a SMALL set of cells (the
+    caller pre-filters to its cells of interest — the pair blowup is
+    days^2 per cell, so this is a dimension-sized computation by
+    contract).  Output (cx, cy, n_days, n_pairs, n_pos, n_neg, s).
+
+    Scale shape: ONE self equi-join on the cell key over the
+    (cells x days)-sized aggregate; the corpus never joins."""
+    a = daily.select(
+        "cx", "cy", F.col("d").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "cx", "cy", F.col("d").alias("db"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, ["cx", "cy"]).where(F.col("da") < F.col("db"))
+    sgn = F.signum((F.col("yb") - F.col("ya")).cast("double")).cast("long")
+    per = pairs.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("yb") > F.col("ya"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("yb") < F.col("ya"), 1).otherwise(0)).alias("n_neg"),
+        F.sum(sgn).alias("s"),
+    )
+    nd = daily.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n_days"))
+    return nd.join(per, ["cx", "cy"]).select(
+        "cx", "cy", "n_days", "n_pairs", "n_pos", "n_neg", "s"
+    )

@@ -161,3 +161,31 @@ def test_resample_tracks_on_grid_point_is_exact(spark):
     assert set(out) == {0, 10}
     assert (out[0].xi, out[0].yi) == (3, 4)
     assert (out[10].xi, out[10].yi) == (13, 14)
+
+
+def test_dilate_cells_distances(spark):
+    from skyway_spark.operators.spatialstats import dilate_cells
+
+    src = spark.createDataFrame([(0, 0), (4, 0)], "cx long, cy long")
+    out = {(r.cx, r.cy): r for r in dilate_cells(src, radius=2).collect()}
+    # 2 sources x 25 cells with overlap at x=2 band
+    assert out[(0, 0)].d_cheb == 0 and out[(0, 0)].n_sources == 1
+    assert out[(2, 0)].d_cheb == 2 and out[(2, 0)].n_sources == 2
+    assert out[(6, 0)].d_cheb == 2 and out[(6, 0)].n_sources == 1
+    assert (3, 0) in out and out[(3, 0)].d_cheb == 1
+    assert (7, 0) not in out  # beyond radius of both
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    from skyway_spark.operators.spatialstats import mann_kendall
+
+    daily = spark.createDataFrame(
+        # cell A strictly rising, cell B constant
+        [(0, 0, d, d + 1) for d in range(4)] + [(1, 1, d, 5) for d in range(4)],
+        "cx long, cy long, d long, y long",
+    )
+    out = {(r.cx, r.cy): r for r in mann_kendall(daily).collect()}
+    a = out[(0, 0)]
+    assert (a.n_days, a.n_pairs, a.n_pos, a.n_neg, a.s) == (4, 6, 6, 0, 6)
+    b = out[(1, 1)]
+    assert (b.n_pairs, b.s) == (6, 0)
