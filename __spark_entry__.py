@@ -4766,6 +4766,91 @@ def _lcss_sql() -> str:
     """
 
 
+def q_frechet(spark, sf):
+    """Discrete Fréchet distance (Eiter-Mannila max-min DP, integer
+    Chebyshev pointwise metric) between each user's consecutive daily
+    tracks — the orderED-extreme companion to q_lcss_tracks (count)
+    and q_track_hausdorff (orderless extreme); batch-vectorized
+    mapInPandas DP over equi-joined track pairs
+    (operators/trajectory.frechet_tracks); the oracle unrolls the same
+    DP diagonal-by-diagonal in SQL."""
+    from skyway_spark.operators.trajectory import frechet_tracks
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+        ((F.col("user_id") * 7919 + F.col("event_id") * 131) % 17000).alias("x"),
+        ((F.col("event_id") * 104729) % 36000).alias("y"),
+        "ts",
+        "event_id",
+    )
+    return frechet_tracks(
+        pts,
+        entity="user_id",
+        track="day",
+        order_cols=("ts", "event_id"),
+        max_pts=LCSS_MAX_PTS,
+    )
+
+
+def _frechet_sql() -> str:
+    """Diagonal-unrolled Fréchet DP (same CTE-chain shape as
+    _lcss_sql): F[i][j] = max(d_ij, min(up, left, diag)) with BIG as
+    the +inf border and F[0][0] = 0 reached only from cell (1,1)."""
+    K = LCSS_MAX_PTS
+    BIG = 1 << 60
+    sql = f"""
+        WITH p AS (
+            SELECT user_id AS e,
+                   epoch_us(ts) // 86400000000 AS k,
+                   (user_id * 7919 + event_id * 131) % 17000 AS x,
+                   (event_id * 104729) % 36000 AS y,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, epoch_us(ts) // 86400000000
+                       ORDER BY ts, event_id) AS rn
+            FROM events),
+        q AS (SELECT * FROM p WHERE rn <= {K}),
+        b AS (SELECT e, k - 1 AS k, rn AS j, x AS bx, y AS by FROM q),
+        mt AS MATERIALIZED (
+            -- materialized for the same reason as _lcss_sql's mt: every
+            -- diagonal CTE references it
+            SELECT a.e, a.k, a.rn AS i, b.j,
+                   GREATEST(abs(a.x - b.bx), abs(a.y - b.by))::BIGINT AS d
+            FROM q a JOIN b ON a.e = b.e AND a.k = b.k),
+        na AS (SELECT e, k, MAX(i) AS n FROM mt GROUP BY 1, 2),
+        nb AS (SELECT e, k, MAX(j) AS m FROM mt GROUP BY 1, 2),
+        d0 AS (SELECT NULL::BIGINT AS e, NULL::BIGINT AS k,
+                      NULL::BIGINT AS i, NULL::BIGINT AS j, NULL::BIGINT AS v
+               WHERE false),
+        d1 AS (SELECT * FROM d0)"""
+    for d in range(2, 2 * K + 1):
+        sql += f""",
+        d{d} AS MATERIALIZED (
+            SELECT m.e, m.k, m.i, m.j,
+                   GREATEST(m.d, LEAST(
+                       COALESCE(u.v, {BIG}),
+                       COALESCE(l.v, {BIG}),
+                       CASE WHEN m.i = 1 AND m.j = 1 THEN 0
+                            ELSE COALESCE(g.v, {BIG}) END))::BIGINT AS v
+            FROM mt m
+            LEFT JOIN d{d - 1} u
+              ON u.e = m.e AND u.k = m.k AND u.i = m.i - 1 AND u.j = m.j
+            LEFT JOIN d{d - 1} l
+              ON l.e = m.e AND l.k = m.k AND l.i = m.i AND l.j = m.j - 1
+            LEFT JOIN d{d - 2} g
+              ON g.e = m.e AND g.k = m.k AND g.i = m.i - 1 AND g.j = m.j - 1
+            WHERE m.i + m.j = {d})"""
+    allc = " UNION ALL ".join(f"SELECT * FROM d{d}" for d in range(2, 2 * K + 1))
+    return sql + f""",
+        allc AS ({allc})
+        SELECT na.e AS user_id, na.k AS day, na.n::INT AS n_a, nb.m::INT AS n_b,
+               c.v AS frechet
+        FROM na JOIN nb ON na.e = nb.e AND na.k = nb.k
+        JOIN allc c ON c.e = na.e AND c.k = na.k AND c.i = na.n AND c.j = nb.m
+    """
+
+
 CUSUM_MU, CUSUM_K, CUSUM_H = 5000, 1000, 30000
 
 
@@ -6829,6 +6914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample_track": q_resample_track,
         "q_dilate": q_dilate,
         "q_mann_kendall": q_mann_kendall,
+        "q_frechet": q_frechet,
     }
 
 
@@ -10568,6 +10654,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_resample_track"] = _resample_track_sql()
     out["q_dilate"] = _dilate_sql()
     out["q_mann_kendall"] = _mann_kendall_sql()
+    out["q_frechet"] = _frechet_sql()
     out["q_concordance"] = """
             WITH toks AS (
                 SELECT doc_id AS id, string_split(text, ' ') AS t

@@ -433,6 +433,127 @@ def lcss_tracks(
     )
 
 
+def frechet_tracks(
+    points: DataFrame,
+    entity: str = "entity",
+    track: str = "track",
+    x: str = "x",
+    y: str = "y",
+    order_cols: tuple[str, ...] = ("ts",),
+    max_pts: int = 8,
+) -> DataFrame:
+    """Discrete Fréchet distance between an entity's CONSECUTIVE
+    tracks — the order-preserving "dog-leash" similarity (Eiter &
+    Mannila '94): the smallest max pointwise distance over all
+    monotone couplings of the two sequences.  Complements
+    lcss_tracks (noise-robust count) and track_hausdorff (orderless
+    extreme): Fréchet is the orderED extreme, so a track that doubles
+    back reads far even when its point SET is close.
+
+    All-integer: pointwise distance is Chebyshev max(|dx|, |dy|) on
+    the integer grid, and the DP F[i][j] = max(d_ij, min(F[i-1][j],
+    F[i][j-1], F[i-1][j-1])) (boundary F[0][0] = 0, other borders
+    +inf) only takes max/min of those integers — bit-exact on any
+    engine.
+
+    Scale shape: identical to lcss_tracks — candidate pairs are the
+    (entity, track)=(entity, track+1) EQUI-join (never a cross join),
+    tracks clip to ``max_pts`` points (one keyed window) and collapse
+    to single array rows, and the fixed max_pts^2-cell DP runs in
+    mapInPandas VECTORIZED ACROSS THE ARROW BATCH (numpy ops over
+    every pair at once; no per-group Python).
+
+    Output: (entity, track, n_a, n_b, frechet) comparing track with
+    track+1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    clipped = (
+        points.select(
+            F.col(entity).alias("e"),
+            F.col(track).alias("k"),
+            F.col(x).alias("px"),
+            F.col(y).alias("py"),
+            *[F.col(c) for c in order_cols],
+        )
+        .withColumn("i", F.row_number().over(
+            Window.partitionBy("e", "k").orderBy(*[F.col(c) for c in order_cols])
+        ))
+        .where(F.col("i") <= max_pts)
+        .select("e", "k", "i", "px", "py")
+    )
+    arrs = clipped.groupBy("e", "k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "px", "py"))),
+            lambda s: s["px"],
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "px", "py"))),
+            lambda s: s["py"],
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    b_side = arrs.select(
+        F.col("e"), (F.col("k") - 1).alias("k"),
+        F.col("xs").alias("bxs"), F.col("ys").alias("bys"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = arrs.join(b_side, ["e", "k"]).select(
+        "e", "k", "xs", "ys", F.col("n").alias("n_a"), "bxs", "bys", "n_b"
+    )
+
+    K = int(max_pts)
+    BIG = 1 << 60  # +inf stand-in: border cells and padded points
+
+    def dp(batches):
+        for pdf in batches:
+            B = len(pdf)
+            if B == 0:
+                continue
+
+            def pad(col):
+                # padded coords sit at 0: harmless, because the DP is
+                # only read at (n_a, n_b), inside the real region
+                out = np.zeros((B, K), dtype=np.int64)
+                for r, lst in enumerate(pdf[col]):
+                    v = np.asarray(lst, dtype=np.int64)
+                    out[r, : len(v)] = v
+                return out
+
+            ax, ay, bx, by = pad("xs"), pad("ys"), pad("bxs"), pad("bys")
+            d = np.maximum(
+                np.abs(ax[:, :, None] - bx[:, None, :]),
+                np.abs(ay[:, :, None] - by[:, None, :]),
+            )
+            Fm = np.full((B, K + 1, K + 1), BIG, dtype=np.int64)
+            Fm[:, 0, 0] = 0
+            for i in range(1, K + 1):
+                for j in range(1, K + 1):
+                    prev = np.minimum(
+                        np.minimum(Fm[:, i - 1, j], Fm[:, i, j - 1]),
+                        Fm[:, i - 1, j - 1],
+                    )
+                    Fm[:, i, j] = np.maximum(d[:, i - 1, j - 1], prev)
+            na = pdf["n_a"].to_numpy(np.int64)
+            nb = pdf["n_b"].to_numpy(np.int64)
+            fr = Fm[np.arange(B), na, nb]
+            yield pd.DataFrame(
+                {
+                    "e": pdf["e"].to_numpy(np.int64),
+                    "k": pdf["k"].to_numpy(np.int64),
+                    "n_a": pdf["n_a"].astype("int32"),
+                    "n_b": pdf["n_b"].astype("int32"),
+                    "frechet": fr,
+                }
+            )
+
+    out = pairs.mapInPandas(dp, "e long, k long, n_a int, n_b int, frechet long")
+    return out.select(
+        F.col("e").alias(entity), F.col("k").alias(track), "n_a", "n_b", "frechet"
+    )
+
+
 def heading_octants(
     points: DataFrame,
     entity_col: str = "user_id",
