@@ -6458,6 +6458,75 @@ def _dilate_sql() -> str:
     """
 
 
+def q_flow_accum(spark, sf):
+    """D8 flow accumulation over the occupied event-cell grid with a
+    deterministic synthetic elevation (tilted plane + hash noise):
+    steepest-descent flow direction, then upstream contributing-cell
+    counts via pointer-doubling closure — log(path length) join
+    rounds, not a per-step walk
+    (operators/spatialstats.flow_accumulation); the oracle follows the
+    same flow forest with a recursive CTE."""
+    from skyway_spark.operators import spatialstats
+
+    cells = (
+        _event_cells_int(spark, sf)
+        .select("cx", "cy")
+        .distinct()
+        .select(
+            "cx",
+            "cy",
+            (
+                3 * F.col("cx")
+                + 2 * F.col("cy")
+                + (F.col("cx") * 7919 + F.col("cy") * 104729) % 23
+            ).cast("long").alias("elev"),
+        )
+    )
+    return spatialstats.flow_accumulation(cells)
+
+
+def _flow_accum_sql() -> str:
+    return """
+        WITH RECURSIVE pts AS (
+            SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                   ((event_id * 104729) % 36000) // 100 AS cy
+            FROM events),
+        e AS MATERIALIZED (
+            SELECT cx, cy,
+                   (3 * cx + 2 * cy + (cx * 7919 + cy * 104729) % 23)::BIGINT
+                       AS elev
+            FROM (SELECT DISTINCT cx, cy FROM pts)),
+        nb AS (
+            SELECT a.cx, a.cy, b.elev AS ne, o.dx, o.dy,
+                   b.cx AS tx, b.cy AS ty
+            FROM e a
+            CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                               (1,-1),(1,0),(1,1)) o(dx, dy)
+            JOIN e b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+            WHERE b.elev < a.elev),
+        flow AS MATERIALIZED (
+            SELECT cx, cy, tx, ty FROM (
+                SELECT cx, cy, tx, ty, ROW_NUMBER() OVER (
+                    PARTITION BY cx, cy ORDER BY ne, dx, dy) AS rk
+                FROM nb)
+            WHERE rk = 1),
+        rec AS (
+            SELECT cx AS ax, cy AS ay, tx AS nx, ty AS ny FROM flow
+            UNION ALL
+            SELECT r.ax, r.ay, f.tx, f.ty
+            FROM rec r JOIN flow f ON f.cx = r.nx AND f.cy = r.ny),
+        acc AS (
+            SELECT nx AS cx, ny AS cy, COUNT(*) AS acc
+            FROM rec GROUP BY 1, 2)
+        SELECT e.cx, e.cy, e.elev,
+               COALESCE(acc.acc, 0)::BIGINT AS acc,
+               (flow.cx IS NULL) AS is_pit
+        FROM e
+        LEFT JOIN acc ON acc.cx = e.cx AND acc.cy = e.cy
+        LEFT JOIN flow ON flow.cx = e.cx AND flow.cy = e.cy
+    """
+
+
 def q_mann_kendall(spark, sf):
     """Mann-Kendall S statistic of the daily count series for the 20
     hottest event cells — nonparametric trend detection next to
@@ -6915,6 +6984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dilate": q_dilate,
         "q_mann_kendall": q_mann_kendall,
         "q_frechet": q_frechet,
+        "q_flow_accum": q_flow_accum,
     }
 
 
@@ -10655,6 +10725,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_dilate"] = _dilate_sql()
     out["q_mann_kendall"] = _mann_kendall_sql()
     out["q_frechet"] = _frechet_sql()
+    out["q_flow_accum"] = _flow_accum_sql()
     out["q_concordance"] = """
             WITH toks AS (
                 SELECT doc_id AS id, string_split(text, ' ') AS t
