@@ -6458,6 +6458,132 @@ def _dilate_sql() -> str:
     """
 
 
+LPA_ITERS = 3
+
+
+def q_label_communities(spark, sf):
+    """Functional-region detection: synchronous min-tie
+    label-propagation communities (3 rounds) over the mobility
+    transition graph — an edge per user's consecutive event-cell
+    move (the OD-flow partitioning technique for carving a city into
+    regions); rolled up to a (label, n_cells) community census.
+    The dense host LINK graph is the wrong substrate (mode-voting
+    floods it to one label in 2 rounds — measured); the movement
+    graph has per-column structure and stays plural
+    (operators/graph.label_propagation); oracle unrolls the 3
+    mode-vote rounds in SQL."""
+    from pyspark.sql import Window
+
+    from skyway_spark.operators.graph import label_propagation
+
+    (ev,) = _tables(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cx = (((F.col("user_id") * 7919) % 17000) / F.lit(100)).cast("long")
+    cy = (((F.col("event_id") * 104729) % 36000) / F.lit(100)).cast("long")
+    steps = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            (cx * 1000 + cy).alias("node"),
+        )
+        .withColumn("nxt", F.lead("node").over(w))
+        .where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("node")))
+    )
+    lab = label_propagation(
+        steps.select(F.col("node").alias("src"), F.col("nxt").alias("dst")),
+        iters=LPA_ITERS,
+    )
+    return lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_cells"))
+
+
+def _label_communities_sql() -> str:
+    sql = """
+        WITH pts AS (
+            SELECT user_id, ts, event_id,
+                   (((user_id * 7919) % 17000) // 100) * 1000
+                       + ((event_id * 104729) % 36000) // 100 AS node
+            FROM events),
+        st AS (
+            SELECT node, LEAD(node) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM pts),
+        e0 AS (SELECT DISTINCT node AS a, nxt AS b FROM st
+               WHERE nxt IS NOT NULL AND nxt <> node),
+        und AS (SELECT a, b FROM e0
+                UNION SELECT b AS a, a AS b FROM e0),
+        lab0 AS (SELECT DISTINCT a AS node, a AS label FROM und)"""
+    for t in range(1, LPA_ITERS + 1):
+        sql += f""",
+        v{t} AS (SELECT u.a AS node, p.label, COUNT(*) AS c
+                 FROM und u JOIN lab{t - 1} p ON p.node = u.b
+                 GROUP BY 1, 2),
+        w{t} AS (SELECT node, label FROM (
+                     SELECT node, label, ROW_NUMBER() OVER (
+                         PARTITION BY node ORDER BY c DESC, label) AS rk
+                     FROM v{t})
+                 WHERE rk = 1),
+        lab{t} AS (SELECT p.node, COALESCE(w.label, p.label) AS label
+                   FROM lab{t - 1} p LEFT JOIN w{t} w ON w.node = p.node)"""
+    sql += f"""
+        SELECT label, COUNT(*) AS n_cells
+        FROM lab{LPA_ITERS} GROUP BY label
+    """
+    return sql
+
+
+RAG_W, RAG_S = 24, 16
+
+
+def q_rag_chunks(spark, sf):
+    """RAG-corpus preparation: overlapping token-window chunking of
+    every document (width 24, stride 16 -> 8-token overlap), chunk
+    text re-joined whitespace-normalized — zero-shuffle, zero-Python
+    Column plan (operators/packing.chunk_windows); aggregated to
+    per-document chunk counts + a rolling chunk-text hash-free
+    checksum (total chars) so the oracle compares full chunk content
+    without a corpus-sized result."""
+    from skyway_spark.operators.packing import chunk_windows
+
+    (docs,) = _tables(spark, sf, "documents")
+    ch = chunk_windows(docs, width=RAG_W, stride=RAG_S)
+    return ch.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.length("chunk_text")).cast("long").alias("total_chars"),
+        F.max("start_tok").cast("long").alias("last_start"),
+        F.min("n_tokens").cast("long").alias("min_chunk"),
+    )
+
+
+def _rag_chunks_sql() -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0),
+        g AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= {RAG_W} THEN 1
+                        ELSE ((len(toks) - {RAG_W} + {RAG_S} - 1)
+                              // {RAG_S} + 1) END AS n_chunks
+            FROM t),
+        u AS (
+            SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM g),
+        ch AS (
+            SELECT doc_id,
+                   i AS chunk_id,
+                   i * {RAG_S} + 1 AS start_tok,
+                   toks[i * {RAG_S} + 1 : i * {RAG_S} + {RAG_W}] AS c
+            FROM u)
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               (SUM(len(c)))::BIGINT AS total_tokens,
+               (SUM(length(array_to_string(c, ' '))))::BIGINT AS total_chars,
+               (MAX(start_tok))::BIGINT AS last_start,
+               (MIN(len(c)))::BIGINT AS min_chunk
+        FROM ch GROUP BY doc_id
+    """
+
+
 def q_flow_accum(spark, sf):
     """D8 flow accumulation over the occupied event-cell grid with a
     deterministic synthetic elevation (tilted plane + hash noise):
@@ -6985,6 +7111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mann_kendall": q_mann_kendall,
         "q_frechet": q_frechet,
         "q_flow_accum": q_flow_accum,
+        "q_rag_chunks": q_rag_chunks,
+        "q_label_communities": q_label_communities,
     }
 
 
@@ -10726,6 +10854,8 @@ def oracle_sql() -> dict[str, str]:
     out["q_mann_kendall"] = _mann_kendall_sql()
     out["q_frechet"] = _frechet_sql()
     out["q_flow_accum"] = _flow_accum_sql()
+    out["q_rag_chunks"] = _rag_chunks_sql()
+    out["q_label_communities"] = _label_communities_sql()
     out["q_concordance"] = """
             WITH toks AS (
                 SELECT doc_id AS id, string_split(text, ' ') AS t

@@ -624,3 +624,58 @@ def bfs_hops(
         visited.join(fan, ["node", "hop"], "left")
         .select("node", "hop", F.coalesce("n_parents", F.lit(0).cast("long")).alias("n_parents"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. '07,
+    deterministic variant): labels start as each node's own id; every
+    round, each node adopts the most frequent label among its
+    UNDIRECTED neighbors, ties broken by smallest label.  Fixed
+    ``iters`` synchronous rounds (the async/random classic is
+    nondeterministic by construction; the synchronous min-tie variant
+    is bit-exact on any engine).  Distinct from connected_components:
+    mode-voting splits a connected graph into locally-dense
+    communities instead of flooding one label per component.
+
+    Output: (node, label) with string/integer labels drawn from node
+    ids.
+
+    Scale shape: per round ONE node-table join against the
+    (deduped, symmetrized) edge list plus one (node, label)-keyed
+    map-side-combined count and one node-keyed argmax — all
+    aggregate-sized; the corpus never re-enters.  Labels
+    localCheckpoint per round so the lineage stays flat.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint(eager=True)
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    lab = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(lab.select(F.col("node").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        win = votes.groupBy("node").agg(
+            F.min_by("label", F.struct((-F.col("c")).alias("nc"), "label")).alias(
+                "new_label"
+            )
+        )
+        lab = (
+            lab.join(win, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return lab

@@ -125,3 +125,66 @@ def next_fit_bins(
         "bin",
         F.expr(f"running_start div {int(capacity)}").cast("long"),
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    width: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping window chunking: cut each document's
+    token stream into windows of ``width`` tokens every ``stride``
+    tokens (stride < width = overlapping context windows, the standard
+    retrieval-corpus preparation; pack_sequences is the TRAINING-side
+    sibling that crosses document boundaries, this one never does).
+
+    Chunk grid: a document with n tokens gets
+    ``1 + ceil((n - width) / stride)`` chunks (one if n <= width); the
+    last chunk is allowed to run short, every token is covered, and
+    with stride <= width adjacent chunks overlap by width - stride
+    tokens.  Chunk text is the whitespace-normalized token slice
+    re-joined on single spaces (same r"\\s+" tokenization as every
+    textstats operator).
+
+    Output: (id, chunk_id, start_tok, n_tokens, chunk_text), 1-based
+    start_tok, chunk_id dense from 0 per document.
+
+    Scale shape: zero shuffles and zero Python — tokenize / sequence /
+    explode / slice / array_join are all JVM Column expressions in the
+    scan stage; output size is input tokens x (width / stride), the
+    unavoidable fan-out of overlapping windows.
+    """
+    if stride <= 0 or width <= 0 or stride > width:
+        raise ValueError("need 0 < stride <= width")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # floor(double) is exact here: token counts sit far below 2^53
+    n_chunks = F.when(n <= width, F.lit(1)).otherwise(
+        F.floor((n - width + stride - 1) / F.lit(stride)) + 1
+    ).cast("int")
+    out = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            toks.alias("t"),
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            (F.col("chunk_id") * stride + 1).alias("start_tok"),
+            F.slice(
+                F.col("t"), F.col("chunk_id") * stride + 1, width
+            ).alias("c"),
+        )
+    )
+    return out.select(
+        "id",
+        "chunk_id",
+        "start_tok",
+        F.size("c").alias("n_tokens"),
+        F.array_join("c", " ").alias("chunk_text"),
+    )
