@@ -6594,9 +6594,40 @@ def q_flow_accum(spark, sf):
     same flow forest with a recursive CTE."""
     from skyway_spark.operators import spatialstats
 
-    cells = (
-        _event_cells_int(spark, sf)
-        .select("cx", "cy")
+    return spatialstats.flow_accumulation(_flow_cells(spark, sf))
+
+
+def _flow_accum_sql() -> str:
+    return _terrain_sql_prefix() + """,
+        rec AS (
+            SELECT cx AS ax, cy AS ay, tx AS nx, ty AS ny FROM flow
+            UNION ALL
+            SELECT r.ax, r.ay, f.tx, f.ty
+            FROM rec r JOIN flow f ON f.cx = r.nx AND f.cy = r.ny),
+        acc AS (
+            SELECT nx AS cx, ny AS cy, COUNT(*) AS acc
+            FROM rec GROUP BY 1, 2)
+        SELECT e.cx, e.cy, e.elev,
+               COALESCE(acc.acc, 0)::BIGINT AS acc,
+               (flow.cx IS NULL) AS is_pit
+        FROM e
+        LEFT JOIN acc ON acc.cx = e.cx AND acc.cy = e.cy
+        LEFT JOIN flow ON flow.cx = e.cx AND flow.cy = e.cy
+    """
+
+
+def _flow_cells(spark, sf, res: int = 100):
+    """Occupied event cells + the deterministic synthetic elevation
+    (tilted plane + hash noise) shared by the terrain operators
+    (q_flow_accum / q_watershed at res=100; q_slope_aspect at res=500,
+    where the grid is dense enough to have interior cells)."""
+    (ev,) = _tables(spark, sf, "events")
+    cells = ev.select(
+        (((F.col("user_id") * 7919) % 17000) / F.lit(res)).cast("long").alias("cx"),
+        (((F.col("event_id") * 104729) % 36000) / F.lit(res)).cast("long").alias("cy"),
+    )
+    return (
+        cells
         .distinct()
         .select(
             "cx",
@@ -6604,22 +6635,29 @@ def q_flow_accum(spark, sf):
             (
                 3 * F.col("cx")
                 + 2 * F.col("cy")
-                + (F.col("cx") * 7919 + F.col("cy") * 104729) % 23
+                # quadratic hash: a LINEAR noise term has near-constant
+                # central differences (mod-23 residues repeat), which
+                # collapses the slope/aspect census to 3 combos
+                + (
+                    F.col("cx") * F.col("cx") * 31
+                    + F.col("cy") * F.col("cy") * 37
+                    + F.col("cx") * F.col("cy") * 41
+                ) % 97
             ).cast("long").alias("elev"),
         )
     )
-    return spatialstats.flow_accumulation(cells)
 
 
-def _flow_accum_sql() -> str:
-    return """
+def _terrain_sql_prefix(res: int = 100) -> str:
+    return f"""
         WITH RECURSIVE pts AS (
-            SELECT ((user_id * 7919) % 17000) // 100 AS cx,
-                   ((event_id * 104729) % 36000) // 100 AS cy
+            SELECT ((user_id * 7919) % 17000) // {res} AS cx,
+                   ((event_id * 104729) % 36000) // {res} AS cy
             FROM events),
         e AS MATERIALIZED (
             SELECT cx, cy,
-                   (3 * cx + 2 * cy + (cx * 7919 + cy * 104729) % 23)::BIGINT
+                   (3 * cx + 2 * cy
+                    + (cx * cx * 31 + cy * cy * 37 + cx * cy * 41) % 97)::BIGINT
                        AS elev
             FROM (SELECT DISTINCT cx, cy FROM pts)),
         nb AS (
@@ -6635,21 +6673,85 @@ def _flow_accum_sql() -> str:
                 SELECT cx, cy, tx, ty, ROW_NUMBER() OVER (
                     PARTITION BY cx, cy ORDER BY ne, dx, dy) AS rk
                 FROM nb)
-            WHERE rk = 1),
+            WHERE rk = 1)"""
+
+
+def q_watershed(spark, sf):
+    """Watershed delineation: basin census over the D8 flow forest —
+    every cell drains to the pit its steepest-descent path ends at;
+    roots found by pointer JUMPING (path halving, log rounds), the
+    dual of q_flow_accum's contributing-area count
+    (operators/spatialstats.watershed_basins); the oracle walks the
+    flow forest with a recursive CTE and keeps the pit-ending rows."""
+    from skyway_spark.operators import spatialstats
+
+    return spatialstats.watershed_basins(_flow_cells(spark, sf))
+
+
+def _watershed_sql() -> str:
+    return _terrain_sql_prefix() + """,
         rec AS (
-            SELECT cx AS ax, cy AS ay, tx AS nx, ty AS ny FROM flow
+            SELECT cx, cy, cx AS px, cy AS py FROM e
             UNION ALL
-            SELECT r.ax, r.ay, f.tx, f.ty
-            FROM rec r JOIN flow f ON f.cx = r.nx AND f.cy = r.ny),
-        acc AS (
-            SELECT nx AS cx, ny AS cy, COUNT(*) AS acc
-            FROM rec GROUP BY 1, 2)
-        SELECT e.cx, e.cy, e.elev,
-               COALESCE(acc.acc, 0)::BIGINT AS acc,
-               (flow.cx IS NULL) AS is_pit
-        FROM e
-        LEFT JOIN acc ON acc.cx = e.cx AND acc.cy = e.cy
-        LEFT JOIN flow ON flow.cx = e.cx AND flow.cy = e.cy
+            SELECT r.cx, r.cy, f.tx, f.ty
+            FROM rec r JOIN flow f ON f.cx = r.px AND f.cy = r.py),
+        roots AS (
+            SELECT r.cx, r.cy, r.px, r.py FROM rec r
+            WHERE NOT EXISTS (SELECT 1 FROM flow f
+                              WHERE f.cx = r.px AND f.cy = r.py)),
+        b AS (SELECT px AS basin_x, py AS basin_y, COUNT(*) AS n_cells
+              FROM roots GROUP BY 1, 2)
+        SELECT b.basin_x, b.basin_y, e.elev AS basin_elev, b.n_cells
+        FROM b JOIN e ON e.cx = b.basin_x AND e.cy = b.basin_y
+    """
+
+
+def q_slope_aspect(spark, sf):
+    """Slope/aspect terrain classes over interior cells of the same
+    synthetic elevation surface: integer central differences, aspect
+    = steepest-descent compass octant via the branch-free
+    double-reflection reduction (no atan2), slope class = squared
+    gradient bucket; (octant, slope_class) census, at the coarser
+    res=500 grid where occupancy is dense enough for interior cells
+    (operators/spatialstats.slope_aspect)."""
+    from skyway_spark.operators import spatialstats
+
+    return spatialstats.slope_aspect(_flow_cells(spark, sf, res=500))
+
+
+def _slope_aspect_sql() -> str:
+    return _terrain_sql_prefix(res=500) + """,
+        i AS (SELECT a.cx, a.cy,
+                     ee.elev - ww.elev AS dzdx, nn.elev - ss.elev AS dzdy
+              FROM e a
+              JOIN e ee ON ee.cx = a.cx + 1 AND ee.cy = a.cy
+              JOIN e ww ON ww.cx = a.cx - 1 AND ww.cy = a.cy
+              JOIN e nn ON nn.cx = a.cx AND nn.cy = a.cy + 1
+              JOIN e ss ON ss.cx = a.cx AND ss.cy = a.cy - 1),
+        g AS (SELECT dzdx * dzdx + dzdy * dzdy AS g2,
+                     -dzdx AS ax, -dzdy AS ay FROM i),
+        f1 AS (SELECT g2,
+                      CASE WHEN ay < 0 THEN -ax ELSE ax END AS x1,
+                      CASE WHEN ay < 0 THEN -ay ELSE ay END AS y1,
+                      CASE WHEN ay < 0 THEN 4 ELSE 0 END AS o1 FROM g),
+        f2 AS (SELECT g2,
+                      CASE WHEN x1 < 0 THEN y1 ELSE x1 END AS x2,
+                      CASE WHEN x1 < 0 THEN -x1 ELSE y1 END AS y2,
+                      o1 + CASE WHEN x1 < 0 THEN 2 ELSE 0 END AS o2 FROM f1),
+        cl AS (SELECT
+                   (CASE WHEN g2 = 0 THEN -1
+                         ELSE o2 + CASE WHEN x2 < y2 THEN 1 ELSE 0 END
+                    END)::INT AS octant,
+                   (CASE WHEN g2 = 0 THEN 0
+                         WHEN g2 < 25 THEN 1
+                         WHEN g2 < 100 THEN 2
+                         WHEN g2 < 400 THEN 3
+                         ELSE 4 END)::INT AS slope_class,
+                   g2
+               FROM f2)
+        SELECT octant, slope_class, COUNT(*) AS n_cells,
+               (SUM(g2))::BIGINT AS sum_g2
+        FROM cl GROUP BY 1, 2
     """
 
 
@@ -7113,6 +7215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flow_accum": q_flow_accum,
         "q_rag_chunks": q_rag_chunks,
         "q_label_communities": q_label_communities,
+        "q_watershed": q_watershed,
+        "q_slope_aspect": q_slope_aspect,
     }
 
 
@@ -10856,6 +10960,8 @@ def oracle_sql() -> dict[str, str]:
     out["q_flow_accum"] = _flow_accum_sql()
     out["q_rag_chunks"] = _rag_chunks_sql()
     out["q_label_communities"] = _label_communities_sql()
+    out["q_watershed"] = _watershed_sql()
+    out["q_slope_aspect"] = _slope_aspect_sql()
     out["q_concordance"] = """
             WITH toks AS (
                 SELECT doc_id AS id, string_split(text, ' ') AS t

@@ -790,6 +790,49 @@ def mann_kendall(daily: DataFrame) -> DataFrame:
     )
 
 
+def d8_flow_direction(cells: DataFrame) -> DataFrame:
+    """Steepest-descent D8 flow direction over occupied integer cells:
+    each cell drains to its lowest strictly-lower 8-neighbor,
+    deterministic (elev, dx, dy) tie-break; cells with no lower
+    occupied neighbor (pits) emit no row.  Input (cx, cy, elev);
+    output (cx, cy, tx, ty).  ONE scatter (cells x 8 offsets)
+    equi-joined back to the cell table — aggregate-sized, no theta
+    join.  Shared by flow_accumulation and watershed_basins."""
+    c = cells.select("cx", "cy", "elev")
+    offs = F.expr(
+        "array(" + ", ".join(
+            f"struct({dx}L as dx, {dy}L as dy)"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ) + ")"
+    )
+    scat = c.select(
+        "cx", "cy", F.col("elev").alias("e0"), F.explode(offs).alias("o")
+    ).select(
+        "cx", "cy", "e0",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+        F.col("o.dx").alias("dx"), F.col("o.dy").alias("dy"),
+    )
+    nb = scat.join(
+        c.select(
+            F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+            F.col("elev").alias("ne"),
+        ),
+        ["nx", "ny"],
+    ).where(F.col("ne") < F.col("e0"))
+    return (
+        nb.groupBy("cx", "cy")
+        .agg(
+            F.min_by(
+                F.struct(F.col("nx").alias("tx"), F.col("ny").alias("ty")),
+                F.struct("ne", "dx", "dy"),
+            ).alias("t")
+        )
+        .select("cx", "cy", F.col("t.tx").alias("tx"), F.col("t.ty").alias("ty"))
+    )
+
+
 def flow_accumulation(cells: DataFrame) -> DataFrame:
     """D8 flow routing + upstream accumulation — the hydrology classic
     (O'Callaghan & Mark '84): every occupied cell drains to its lowest
@@ -820,39 +863,7 @@ def flow_accumulation(cells: DataFrame) -> DataFrame:
     localCheckpoint per round to keep lineage flat.
     """
     c = cells.select("cx", "cy", "elev").localCheckpoint(eager=True)
-    offs = F.expr(
-        "array(" + ", ".join(
-            f"struct({dx}L as dx, {dy}L as dy)"
-            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            if not (dx == 0 and dy == 0)
-        ) + ")"
-    )
-    scat = c.select(
-        "cx", "cy", F.col("elev").alias("e0"), F.explode(offs).alias("o")
-    ).select(
-        "cx", "cy", "e0",
-        (F.col("cx") + F.col("o.dx")).alias("nx"),
-        (F.col("cy") + F.col("o.dy")).alias("ny"),
-        F.col("o.dx").alias("dx"), F.col("o.dy").alias("dy"),
-    )
-    nb = scat.join(
-        c.select(
-            F.col("cx").alias("nx"), F.col("cy").alias("ny"),
-            F.col("elev").alias("ne"),
-        ),
-        ["nx", "ny"],
-    ).where(F.col("ne") < F.col("e0"))
-    flow = (
-        nb.groupBy("cx", "cy")
-        .agg(
-            F.min_by(
-                F.struct(F.col("nx").alias("tx"), F.col("ny").alias("ty")),
-                F.struct("ne", "dx", "dy"),
-            ).alias("t")
-        )
-        .select("cx", "cy", F.col("t.tx").alias("tx"), F.col("t.ty").alias("ty"))
-        .localCheckpoint(eager=True)
-    )
+    flow = d8_flow_direction(c).localCheckpoint(eager=True)
 
     # pointer-doubling closure over the flow forest
     d_t = flow.select(
@@ -888,5 +899,145 @@ def flow_accumulation(cells: DataFrame) -> DataFrame:
             "cx", "cy", "elev",
             F.coalesce("acc", F.lit(0)).cast("long").alias("acc"),
             F.coalesce("is_pit", F.lit(True)).alias("is_pit"),
+        )
+    )
+
+
+def watershed_basins(cells: DataFrame) -> DataFrame:
+    """Watershed delineation over the D8 flow forest: every cell
+    belongs to the basin of the pit its steepest-descent path
+    terminates at (the drainage-basin partition dual to
+    flow_accumulation's contributing-area count).
+
+    Input (cx, cy, elev); output one row per basin:
+    (basin_x, basin_y, basin_elev, n_cells) — the pit cell plus how
+    many cells (itself included) drain to it.
+
+    Scale shape: aggregate-sized throughout.  Roots are found by
+    POINTER JUMPING, not per-step walking: j(u) starts as u's flow
+    target (pits point at themselves) and each round rewrites
+    j(u) <- j(j(u)) — path-halving doubles the jump length, so
+    log2(max path length) self-join rounds instead of a linear walk.
+    One count per round on the shrinking not-yet-rooted set decides
+    termination; tables localCheckpoint per round.
+    """
+    c = cells.select("cx", "cy", "elev").localCheckpoint(eager=True)
+    flow = d8_flow_direction(c)
+    j = (
+        c.join(flow, ["cx", "cy"], "left")
+        .select(
+            "cx", "cy",
+            F.coalesce("tx", F.col("cx")).alias("rx"),
+            F.coalesce("ty", F.col("cy")).alias("ry"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        j2 = (
+            j.alias("l")
+            .join(
+                j.select(
+                    F.col("cx").alias("rx"), F.col("cy").alias("ry"),
+                    F.col("rx").alias("rrx"), F.col("ry").alias("rry"),
+                ),
+                ["rx", "ry"],
+            )
+            .select(
+                "cx", "cy",
+                F.col("rrx").alias("rx"), F.col("rry").alias("ry"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            j2.join(j.select("cx", "cy", F.col("rx").alias("ox"),
+                             F.col("ry").alias("oy")), ["cx", "cy"])
+            .where((F.col("rx") != F.col("ox")) | (F.col("ry") != F.col("oy")))
+            .limit(1)
+        )
+        j = j2
+        if moved.isEmpty():
+            break
+    basins = j.groupBy(
+        F.col("rx").alias("basin_x"), F.col("ry").alias("basin_y")
+    ).agg(F.count(F.lit(1)).alias("n_cells"))
+    return basins.join(
+        c.select(
+            F.col("cx").alias("basin_x"), F.col("cy").alias("basin_y"),
+            F.col("elev").alias("basin_elev"),
+        ),
+        ["basin_x", "basin_y"],
+    ).select("basin_x", "basin_y", "basin_elev", "n_cells")
+
+
+def slope_aspect(cells: DataFrame) -> DataFrame:
+    """Slope/aspect terrain classification over interior cells (all 4
+    rook neighbors occupied): central differences dzdx = elev(E) -
+    elev(W), dzdy = elev(N) - elev(S); aspect = steepest-DESCENT
+    direction classified onto the 8 compass octants with the same
+    branch-free double-reflection octant reduction heading_octants
+    uses (no atan2, no floats; each 45-degree ray belongs to the lower
+    octant; octant 0 = due East, counter-clockwise; flat cells octant
+    -1); slope class = squared-gradient-magnitude bucket
+    (0 flat, 1: g2 < 25, 2: < 100, 3: < 400, 4: >= 400).
+
+    Output census: (octant, slope_class, n_cells, sum_g2) — exact
+    int64 everywhere.
+
+    Scale shape: FOUR shifted equi-joins of the aggregate-sized cell
+    table (rook neighbors), then a map-side-combined 40-row-max
+    groupBy.  The corpus never enters.
+    """
+    c = cells.select("cx", "cy", "elev")
+
+    def shifted(dx, dy, name):
+        return c.select(
+            (F.col("cx") - dx).alias("cx"), (F.col("cy") - dy).alias("cy"),
+            F.col("elev").alias(name),
+        )
+
+    interior = (
+        c.join(shifted(1, 0, "e_e"), ["cx", "cy"])
+        .join(shifted(-1, 0, "e_w"), ["cx", "cy"])
+        .join(shifted(0, 1, "e_n"), ["cx", "cy"])
+        .join(shifted(0, -1, "e_s"), ["cx", "cy"])
+    )
+    g = interior.select(
+        "cx", "cy",
+        (F.col("e_e") - F.col("e_w")).alias("dzdx"),
+        (F.col("e_n") - F.col("e_s")).alias("dzdy"),
+    )
+    # steepest descent points down-gradient
+    g = g.select(
+        "cx", "cy", "dzdx", "dzdy",
+        (-F.col("dzdx")).alias("ax"), (-F.col("dzdy")).alias("ay"),
+        (F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy")).alias("g2"),
+    )
+    # octant reduction (heading_octants convention)
+    s1x = F.when(F.col("ay") < 0, -F.col("ax")).otherwise(F.col("ax"))
+    s1y = F.when(F.col("ay") < 0, -F.col("ay")).otherwise(F.col("ay"))
+    o1 = F.when(F.col("ay") < 0, F.lit(4)).otherwise(F.lit(0))
+    g = g.select(
+        "g2", s1x.alias("x1"), s1y.alias("y1"), o1.alias("o1")
+    )
+    s2x = F.when(F.col("x1") < 0, F.col("y1")).otherwise(F.col("x1"))
+    s2y = F.when(F.col("x1") < 0, -F.col("x1")).otherwise(F.col("y1"))
+    o2 = F.col("o1") + F.when(F.col("x1") < 0, F.lit(2)).otherwise(F.lit(0))
+    g = g.select("g2", s2x.alias("x2"), s2y.alias("y2"), o2.alias("o2"))
+    octant = F.when(F.col("g2") == 0, F.lit(-1)).otherwise(
+        (F.col("o2") + F.when(F.col("x2") < F.col("y2"), F.lit(1)).otherwise(F.lit(0)))
+    ).cast("int")
+    slope_class = (
+        F.when(F.col("g2") == 0, 0)
+        .when(F.col("g2") < 25, 1)
+        .when(F.col("g2") < 100, 2)
+        .when(F.col("g2") < 400, 3)
+        .otherwise(4)
+    ).cast("int")
+    return (
+        g.select(octant.alias("octant"), slope_class.alias("slope_class"), "g2")
+        .groupBy("octant", "slope_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("g2").cast("long").alias("sum_g2"),
         )
     )
