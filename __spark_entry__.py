@@ -6530,6 +6530,128 @@ def _label_communities_sql() -> str:
     return sql
 
 
+DRIFT_TOP = 100
+
+
+def q_term_drift(spark, sf):
+    """Vocabulary drift monitor between two halves of the corpus
+    (sources src0-src9 vs the rest, English docs only): integer
+    cross-multiplied rate-difference skew per term, top-100 by |skew|
+    with deterministic ties (operators/textstats.term_drift)."""
+    from skyway_spark.operators.textstats import term_drift
+
+    (docs,) = _tables(spark, sf, "documents")
+    en = docs.where(F.col("lang") == "en").withColumn(
+        "split_a",
+        F.col("source").isin([f"src{i}" for i in range(10)]),
+    )
+    return term_drift(en, top_k=DRIFT_TOP)
+
+
+def _term_drift_sql() -> str:
+    srcs = ", ".join(f"'src{i}'" for i in range(10))
+    return f"""
+        WITH t AS (
+            SELECT source IN ({srcs}) AS a,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents
+            WHERE lang = 'en' AND length(trim(text)) > 0),
+        per AS (
+            SELECT term,
+                   (SUM(CASE WHEN a THEN 1 ELSE 0 END))::BIGINT AS c1,
+                   (SUM(CASE WHEN a THEN 0 ELSE 1 END))::BIGINT AS c2
+            FROM t GROUP BY term),
+        tot AS (SELECT (SUM(c1))::BIGINT AS n1, (SUM(c2))::BIGINT AS n2
+                FROM per)
+        SELECT term, c1, c2,
+               (tot.n2 * c1 - tot.n1 * c2)::BIGINT AS skew
+        FROM per, tot
+        ORDER BY abs(tot.n2 * c1 - tot.n1 * c2) DESC, term
+        LIMIT {DRIFT_TOP}
+    """
+
+
+BITEXT_BUCKET = 32
+
+
+def q_bitext_candidates(spark, sf):
+    """Bitext-mining blocking: cross-language same-source document
+    pairs with close token lengths — equi-join on (source, length
+    bucket) with 3-bucket explode, never a within-source cross join
+    (operators/textstats.bitext_candidates)."""
+    from skyway_spark.operators.textstats import bitext_candidates
+
+    (docs,) = _tables(spark, sf, "documents")
+    return bitext_candidates(docs, bucket_tokens=BITEXT_BUCKET)
+
+
+def _bitext_sql() -> str:
+    return f"""
+        WITH base AS (
+            SELECT source, lang, doc_id AS doc,
+                   len(string_split_regex(trim(text), '\\s+'))::BIGINT AS l,
+                   (len(string_split_regex(trim(text), '\\s+'))
+                    // {BITEXT_BUCKET})::BIGINT AS bk
+            FROM documents WHERE length(trim(text)) > 0),
+        b AS (
+            SELECT source, lang AS lang_b, doc AS doc_b, l AS len_b,
+                   unnest([bk - 1, bk, bk + 1]) AS jb
+            FROM base)
+        SELECT a.source, a.lang AS lang_a, b.lang_b,
+               a.doc AS doc_a, b.doc_b, a.l AS len_a, b.len_b
+        FROM base a JOIN b ON a.source = b.source AND a.bk = b.jb
+        WHERE a.lang < b.lang_b
+          AND abs(a.l - b.len_b) * 10 <= a.l + b.len_b
+    """
+
+
+def q_assortativity(spark, sf):
+    """Degree assortativity of the host link graph (Newman r in the
+    cleared-denominator all-integer form; web graphs read
+    disassortative) — single-row moments + one final double division
+    (operators/graph.assortativity)."""
+    from skyway_spark.operators import weblinks
+    from skyway_spark.operators.graph import assortativity
+
+    links = weblinks.extract_links(_linked_pages(spark))
+    return assortativity(
+        links.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+    )
+
+
+def _assortativity_sql() -> str:
+    return f"""
+        WITH l AS ({{links}}),
+        e0 AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM l
+               WHERE src_host <> dst_host),
+        und AS (
+            SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM e0),
+        sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT a AS node, COUNT(*)::BIGINT AS d FROM sym GROUP BY 1),
+        dec AS (
+            SELECT da.d AS j, db.d AS k
+            FROM und
+            JOIN deg da ON da.node = und.a
+            JOIN deg db ON db.node = und.b),
+        mom AS (
+            SELECT COUNT(*)::BIGINT AS m_edges,
+                   (SUM(j * k))::BIGINT AS s_jk,
+                   (SUM(j + k))::BIGINT AS s_sum,
+                   (SUM(j * j + k * k))::BIGINT AS s_sq
+            FROM dec)
+        SELECT m_edges, s_jk, s_sum, s_sq,
+               (4 * m_edges * s_jk - s_sum * s_sum)::BIGINT AS num,
+               (2 * m_edges * s_sq - s_sum * s_sum)::BIGINT AS den,
+               CASE WHEN 2 * m_edges * s_sq - s_sum * s_sum = 0 THEN NULL
+                    ELSE (4 * m_edges * s_jk - s_sum * s_sum)::DOUBLE
+                         / (2 * m_edges * s_sq - s_sum * s_sum)::DOUBLE
+               END AS assortativity
+        FROM mom
+    """.format(links=_linked_links_sql(LINKED_PAGES_N))
+
+
 RAG_W, RAG_S = 24, 16
 
 
@@ -7217,6 +7339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_communities": q_label_communities,
         "q_watershed": q_watershed,
         "q_slope_aspect": q_slope_aspect,
+        "q_term_drift": q_term_drift,
+        "q_bitext_candidates": q_bitext_candidates,
+        "q_assortativity": q_assortativity,
     }
 
 
@@ -10962,6 +11087,9 @@ def oracle_sql() -> dict[str, str]:
     out["q_label_communities"] = _label_communities_sql()
     out["q_watershed"] = _watershed_sql()
     out["q_slope_aspect"] = _slope_aspect_sql()
+    out["q_term_drift"] = _term_drift_sql()
+    out["q_bitext_candidates"] = _bitext_sql()
+    out["q_assortativity"] = _assortativity_sql()
     out["q_concordance"] = """
             WITH toks AS (
                 SELECT doc_id AS id, string_split(text, ' ') AS t

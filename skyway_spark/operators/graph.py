@@ -679,3 +679,67 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return lab
+
+
+def assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over edges — positive on social-style graphs
+    (hubs link hubs), negative on web/biological ones (hubs link
+    leaves).  All moments are exact int64 via the cleared-denominator
+    form: over the M undirected edges with endpoint degrees (j, k),
+
+        num = 4*M*sum(j*k)       - (sum(j+k))^2
+        den = 2*M*sum(j^2+k^2)   - (sum(j+k))^2
+        r   = num / den          (one double division at the end)
+
+    which is the textbook r multiplied through by 4*M^2.
+
+    Output single row: (m_edges, s_jk, s_sum, s_sq, num, den,
+    assortativity).
+
+    Scale shape: degrees are ONE map-side-combined groupBy of the
+    symmetrized edge list; decorating each edge with its two endpoint
+    degrees is two node-keyed equi-joins (the degree table broadcasts
+    at web scale); the moments are a single-row aggregate.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.where(F.col("a") < F.col("b")).union(
+        e.where(F.col("a") > F.col("b")).select(
+            F.col("b").alias("a"), F.col("a").alias("b")
+        )
+    ).distinct().localCheckpoint(eager=True)
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    dec = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("j")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("k")), "b")
+    )
+    mom = dec.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("s_jk"),
+        F.sum(F.col("j") + F.col("k")).cast("long").alias("s_sum"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("long")
+        .alias("s_sq"),
+    )
+    num = 4 * F.col("m_edges") * F.col("s_jk") - F.col("s_sum") * F.col("s_sum")
+    den = 2 * F.col("m_edges") * F.col("s_sq") - F.col("s_sum") * F.col("s_sum")
+    return mom.select(
+        "m_edges", "s_jk", "s_sum", "s_sq",
+        num.alias("num"), den.alias("den"),
+        # den = 0 when every endpoint degree is equal (regular graph /
+        # single edge): correlation undefined -> NULL, not an error
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("assortativity"),
+    )

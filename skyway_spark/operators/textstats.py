@@ -990,3 +990,102 @@ def concordance(
             " ",
         ).alias("right_ctx"),
     )
+
+
+def term_drift(
+    docs: DataFrame,
+    split_col: str = "split_a",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Term-distribution drift between two corpus splits — the
+    distribution-shift monitor for ingestion pipelines (did this
+    crawl's vocabulary move?).  For every term with counts c1/c2 in
+    splits of total size n1/n2, the integer skew statistic
+    ``n2*c1 - n1*c2`` (positive = over-represented in split A) is the
+    cross-multiplied form of the rate difference c1/n1 - c2/n2 — exact
+    int64, no division, no logs.  Top-k terms by absolute skew with
+    (|skew| DESC, term ASC) deterministic order.
+
+    Input: docs with a boolean ``split_col``.  Output:
+    (term, c1, c2, skew) — the drift direction reads off the sign.
+
+    Scale shape: tokenize + explode in the scan stage; ONE
+    vocabulary-keyed map-side-combined groupBy (conditional sums, so
+    both splits count in one pass — the corpus shuffles term tokens
+    once, never twice); totals ride a broadcast single-row crossJoin;
+    top-k is TakeOrderedAndProject over the vocabulary aggregate.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(split_col).cast("boolean").alias("a"),
+        F.explode(toks).alias("term"),
+    )
+    per = t.groupBy("term").agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("a"), 0).otherwise(1)).cast("long").alias("c2"),
+    )
+    tot = per.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    skew = F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2")
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "term", "c1", "c2", skew.alias("skew")
+    )
+    return (
+        scored.orderBy(F.abs(F.col("skew")).desc(), "term").limit(top_k)
+    )
+
+
+def bitext_candidates(
+    docs: DataFrame,
+    bucket_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    group_col: str = "source",
+) -> DataFrame:
+    """Bitext-mining candidate pairs (the blocking stage of parallel-
+    corpus construction a la WikiMatrix/CCAligned): documents from the
+    SAME group (site/source) in DIFFERENT languages whose token
+    lengths are close — same or adjacent length bucket, then the exact
+    cross-multiplied tolerance ``|na - nb| * 10 <= na + nb`` (~±18%).
+
+    Output: (source, lang_a, lang_b, doc_a, doc_b, len_a, len_b) with
+    lang_a < lang_b (each unordered pair once).
+
+    Scale shape: NO within-group cross join — candidates come from an
+    EQUI-join on (group, length bucket), with the b-side exploded to
+    its 3 adjacent buckets (each pair meets on exactly one key, so no
+    post-dedup); per-(group, bucket) populations are bounded by
+    construction, the classic blocking guarantee.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(group_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.col(id_col).alias("doc"),
+        toks.cast("long").alias("len"),
+        (toks.cast("long") / F.lit(bucket_tokens)).cast("long").alias("bk"),
+    )
+    a = base.select(
+        "source", F.col("lang").alias("lang_a"), F.col("doc").alias("doc_a"),
+        F.col("len").alias("len_a"), F.col("bk").alias("jb"),
+    )
+    b = base.select(
+        "source", F.col("lang").alias("lang_b"), F.col("doc").alias("doc_b"),
+        F.col("len").alias("len_b"),
+        F.explode(
+            F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)
+        ).alias("jb"),
+    )
+    pairs = a.join(b, ["source", "jb"]).where(
+        (F.col("lang_a") < F.col("lang_b"))
+        & (
+            F.abs(F.col("len_a") - F.col("len_b")) * 10
+            <= F.col("len_a") + F.col("len_b")
+        )
+    )
+    return pairs.select(
+        "source", "lang_a", "lang_b", "doc_a", "doc_b", "len_a", "len_b"
+    )
