@@ -6530,6 +6530,104 @@ def _label_communities_sql() -> str:
     return sql
 
 
+def q_colocation(spark, sf):
+    """Spatial colocation mining over event types on the res-100 cell
+    grid: participation-index pairs (exact presence/footprint counts,
+    one LEAST of two pinned double divisions)
+    (operators/spatialstats.colocation_pairs)."""
+    from skyway_spark.operators import spatialstats
+
+    (ev,) = _tables(spark, sf, "events")
+    pts = ev.select(
+        F.col("event_type").alias("t"),
+        (((F.col("user_id") * 7919) % 17000) / F.lit(100)).cast("long").alias("cx"),
+        (((F.col("event_id") * 104729) % 36000) / F.lit(100)).cast("long").alias("cy"),
+    )
+    return spatialstats.colocation_pairs(pts)
+
+
+def _colocation_sql() -> str:
+    return """
+        WITH pres AS (
+            SELECT DISTINCT event_type AS t,
+                   ((user_id * 7919) % 17000) // 100 AS cx,
+                   ((event_id * 104729) % 36000) // 100 AS cy
+            FROM events),
+        foot AS (SELECT t, COUNT(*) AS n FROM pres GROUP BY t),
+        both_t AS (
+            SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+            FROM pres a JOIN pres b
+              ON a.cx = b.cx AND a.cy = b.cy AND a.t < b.t
+            GROUP BY 1, 2)
+        SELECT bo.type_a, bo.type_b, bo.n_both, fa.n AS n_a, fb.n AS n_b,
+               LEAST(bo.n_both::DOUBLE / fa.n::DOUBLE,
+                     bo.n_both::DOUBLE / fb.n::DOUBLE) AS pi
+        FROM both_t bo
+        JOIN foot fa ON fa.t = bo.type_a
+        JOIN foot fb ON fb.t = bo.type_b
+    """
+
+
+SETCOVER_K = 12
+
+
+def q_set_cover(spark, sf):
+    """Coverage-maximizing corpus selection: greedy set cover over the
+    (doc, word-bigram) incidence table (bigrams: the unigram vocab is
+    covered by one doc on the fixture), k=12 picks with (gain DESC, doc_id)
+    ties and early stop at full coverage — the submodular curation
+    primitive (operators/sampling.greedy_set_cover); the oracle
+    unrolls the same 12 greedy rounds as a CTE chain."""
+    from skyway_spark.operators.sampling import greedy_set_cover
+
+    (docs,) = _tables(spark, sf, "documents")
+    return greedy_set_cover(docs, k=SETCOVER_K, ngram=2)
+
+
+def _set_cover_sql() -> str:
+    """House pattern (cf. _lcss_sql / _bellman_sql): Python-generated
+    round-unrolled CTE chain — greedy is sequential by definition, so
+    the oracle replays the same <= k argmax rounds."""
+    sql = """
+        WITH t AS (
+            SELECT doc_id AS doc,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 2),
+        ui AS (SELECT doc, toks, unnest(range(1, len(toks))) AS i FROM t),
+        dt AS MATERIALIZED (
+            SELECT DISTINCT doc, toks[i] || ' ' || toks[i + 1] AS term
+            FROM ui),
+        cov0 AS (SELECT NULL::VARCHAR AS term WHERE false),
+        picks0 AS (SELECT NULL::BIGINT AS doc, NULL::INT AS ord,
+                          NULL::BIGINT AS c WHERE false)"""
+    for i in range(1, SETCOVER_K + 1):
+        sql += f""",
+        u{i} AS (
+            SELECT dt.doc, dt.term FROM dt
+            WHERE NOT EXISTS (SELECT 1 FROM cov{i - 1} c
+                              WHERE c.term = dt.term)
+              AND NOT EXISTS (SELECT 1 FROM picks{i - 1} p
+                              WHERE p.doc = dt.doc)),
+        p{i} AS MATERIALIZED (
+            SELECT doc, COUNT(*)::BIGINT AS c FROM u{i}
+            GROUP BY doc ORDER BY c DESC, doc LIMIT 1),
+        cov{i} AS MATERIALIZED (
+            SELECT term FROM cov{i - 1}
+            UNION
+            SELECT dt.term FROM dt JOIN p{i} USING (doc)),
+        picks{i} AS MATERIALIZED (
+            SELECT * FROM picks{i - 1}
+            UNION ALL
+            SELECT doc, {i} AS ord, c FROM p{i})"""
+    sql += f"""
+        SELECT ord AS pick_order, doc AS doc_id, c AS new_terms,
+               (SUM(c) OVER (ORDER BY ord))::BIGINT AS covered_total
+        FROM picks{SETCOVER_K}
+    """
+    return sql
+
+
 DRIFT_TOP = 100
 
 
@@ -7339,6 +7437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_communities": q_label_communities,
         "q_watershed": q_watershed,
         "q_slope_aspect": q_slope_aspect,
+        "q_colocation": q_colocation,
+        "q_set_cover": q_set_cover,
         "q_term_drift": q_term_drift,
         "q_bitext_candidates": q_bitext_candidates,
         "q_assortativity": q_assortativity,
@@ -11087,6 +11187,8 @@ def oracle_sql() -> dict[str, str]:
     out["q_label_communities"] = _label_communities_sql()
     out["q_watershed"] = _watershed_sql()
     out["q_slope_aspect"] = _slope_aspect_sql()
+    out["q_colocation"] = _colocation_sql()
+    out["q_set_cover"] = _set_cover_sql()
     out["q_term_drift"] = _term_drift_sql()
     out["q_bitext_candidates"] = _bitext_sql()
     out["q_assortativity"] = _assortativity_sql()

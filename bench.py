@@ -243,6 +243,18 @@ BENCH_QUERIES = [
     "q_resample_track",
     "q_dilate",
     "q_mann_kendall",
+    # continuation-session additions (one per new compute family)
+    "q_frechet",
+    "q_flow_accum",
+    "q_rag_chunks",
+    "q_label_communities",
+    "q_watershed",
+    "q_slope_aspect",
+    "q_term_drift",
+    "q_bitext_candidates",
+    "q_assortativity",
+    "q_colocation",
+    "q_set_cover",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -251,3 +251,81 @@ def group_bottom_k(
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def greedy_set_cover(
+    docs: DataFrame,
+    k: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Coverage-maximizing corpus selection: the greedy set-cover /
+    facility-location heuristic behind "pick the k docs that together
+    cover the most vocabulary" (instruction-data dedup, eval-suite
+    selection, submodular curation).  Each round picks the document
+    adding the most not-yet-covered distinct terms, ties broken by
+    smallest id; stops early once every term is covered (so the
+    result may have fewer than k rows).
+
+    Output: (pick_order, doc_id, new_terms, covered_total) with
+    covered_total the running vocabulary size.
+
+    Scale shape: the corpus collapses ONCE to the distinct
+    (doc, term) incidence table; each of the <= k rounds is one
+    term-keyed anti-join + one doc-keyed count + a TakeOrdered(1) —
+    all incidence-table-sized.  The ONE-ROW-per-round driver sync is
+    inherent: greedy selection is sequential by definition (each pick
+    conditions the next), and k rows total cross the driver.  The
+    covered-term table is localCheckpoint-pinned per round (kilobyte
+    state, flat lineage).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if ngram == 1:
+        term = F.explode(toks)
+    else:
+        # word n-grams: join each length-n window on single spaces
+        term = F.explode(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - (ngram - 1), F.lit(0))),
+                lambda x, i: F.concat_ws(
+                    " ", *([x] + [F.element_at(toks, i + j + 1) for j in range(1, ngram)])
+                ),
+            )
+        )
+    dt = (
+        docs.where(F.size(toks) >= ngram)
+        .select(F.col(id_col).alias("doc"), term.alias("term"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    covered = spark.createDataFrame([], "term string").localCheckpoint(eager=True)
+    picked_ids: list = []
+    rows = []
+    total = 0
+    for i in range(1, k + 1):
+        uncov = dt.join(covered, "term", "left_anti")
+        if picked_ids:
+            uncov = uncov.where(~F.col("doc").isin(picked_ids))
+        top = (
+            uncov.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "doc")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, c = top[0].doc, top[0].c
+        picked_ids.append(doc)
+        total += c
+        rows.append((i, doc, c, total))
+        covered = (
+            covered.union(dt.where(F.col("doc") == doc).select("term"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        rows, "pick_order int, doc_id long, new_terms long, covered_total long"
+    )

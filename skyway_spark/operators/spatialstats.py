@@ -1041,3 +1041,50 @@ def slope_aspect(cells: DataFrame) -> DataFrame:
             F.sum("g2").cast("long").alias("sum_g2"),
         )
     )
+
+
+def colocation_pairs(points: DataFrame, type_col: str = "t") -> DataFrame:
+    """Spatial colocation pattern mining (Shekhar & Huang '01), pair
+    order: which categories occur in the SAME grid cells more than
+    their own footprints explain — the participation index screen
+    behind "coffee shops co-locate with transit stops".
+
+    Input: (cx, cy, t) categorized points.  For each unordered
+    category pair (a < b): n_both = cells containing both, n_a / n_b =
+    cells containing each; participation index = min(n_both/n_a,
+    n_both/n_b).  Counts are exact int64; the PI is one LEAST of two
+    identically-ordered double divisions.
+
+    Output: (type_a, type_b, n_both, n_a, n_b, pi).
+
+    Scale shape: the corpus collapses ONCE to the distinct
+    (category, cell) presence table (categories x occupied cells
+    upper bound); the pair counting is a presence-table self
+    equi-join ON THE CELL KEY (never a theta join), and footprints
+    are one groupBy of the same table.
+    """
+    pres = points.select(
+        F.col(type_col).alias("t"), "cx", "cy"
+    ).distinct().localCheckpoint(eager=True)
+    foot = pres.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    a = pres.select(F.col("t").alias("type_a"), "cx", "cy")
+    b = pres.select(F.col("t").alias("type_b"), "cx", "cy")
+    both = (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    out = (
+        both.join(foot.select(F.col("t").alias("type_a"), F.col("n").alias("n_a")),
+                  "type_a")
+        .join(foot.select(F.col("t").alias("type_b"), F.col("n").alias("n_b")),
+              "type_b")
+    )
+    pi = F.least(
+        F.col("n_both").cast("double") / F.col("n_a").cast("double"),
+        F.col("n_both").cast("double") / F.col("n_b").cast("double"),
+    )
+    return out.select(
+        "type_a", "type_b", "n_both", "n_a", "n_b", pi.alias("pi")
+    )
