@@ -6530,6 +6530,161 @@ def _label_communities_sql() -> str:
     return sql
 
 
+KNOX_TAU_US = 3_600_000_000  # 1 hour
+
+
+def q_knox(spark, sf):
+    """Knox space-time interaction statistic over event cells (res
+    100, Chebyshev<=1 spatial / 1 h temporal closeness): space-close
+    pairs via 9-offset scatter equi-join, time-close pairs via
+    tau-bucketing (same-bucket C(m,2) + adjacent-bucket equi-join) —
+    NO global time sort (operators/spatialstats.knox_statistic)."""
+    from skyway_spark.operators import spatialstats
+
+    (ev,) = _tables(spark, sf, "events")
+    e = ev.select(
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        (((F.col("user_id") * 7919) % 17000) / F.lit(100)).cast("long").alias("cx"),
+        (((F.col("event_id") * 104729) % 36000) / F.lit(100)).cast("long").alias("cy"),
+    )
+    return spatialstats.knox_statistic(e, tau_us=KNOX_TAU_US)
+
+
+def _knox_sql() -> str:
+    tau = KNOX_TAU_US
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT event_id AS id, epoch_us(ts) AS t,
+                   ((user_id * 7919) % 17000) // 100 AS cx,
+                   ((event_id * 104729) % 36000) // 100 AS cy
+            FROM events),
+        bkt AS (SELECT t // {tau} AS b, t FROM e),
+        same AS (
+            SELECT (SUM(m * (m - 1) // 2))::BIGINT AS p_same
+            FROM (SELECT COUNT(*) AS m FROM bkt GROUP BY b)),
+        adj AS (
+            SELECT (SUM(CASE WHEN q.t2 - bkt.t <= {tau} THEN 1 ELSE 0
+                        END))::BIGINT AS p_adj
+            FROM bkt JOIN (SELECT b - 1 AS b, t AS t2 FROM bkt) q
+              USING (b)),
+        sp AS (
+            SELECT a.id, a.t, q.tb
+            FROM e a
+            JOIN (SELECT id AS idb, t AS tb, cx + o.dx AS cx, cy + o.dy AS cy
+                  FROM e CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                            (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+                 ) q
+              ON a.cx = q.cx AND a.cy = q.cy AND a.id < q.idb),
+        sc AS (
+            SELECT COUNT(*)::BIGINT AS n_s,
+                   (SUM(CASE WHEN abs(t - tb) <= {tau} THEN 1 ELSE 0
+                        END))::BIGINT AS n_st
+            FROM sp),
+        tot AS (SELECT COUNT(*)::BIGINT AS n FROM e)
+        SELECT tot.n AS n_events,
+               (tot.n * (tot.n - 1) // 2)::BIGINT AS n_pairs,
+               sc.n_s,
+               (same.p_same + adj.p_adj)::BIGINT AS n_t,
+               sc.n_st,
+               sc.n_s::DOUBLE * (same.p_same + adj.p_adj)::DOUBLE
+                   / ((tot.n * (tot.n - 1) // 2))::DOUBLE AS expected_st
+        FROM tot, same, adj, sc
+    """
+
+
+DISP_QUADRATS = 170 * 360
+
+
+def q_dispersion(spark, sf):
+    """Quadrat-count index of dispersion (VMR) for the event point
+    pattern on the full 170x360 res-100 grid (empty quadrats count):
+    cleared-integer moments + one double division; VMR >> 1 here by
+    construction (hot-city skew)
+    (operators/spatialstats.quadrat_dispersion)."""
+    from skyway_spark.operators import spatialstats
+
+    return spatialstats.quadrat_dispersion(
+        _event_cells_int(spark, sf).drop("ts"), n_quadrats=DISP_QUADRATS
+    )
+
+
+def _dispersion_sql() -> str:
+    nq = DISP_QUADRATS
+    return f"""
+        WITH cells AS (
+            SELECT COUNT(*) AS x
+            FROM (SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                         ((event_id * 104729) % 36000) // 100 AS cy
+                  FROM events)
+            GROUP BY cx, cy),
+        mom AS (
+            SELECT COUNT(*)::BIGINT AS n_occupied,
+                   (SUM(x))::BIGINT AS s,
+                   (SUM(x * x))::BIGINT AS sum_sq
+            FROM cells)
+        SELECT {nq}::BIGINT AS n_quadrats,
+               s AS n_points,
+               n_occupied,
+               sum_sq,
+               ({nq} * sum_sq - s * s)::BIGINT AS vmr_num,
+               (s * ({nq} - 1))::BIGINT AS vmr_den,
+               ({nq} * sum_sq - s * s)::DOUBLE
+                   / (s * ({nq} - 1))::DOUBLE AS vmr
+        FROM mom
+    """
+
+
+RDV_BEFORE, RDV_AFTER = 8, 9
+
+
+def q_rendezvous(spark, sf):
+    """Rendezvous-hash shard placement audit for growing 8 -> 9
+    shards over document ids: per-shard before/after populations +
+    moved-in counts; only the NEW shard receives movers (pinned by
+    tests) — the consistent-placement property that makes re-sharding
+    an append (operators/partitioner.rendezvous_shards)."""
+    from skyway_spark.operators.partitioner import rendezvous_shards
+
+    (docs,) = _tables(spark, sf, "documents")
+    return rendezvous_shards(
+        docs.select("doc_id"), n_before=RDV_BEFORE, n_after=RDV_AFTER
+    )
+
+
+def _rendezvous_sql() -> str:
+    # DuckDB: argmax via list_max over [hash, -shard] pairs
+    # (lexicographic on nested lists, same tie rule as Spark structs)
+    hs_b = ", ".join(
+        f"[((doc_id * 131 + {s} * 7919) * 1103515245 + 12345) % 2147483647, {-s}]"
+        for s in range(RDV_BEFORE)
+    )
+    hs_a = ", ".join(
+        f"[((doc_id * 131 + {s} * 7919) * 1103515245 + 12345) % 2147483647, {-s}]"
+        for s in range(RDV_AFTER)
+    )
+    return f"""
+        WITH a AS (
+            SELECT (-list_max([{hs_b}])[2])::INT AS s_before,
+                   (-list_max([{hs_a}])[2])::INT AS s_after
+            FROM documents),
+        aft AS (
+            SELECT s_after AS shard,
+                   COUNT(*)::BIGINT AS n_after_here,
+                   (SUM(CASE WHEN s_before = s_after THEN 0 ELSE 1
+                        END))::BIGINT AS n_moved_in
+            FROM a GROUP BY 1),
+        bef AS (
+            SELECT s_before AS shard, COUNT(*)::BIGINT AS n_before_here
+            FROM a GROUP BY 1)
+        SELECT COALESCE(aft.shard, bef.shard) AS shard,
+               COALESCE(bef.n_before_here, 0)::BIGINT AS n_before_here,
+               COALESCE(aft.n_after_here, 0)::BIGINT AS n_after_here,
+               COALESCE(aft.n_moved_in, 0)::BIGINT AS n_moved_in
+        FROM aft FULL JOIN bef ON aft.shard = bef.shard
+    """
+
+
 def q_colocation(spark, sf):
     """Spatial colocation mining over event types on the res-100 cell
     grid: participation-index pairs (exact presence/footprint counts,
@@ -7439,6 +7594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_slope_aspect": q_slope_aspect,
         "q_colocation": q_colocation,
         "q_set_cover": q_set_cover,
+        "q_knox": q_knox,
+        "q_dispersion": q_dispersion,
+        "q_rendezvous": q_rendezvous,
         "q_term_drift": q_term_drift,
         "q_bitext_candidates": q_bitext_candidates,
         "q_assortativity": q_assortativity,
@@ -11189,6 +11347,9 @@ def oracle_sql() -> dict[str, str]:
     out["q_slope_aspect"] = _slope_aspect_sql()
     out["q_colocation"] = _colocation_sql()
     out["q_set_cover"] = _set_cover_sql()
+    out["q_knox"] = _knox_sql()
+    out["q_dispersion"] = _dispersion_sql()
+    out["q_rendezvous"] = _rendezvous_sql()
     out["q_term_drift"] = _term_drift_sql()
     out["q_bitext_candidates"] = _bitext_sql()
     out["q_assortativity"] = _assortativity_sql()

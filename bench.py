@@ -255,6 +255,9 @@ BENCH_QUERIES = [
     "q_assortativity",
     "q_colocation",
     "q_set_cover",
+    "q_knox",
+    "q_dispersion",
+    "q_rendezvous",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -168,3 +168,73 @@ def str_tile_stats(packed: DataFrame, x_col: str = "x", y_col: str = "y") -> Dat
         F.min(y_col).alias("y_min"),
         F.max(y_col).alias("y_max"),
     )
+
+
+def rendezvous_shards(
+    ids: DataFrame,
+    n_before: int,
+    n_after: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing shard assignment —
+    the consistent-placement scheme behind cache/shard topologies
+    (Thaler & Ravishankar '98): every id scores each shard with a
+    portable integer hash and lands on the argmax, so growing the
+    fleet from ``n_before`` to ``n_after`` shards moves ONLY the ids
+    the new shards win (expected n*(1 - n_before/n_after)) and never
+    reshuffles between surviving shards — the property that makes
+    100 TB re-sharding an append, not a rebuild.
+
+    Hash: ((id * 131 + shard * 7919) * 1103515245 + 12345) mod 2^31-1
+    (sampling.py's portable LCG family); argmax ties break to the
+    smallest shard id.  Output per after-shard:
+    (shard, n_before_here, n_after_here, n_moved_in) — the movement
+    audit; the invariant ``n_moved_in = 0`` for shard < n_before is
+    the rendezvous guarantee, pinned by tests.
+
+    Scale shape: the score table is a shards-count explode of the id
+    scan (Column-only, no shuffle); both assignments reduce in ONE
+    map-side-combined groupBy; no joins.
+    """
+    if not (0 < n_before <= n_after):
+        raise ValueError("need 0 < n_before <= n_after")
+    i = F.col(id_col).cast("long")
+
+    def best(n):
+        scores = F.array(*[
+            F.struct(
+                (
+                    ((i * 131 + s * 7919) * 1103515245 + 12345)
+                    % 2147483647
+                ).alias("h"),
+                (-F.lit(s)).alias("ns"),
+            )
+            for s in range(n)
+        ])
+        return (-F.array_max(scores)["ns"]).cast("int")
+
+    assigned = ids.select(
+        best(n_before).alias("s_before"), best(n_after).alias("s_after")
+    )
+    return (
+        assigned.groupBy(F.col("s_after").alias("shard"))
+        .agg(
+            F.sum(
+                F.when(F.col("s_before") == F.col("s_after"), 0).otherwise(1)
+            ).cast("long").alias("n_moved_in"),
+            F.count(F.lit(1)).alias("n_after_here"),
+        )
+        .join(
+            assigned.groupBy(F.col("s_before").alias("shard")).agg(
+                F.count(F.lit(1)).alias("n_before_here")
+            ),
+            "shard",
+            "full",
+        )
+        .select(
+            "shard",
+            F.coalesce("n_before_here", F.lit(0)).cast("long").alias("n_before_here"),
+            F.coalesce("n_after_here", F.lit(0)).cast("long").alias("n_after_here"),
+            F.coalesce("n_moved_in", F.lit(0)).cast("long").alias("n_moved_in"),
+        )
+    )

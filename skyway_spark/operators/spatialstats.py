@@ -1088,3 +1088,144 @@ def colocation_pairs(points: DataFrame, type_col: str = "t") -> DataFrame:
     return out.select(
         "type_a", "type_b", "n_both", "n_a", "n_b", pi.alias("pi")
     )
+
+
+def knox_statistic(
+    events: DataFrame,
+    tau_us: int,
+    t_col: str = "t_us",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Knox space-time interaction test statistic (Knox '64, the
+    epidemiology classic): among all event pairs, count those close in
+    space (Chebyshev <= 1 cell), close in time (|dt| <= tau), and
+    close in BOTH; disease-cluster / coordinated-activity detection
+    compares n_st against n_s * n_t / C(n,2).
+
+    Input: (event_id, t_us, cx, cy).  Output single row:
+    (n_events, n_pairs, n_s, n_t, n_st, expected_st) — counts exact
+    int64, expected one pinned double expression.
+
+    Scale shape: spatially-close pairs come from a 9-offset scatter
+    EQUI-join on the cell key (each close pair meets on exactly one
+    offset — never a distance theta join); time-close pairs are
+    counted by TAU-BUCKETING, never a global time sort (an
+    unpartitioned RANGE window funnels the corpus through one task —
+    the pack_sequences lesson): within a width-tau bucket EVERY pair
+    is close (|dt| < tau), so same-bucket pairs reduce to C(m, 2) per
+    bucket; the only pairs needing inspection straddle ADJACENT
+    buckets and come from a bucket-keyed equi-join whose per-key
+    population is tau-bounded.
+    """
+    e = events.select(
+        F.col(id_col).alias("id"), F.col(t_col).alias("t"), "cx", "cy"
+    ).localCheckpoint(eager=True)
+
+    # ---- time-close pair count via tau-buckets -----------------------
+    tau = int(tau_us)
+    fb = (F.col("t") / F.lit(tau)).cast("long")
+    bkt = e.select(fb.alias("b"), "t")
+    same = (
+        bkt.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.sum(F.col("m") * (F.col("m") - 1) / 2)
+            .cast("long")
+            .alias("p_same")
+        )
+    )
+    nxt = bkt.select((F.col("b") - 1).alias("b"), F.col("t").alias("tb"))
+    adj = (
+        bkt.join(nxt, "b")
+        .agg(
+            F.sum(
+                F.when(F.col("tb") - F.col("t") <= tau, 1).otherwise(0)
+            ).cast("long").alias("p_adj")
+        )
+    )
+    strict = same.crossJoin(F.broadcast(adj)).select(
+        (F.col("p_same") + F.col("p_adj")).alias("p_time")
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+
+    # ---- spatially-close pairs via 9-offset scatter ------------------
+    offs = F.expr(
+        "array(" + ", ".join(
+            f"struct({dx}L as dx, {dy}L as dy)"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ) + ")"
+    )
+    b = e.select(
+        F.col("id").alias("idb"), F.col("t").alias("tb"),
+        "cx", "cy", F.explode(offs).alias("o"),
+    ).select(
+        "idb", "tb",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    sp = (
+        e.join(b, ["cx", "cy"])
+        .where(F.col("id") < F.col("idb"))
+        .select("id", "t", "tb")
+    )
+    s_counts = sp.agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(
+            F.when(F.abs(F.col("t") - F.col("tb")) <= tau_us, 1).otherwise(0)
+        ).cast("long").alias("n_st"),
+    )
+
+    out = tot.crossJoin(F.broadcast(strict)).crossJoin(F.broadcast(s_counts))
+    n_pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    n_t = F.col("p_time")
+    return out.select(
+        F.col("n").alias("n_events"),
+        n_pairs.alias("n_pairs"),
+        F.col("n_s"),
+        n_t.alias("n_t"),
+        F.col("n_st"),
+        (
+            F.col("n_s").cast("double") * n_t.cast("double")
+            / n_pairs.cast("double")
+        ).alias("expected_st"),
+    )
+
+
+def quadrat_dispersion(
+    points: DataFrame, n_quadrats: int
+) -> DataFrame:
+    """Quadrat-count index of dispersion (variance-to-mean ratio): the
+    first-line point-pattern test — VMR ~ 1 random (Poisson), > 1
+    clustered, < 1 dispersed.  ``n_quadrats`` is the FULL grid size
+    (occupied + empty; empty quadrats carry x = 0 and must count).
+
+    All moments exact int64 in cleared form over occupied cells only
+    (empties contribute nothing to S or sum x^2):
+
+        vmr_num = n_q * sum(x^2) - S^2
+        vmr_den = S * (n_q - 1)
+        vmr     = vmr_num / vmr_den   (one double division)
+
+    Output single row: (n_quadrats, n_points, n_occupied, sum_sq,
+    vmr_num, vmr_den, vmr).
+
+    Scale shape: ONE corpus shuffle into cell counts, then a
+    single-row aggregate."""
+    cells = points.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("x"))
+    mom = cells.agg(
+        F.count(F.lit(1)).alias("n_occupied"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_sq"),
+    )
+    nq = F.lit(int(n_quadrats)).cast("long")
+    num = nq * F.col("sum_sq") - F.col("s") * F.col("s")
+    den = F.col("s") * (nq - 1)
+    return mom.select(
+        nq.alias("n_quadrats"),
+        F.col("s").alias("n_points"),
+        "n_occupied",
+        "sum_sq",
+        num.alias("vmr_num"),
+        den.alias("vmr_den"),
+        (num.cast("double") / den.cast("double")).alias("vmr"),
+    )
