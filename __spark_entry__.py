@@ -6530,6 +6530,181 @@ def _label_communities_sql() -> str:
     return sql
 
 
+# integer-vertex rings (no closing duplicate) for the validity audit:
+# the PIP fixture rings 1e7-quantized, plus a clockwise square and a
+# self-intersecting bowtie
+VALIDITY_RINGS = [
+    # (polygon_id, role, [(x, y), ...])  x = lon*1e7, y = lat*1e7
+    (1, "outer", [(-500050000, 100050000), (-100050000, 100050000),
+                  (-100050000, 300050000), (-500050000, 300050000)]),
+    (1, "hole", [(-400050000, 150050000), (-200050000, 150050000),
+                 (-200050000, 250050000), (-400050000, 250050000)]),
+    (2, "outer", [(1000050000, -200050000), (1200050000, -400050000),
+                  (1400050000, -200050000), (1200050000, 50000)]),
+    (3, "outer", [(600050000, 400050000), (900050000, 400050000),
+                  (750050000, 550050000)]),
+    # clockwise square (negative area)
+    (4, "outer", [(0, 0), (0, 100000), (100000, 100000), (100000, 0)]),
+    # bowtie: segments 0-1 and 2-3 properly cross once
+    (5, "outer", [(0, 0), (100000, 100000), (100000, 0), (0, 100000)]),
+]
+
+
+def q_polygon_validity(spark, sf):
+    """Geometry ingestion pre-flight: shoelace signed area, winding
+    order, and proper self-intersection count per ring in exact
+    integer arithmetic over the quantized validity fixture (includes
+    a clockwise square and a bowtie)
+    (operators/geometry.polygon_validity)."""
+    from skyway_spark.operators.geometry import polygon_validity
+
+    rows = [
+        (pid, role, i, x, y)
+        for pid, role, ring in VALIDITY_RINGS
+        for i, (x, y) in enumerate(ring)
+    ]
+    verts = spark.createDataFrame(
+        rows, "polygon_id long, role string, i int, x long, y long"
+    )
+    return polygon_validity(verts)
+
+
+def _polygon_validity_sql() -> str:
+    vals = ", ".join(
+        # explicit BIGINT: DuckDB types bare VALUES literals INT32 and
+        # the recentered shoelace products overflow 32 bits
+        f"({pid}, '{role}', {i}, {x}::BIGINT, {y}::BIGINT)"
+        for pid, role, ring in VALIDITY_RINGS
+        for i, (x, y) in enumerate(ring)
+    )
+    return f"""
+        WITH v(polygon_id, role, i, x, y) AS (VALUES {vals}),
+        n AS (SELECT polygon_id, role, COUNT(*) AS n FROM v GROUP BY 1, 2),
+        v0 AS (SELECT polygon_id, role, x AS x0, y AS y0 FROM v WHERE i = 0),
+        a AS (
+            SELECT v.polygon_id, v.role, v.i, n.n,
+                   v.x - v0.x0 AS ax, v.y - v0.y0 AS ay
+            FROM v JOIN n USING (polygon_id, role)
+                   JOIN v0 USING (polygon_id, role)),
+        segs AS MATERIALIZED (
+            SELECT a.polygon_id, a.role, a.i, a.n,
+                   a.ax, a.ay, b.ax AS bx, b.ay AS by
+            FROM a JOIN a b
+              ON b.polygon_id = a.polygon_id AND b.role = a.role
+             AND b.i = (a.i + 1) % a.n),
+        ring AS (
+            SELECT polygon_id, role, MAX(n)::INT AS n_vertices,
+                   (SUM(ax * by - bx * ay))::BIGINT AS area2
+            FROM segs GROUP BY 1, 2),
+        pr AS (
+            SELECT s.polygon_id, s.role,
+                   sign((s.bx - s.ax) * (t.ay - s.ay)
+                        - (s.by - s.ay) * (t.ax - s.ax)) AS o1,
+                   sign((s.bx - s.ax) * (t.by - s.ay)
+                        - (s.by - s.ay) * (t.bx - s.ax)) AS o2,
+                   sign((t.bx - t.ax) * (s.ay - t.ay)
+                        - (t.by - t.ay) * (s.ax - t.ax)) AS o3,
+                   sign((t.bx - t.ax) * (s.by - t.ay)
+                        - (t.by - t.ay) * (s.bx - t.ax)) AS o4
+            FROM segs s JOIN segs t
+              ON t.polygon_id = s.polygon_id AND t.role = s.role
+             AND s.i < t.i),
+        cr AS (
+            SELECT polygon_id, role,
+                   (SUM(CASE WHEN o1 * o2 = -1 AND o3 * o4 = -1
+                             THEN 1 ELSE 0 END))::BIGINT AS n_crossings
+            FROM pr GROUP BY 1, 2)
+        SELECT ring.polygon_id::BIGINT AS polygon_id, ring.role,
+               ring.n_vertices, ring.area2,
+               ring.area2 > 0 AS is_ccw, cr.n_crossings
+        FROM ring JOIN cr USING (polygon_id, role)
+    """
+
+
+JC_THR = 4
+
+
+def q_join_counts(spark, sf):
+    """Join-count statistics (BB/BW/WW rook joins) for the binary
+    hot-cell mask (count >= 4) over the event grid — binary spatial
+    autocorrelation next to morans_i/gearys_c; counts exact, expected
+    BB one pinned double (operators/spatialstats.join_counts)."""
+    from skyway_spark.operators import spatialstats
+
+    cells = spatialstats.cell_counts(_event_cells_int(spark, sf).drop("ts"))
+    return spatialstats.join_counts(cells, hot_threshold=JC_THR)
+
+
+def _join_counts_sql() -> str:
+    return f"""
+        WITH cells AS (
+            SELECT cx, cy, COUNT(*) >= {JC_THR} AS h
+            FROM (SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                         ((event_id * 104729) % 36000) // 100 AS cy
+                  FROM events)
+            GROUP BY cx, cy),
+        pairs AS (
+            SELECT a.h AS ha, b.h AS hb
+            FROM cells a JOIN cells b
+              ON a.cx + 1 = b.cx AND a.cy = b.cy
+            UNION ALL
+            SELECT a.h, b.h
+            FROM cells a JOIN cells b
+              ON a.cx = b.cx AND a.cy + 1 = b.cy),
+        pc AS (
+            SELECT COUNT(*)::BIGINT AS w_pairs,
+                   (SUM(CASE WHEN ha AND hb THEN 1 ELSE 0 END))::BIGINT AS n_bb,
+                   (SUM(CASE WHEN ha <> hb THEN 1 ELSE 0 END))::BIGINT AS n_bw,
+                   (SUM(CASE WHEN NOT ha AND NOT hb THEN 1 ELSE 0
+                        END))::BIGINT AS n_ww
+            FROM pairs),
+        tot AS (
+            SELECT COUNT(*)::BIGINT AS n_cells,
+                   (SUM(CASE WHEN h THEN 1 ELSE 0 END))::BIGINT AS n_hot
+            FROM cells)
+        SELECT tot.n_cells, tot.n_hot, pc.w_pairs, pc.n_bb, pc.n_bw, pc.n_ww,
+               pc.w_pairs::DOUBLE * tot.n_hot::DOUBLE * (tot.n_hot - 1)::DOUBLE
+                   / (tot.n_cells::DOUBLE * (tot.n_cells - 1)::DOUBLE)
+                   AS expected_bb
+        FROM tot, pc
+    """
+
+
+def q_gini_cells(spark, sf):
+    """Gini coefficient of event mass across occupied cells — the
+    spatial-concentration summary (reads high here: hot-city skew by
+    construction); exact integer num/den + one double division
+    (operators/spatialstats.gini_concentration)."""
+    from skyway_spark.operators import spatialstats
+
+    cells = spatialstats.cell_counts(_event_cells_int(spark, sf).drop("ts"))
+    return spatialstats.gini_concentration(cells)
+
+
+def _gini_sql() -> str:
+    return """
+        WITH cells AS (
+            SELECT cx, cy, COUNT(*) AS x
+            FROM (SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                         ((event_id * 104729) % 36000) // 100 AS cy
+                  FROM events)
+            GROUP BY cx, cy),
+        ranked AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x, cx, cy) AS i
+            FROM cells),
+        mom AS (
+            SELECT COUNT(*)::BIGINT AS n,
+                   (SUM(x))::BIGINT AS total,
+                   (SUM((2 * i - 1) * x))::BIGINT AS s2i
+            FROM ranked)
+        SELECT n AS n_cells, total,
+               (s2i - n * total)::BIGINT AS gini_num,
+               (n * total)::BIGINT AS gini_den,
+               (s2i - n * total)::DOUBLE / (n * total)::DOUBLE AS gini
+        FROM mom
+    """
+
+
 KNOX_TAU_US = 3_600_000_000  # 1 hour
 
 
@@ -7597,6 +7772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knox": q_knox,
         "q_dispersion": q_dispersion,
         "q_rendezvous": q_rendezvous,
+        "q_polygon_validity": q_polygon_validity,
+        "q_join_counts": q_join_counts,
+        "q_gini_cells": q_gini_cells,
         "q_term_drift": q_term_drift,
         "q_bitext_candidates": q_bitext_candidates,
         "q_assortativity": q_assortativity,
@@ -11350,6 +11528,9 @@ def oracle_sql() -> dict[str, str]:
     out["q_knox"] = _knox_sql()
     out["q_dispersion"] = _dispersion_sql()
     out["q_rendezvous"] = _rendezvous_sql()
+    out["q_polygon_validity"] = _polygon_validity_sql()
+    out["q_join_counts"] = _join_counts_sql()
+    out["q_gini_cells"] = _gini_sql()
     out["q_term_drift"] = _term_drift_sql()
     out["q_bitext_candidates"] = _bitext_sql()
     out["q_assortativity"] = _assortativity_sql()

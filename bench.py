@@ -258,6 +258,9 @@ BENCH_QUERIES = [
     "q_knox",
     "q_dispersion",
     "q_rendezvous",
+    "q_polygon_validity",
+    "q_join_counts",
+    "q_gini_cells",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -618,3 +618,88 @@ def hull_diameter(hulls: DataFrame, entity: str = "entity") -> DataFrame:
         .where(F.col("__rn") == 1)
         .select(F.col("e").alias(entity), "d2", "ax", "ay", "bx", "by")
     )
+
+
+def polygon_validity(verts: DataFrame) -> DataFrame:
+    """Polygon ring validity audit — the OGC-style pre-flight for
+    ingested geometry: signed area (shoelace x2), winding order, and
+    PROPER self-intersection count, all in exact integer arithmetic
+    on quantized vertices.
+
+    Input: (polygon_id, role, i, x, y) integer ring vertices in order,
+    WITHOUT the closing duplicate (the operator wraps i = n-1 -> 0).
+    Output per ring: (polygon_id, role, n_vertices, area2, is_ccw,
+    n_crossings) with area2 the doubled signed shoelace area
+    (positive = counter-clockwise in the (x, y) plane) on
+    first-vertex-RECENTERED coordinates (translation-invariant, keeps
+    the products far from int64 overflow at 1e7-quantized lon/lat),
+    and n_crossings counting strictly-proper segment crossings (all
+    four orientation signs nonzero and opposed) — endpoint touches and
+    collinear overlaps are not "proper", which also makes an explicit
+    adjacent-segment exclusion unnecessary.
+
+    Scale shape: polygon tables are dimension-sized by contract (the
+    same contract as operators/pip.py); segments come from ONE
+    ring-keyed self equi-join on (polygon_id, role) for the pairing
+    and a modular-successor join for the wrap — no corpus involvement.
+    """
+    v = verts.select("polygon_id", "role", "i", "x", "y")
+    n = v.groupBy("polygon_id", "role").agg(F.count(F.lit(1)).alias("n"))
+    base = v.join(n, ["polygon_id", "role"])
+    # recenter on vertex 0 of each ring
+    v0 = v.where(F.col("i") == 0).select(
+        "polygon_id", "role", F.col("x").alias("x0"), F.col("y").alias("y0")
+    )
+    seg_a = base.join(v0, ["polygon_id", "role"]).select(
+        "polygon_id", "role", "i", "n",
+        (F.col("x") - F.col("x0")).alias("ax"),
+        (F.col("y") - F.col("y0")).alias("ay"),
+    )
+    nxt = seg_a.select(
+        "polygon_id", "role",
+        F.col("i").alias("j"),
+        F.col("ax").alias("bx"), F.col("ay").alias("by"),
+    )
+    segs = seg_a.join(
+        nxt.withColumnRenamed("j", "i_next"), ["polygon_id", "role"]
+    ).where(
+        F.col("i_next") == (F.col("i") + 1) % F.col("n")
+    ).select(
+        "polygon_id", "role", "i", "n", "ax", "ay", "bx", "by"
+    ).localCheckpoint(eager=True)
+
+    ring = segs.groupBy("polygon_id", "role").agg(
+        F.max("n").cast("int").alias("n_vertices"),
+        F.sum(
+            F.col("ax") * F.col("by") - F.col("bx") * F.col("ay")
+        ).cast("long").alias("area2"),
+    )
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return F.signum(
+            ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax)).cast("double")
+        ).cast("int")
+
+    s2 = segs.select(
+        "polygon_id", "role", F.col("i").alias("j"),
+        F.col("ax").alias("cx"), F.col("ay").alias("cy"),
+        F.col("bx").alias("dx"), F.col("by").alias("dy"),
+    )
+    pr = segs.join(s2, ["polygon_id", "role"]).where(F.col("i") < F.col("j"))
+    o1 = orient(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                F.col("cx"), F.col("cy"))
+    o2 = orient(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                F.col("dx"), F.col("dy"))
+    o3 = orient(F.col("cx"), F.col("cy"), F.col("dx"), F.col("dy"),
+                F.col("ax"), F.col("ay"))
+    o4 = orient(F.col("cx"), F.col("cy"), F.col("dx"), F.col("dy"),
+                F.col("bx"), F.col("by"))
+    proper = (o1 * o2 == -1) & (o3 * o4 == -1)
+    cr = pr.select(
+        "polygon_id", "role", F.when(proper, 1).otherwise(0).alias("c")
+    ).groupBy("polygon_id", "role").agg(F.sum("c").cast("long").alias("n_crossings"))
+
+    return ring.join(cr, ["polygon_id", "role"]).select(
+        "polygon_id", "role", "n_vertices", "area2",
+        (F.col("area2") > 0).alias("is_ccw"), "n_crossings",
+    )

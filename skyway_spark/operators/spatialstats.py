@@ -1229,3 +1229,89 @@ def quadrat_dispersion(
         den.alias("vmr_den"),
         (num.cast("double") / den.cast("double")).alias("vmr"),
     )
+
+
+def join_counts(cells: DataFrame, hot_threshold: int) -> DataFrame:
+    """Join-count statistics (Cliff & Ord) for a BINARY cell pattern:
+    classify occupied cells hot (x >= threshold) / cold, then count
+    rook-neighbor pairs by color — BB / BW / WW joins.  The binary
+    sibling of morans_i/gearys_c: an excess of BB joins over the
+    nonfree-sampling expectation W * nh*(nh-1) / (n*(n-1)) reads as
+    clustering of the hot mask.
+
+    Output single row: (n_cells, n_hot, w_pairs, n_bb, n_bw, n_ww,
+    expected_bb) — counts exact int64, expected one pinned double.
+
+    Scale shape: same as morans_i — two shifted equi-joins over the
+    aggregate-sized cell table, single-row reduce."""
+    c = cells.select(
+        "cx", "cy", (F.col("x") >= hot_threshold).alias("h")
+    ).localCheckpoint(eager=True)
+    a = c.select(F.col("cx").alias("ax"), F.col("cy").alias("ay"),
+                 F.col("h").alias("ha"))
+    b = c.select(F.col("cx").alias("bx"), F.col("cy").alias("by"),
+                 F.col("h").alias("hb"))
+    east = a.join(b, (F.col("ax") + 1 == F.col("bx")) & (F.col("ay") == F.col("by")))
+    north = a.join(b, (F.col("ax") == F.col("bx")) & (F.col("ay") + 1 == F.col("by")))
+    pairs = east.unionByName(north).agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum(F.when(F.col("ha") & F.col("hb"), 1).otherwise(0))
+        .cast("long").alias("n_bb"),
+        F.sum(F.when(F.col("ha") != F.col("hb"), 1).otherwise(0))
+        .cast("long").alias("n_bw"),
+        F.sum(F.when(~F.col("ha") & ~F.col("hb"), 1).otherwise(0))
+        .cast("long").alias("n_ww"),
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.when(F.col("h"), 1).otherwise(0)).cast("long").alias("n_hot"),
+    )
+    out = tot.crossJoin(F.broadcast(pairs))
+    exp_bb = (
+        F.col("w_pairs").cast("double")
+        * F.col("n_hot").cast("double") * (F.col("n_hot") - 1).cast("double")
+        / (F.col("n_cells").cast("double") * (F.col("n_cells") - 1).cast("double"))
+    )
+    return out.select(
+        "n_cells", "n_hot", "w_pairs", "n_bb", "n_bw", "n_ww",
+        exp_bb.alias("expected_bb"),
+    )
+
+
+def gini_concentration(cells: DataFrame) -> DataFrame:
+    """Gini coefficient of the event mass across occupied cells — the
+    inequality summary for spatial concentration (0 = uniform across
+    occupied cells, -> 1 = all mass in a few): with cells ranked
+    i = 1..n by (x, cx, cy) total order,
+
+        gini_num = sum((2*i - n - 1) * x_i)     (exact int64)
+        gini_den = n * sum(x)
+        gini     = gini_num / gini_den          (one double division)
+
+    Output single row: (n_cells, total, gini_num, gini_den, gini).
+
+    Scale shape: ONE corpus shuffle into cell counts upstream; the
+    rank is a window over the AGGREGATE-sized cell table (bounded by
+    grid geometry, not the corpus — the unpartitioned-window ban
+    applies to corpus-sized tables; for a resolution-bounded cell
+    census the single-task sort is kilobytes)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("x", "cx", "cy")
+    ranked = cells.select(
+        "x", F.row_number().over(w).alias("i")
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum((2 * F.col("i") - 1) * F.col("x")).cast("long").alias("s2i"),
+    )
+    num = F.col("s2i") - F.col("n") * F.col("total")
+    den = F.col("n") * F.col("total")
+    return mom.select(
+        F.col("n").alias("n_cells"),
+        "total",
+        num.alias("gini_num"),
+        den.alias("gini_den"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )
