@@ -6530,6 +6530,120 @@ def _label_communities_sql() -> str:
     return sql
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental (daily-crawl) dedup census: the corpus is the full
+    documents table; the NEW batch is a dup-augmented view (exact
+    copies, near copies, intra-batch repeats of a near copy, and
+    fully-rewritten uniques — the docs2 pattern) so every census class
+    is populated — exact-hash semi-joins, intra-batch survivor
+    window, LSH band probe + shingle Jaccard verify; only the batch
+    drives join sizes (operators/dedup.incremental_dedup_census)."""
+    from skyway_spark.operators.dedup import incremental_dedup_census
+
+    (docs,) = _tables(spark, sf, "documents")
+    o = docs.select("doc_id", "text")
+    near = F.concat(F.lit("Z"), F.expr("substring(text, 2)"))
+    batch = (
+        o.where(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            o.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), near.alias("text")
+            )
+        )
+        .unionByName(
+            o.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), near.alias("text")
+            )
+        )
+        .unionByName(
+            o.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 400000).alias("doc_id"),
+                F.upper(F.col("text")).alias("text"),
+            )
+        )
+    )
+    return incremental_dedup_census(o, batch)
+
+
+def _incremental_dedup_sql(bands: int = 4, threshold: float = 0.5) -> str:
+    rows_per_band = len(dedup.MINHASH_PERMS) // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(g, x -> (x * {a} + {b}) % {_PR}))"
+        for a, b in dedup.MINHASH_PERMS
+    )
+
+    def band_cte(src_cte, out):
+        exprs = []
+        for i in range(bands):
+            acc = "0::BIGINT"
+            for j in range(i * rows_per_band + 1, (i + 1) * rows_per_band + 1):
+                acc = f"(({acc}) * 31 + sig[{j}]) % {_HM}"
+            exprs.append(
+                f"SELECT doc_id, {i} AS band, {acc} AS bh FROM {src_cte}"
+            )
+        return f"{out} AS ({' UNION ALL '.join(exprs)})"
+
+    jac = (
+        "len(list_intersect(ta.g, tb.g))::DOUBLE / "
+        "(len(ta.g) + len(tb.g) - len(list_intersect(ta.g, tb.g)))::DOUBLE"
+    )
+    return f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        batch AS (
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+            WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 200000, 'Z' || substring(text, 2)
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 300000, 'Z' || substring(text, 2)
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 400000, upper(text)
+            FROM documents WHERE doc_id % 11 = 0),
+        exact_c AS (
+            SELECT b.doc_id FROM batch b
+            WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)),
+        rest1 AS (
+            SELECT b.doc_id, b.text,
+                   ROW_NUMBER() OVER (PARTITION BY b.text
+                                      ORDER BY b.doc_id) AS rn
+            FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)),
+        exact_b AS (SELECT doc_id FROM rest1 WHERE rn > 1),
+        surv AS (SELECT doc_id, text FROM rest1 WHERE rn = 1),
+        tokS AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS th FROM surv),
+        tS AS (SELECT doc_id, {_SQL_WORD_SHINGLES} AS g FROM tokS),
+        sS AS (SELECT doc_id, [{sig_elems}] AS sig FROM tS),
+        tokC AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS th FROM corpus),
+        tC AS (SELECT doc_id, {_SQL_WORD_SHINGLES} AS g FROM tokC),
+        sC AS (SELECT doc_id, [{sig_elems}] AS sig FROM tC),
+        {band_cte('sS', 'bndS')},
+        {band_cte('sC', 'bndC')},
+        cand AS (
+            SELECT DISTINCT s.doc_id, c.doc_id AS cid
+            FROM bndS s JOIN bndC c ON s.band = c.band AND s.bh = c.bh),
+        ver AS (
+            SELECT DISTINCT cand.doc_id
+            FROM cand
+            JOIN tS ta ON ta.doc_id = cand.doc_id
+            JOIN tC tb ON tb.doc_id = cand.cid
+            WHERE {jac} >= {threshold}),
+        uniq AS (
+            SELECT s.doc_id FROM surv s
+            WHERE NOT EXISTS (SELECT 1 FROM ver v
+                              WHERE v.doc_id = s.doc_id)),
+        census AS (
+            SELECT 'exact_corpus' AS clazz FROM exact_c
+            UNION ALL SELECT 'exact_batch' FROM exact_b
+            UNION ALL SELECT 'near_corpus' FROM ver
+            UNION ALL SELECT 'unique' FROM uniq)
+        SELECT clazz, COUNT(*)::BIGINT AS n_docs
+        FROM census GROUP BY clazz
+    """
+
+
 # integer-vertex rings (no closing duplicate) for the validity audit:
 # the PIP fixture rings 1e7-quantized, plus a clockwise square and a
 # self-intersecting bowtie
@@ -7772,6 +7886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knox": q_knox,
         "q_dispersion": q_dispersion,
         "q_rendezvous": q_rendezvous,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_polygon_validity": q_polygon_validity,
         "q_join_counts": q_join_counts,
         "q_gini_cells": q_gini_cells,
@@ -11528,6 +11643,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_knox"] = _knox_sql()
     out["q_dispersion"] = _dispersion_sql()
     out["q_rendezvous"] = _rendezvous_sql()
+    out["q_incremental_dedup"] = _incremental_dedup_sql()
     out["q_polygon_validity"] = _polygon_validity_sql()
     out["q_join_counts"] = _join_counts_sql()
     out["q_gini_cells"] = _gini_sql()

@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "q_polygon_validity",
     "q_join_counts",
     "q_gini_cells",
+    "q_incremental_dedup",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

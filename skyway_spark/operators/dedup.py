@@ -932,3 +932,105 @@ def jaccard_prefix_join(
         inter.where(F.col("n_inter") * 100 >= t * uni)
         .select("id_a", "id_b", "n_inter", uni.alias("n_union"))
     )
+
+
+def incremental_dedup_census(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (daily-crawl) dedup: classify a NEW batch against
+    an EXISTING corpus — the production shape of web-scale dedup,
+    where re-deduplicating the full 100 TB corpus per ingest is the
+    anti-pattern and only the batch is probed.
+
+    Classes, by priority:
+      exact_corpus  — text hash already in the corpus
+      exact_batch   — intra-batch exact duplicate (keeps the smallest
+                      id as survivor; the survivor itself classifies
+                      by the remaining rules)
+      near_corpus   — LSH band match to a corpus doc verified at
+                      shingle Jaccard >= threshold
+      unique        — none of the above
+
+    Output census: (clazz, n_docs), exact int64.
+
+    Scale shape: the corpus contributes ONLY its hash set and its
+    banded signature table (signature = 16 longs/doc; both
+    aggregate-light, both buildable once and reused across ingests);
+    the batch-side joins are hash- and band-keyed equi-joins sized by
+    the BATCH.  Gram arrays re-attach to candidate pairs only (two
+    narrow id-keyed joins, the minhash_lsh_pairs discipline).  No
+    bucket cap here — parity with the exhaustive oracle; production
+    can pre-filter hot bands exactly as minhash_lsh_pairs does.
+    """
+    from pyspark.sql import Window
+
+    rows_per_band = len(MINHASH_PERMS) // bands
+
+    def prep(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            word_shingle_hashes(F.col(text_col), n).alias("g"),
+            text_hash(F.col(text_col)).alias("h"),
+        )
+
+    def banded(df):
+        sig = df.withColumn("sig", minhash_from_grams(F.col("g")))
+        return sig.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.aggregate(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: (acc * 31 + v) % HASH_MOD,
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band", "bh"),
+        )
+
+    b = prep(batch).localCheckpoint(eager=True)
+    c = prep(corpus).localCheckpoint(eager=True)
+
+    corp_h = c.select("h").distinct()
+    exact_corp = b.join(corp_h, "h", "left_semi").select("id")
+    rest1 = b.join(corp_h, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("id")
+    rest1 = rest1.withColumn("rn", F.row_number().over(w))
+    exact_batch = rest1.where(F.col("rn") > 1).select("id")
+    survivors = rest1.where(F.col("rn") == 1).select("id", "g").localCheckpoint(
+        eager=True
+    )
+
+    cand = (
+        banded(survivors).join(
+            banded(c).select("band", "bh", F.col("id").alias("cid")),
+            ["band", "bh"],
+        )
+        .select("id", "cid")
+        .distinct()
+    )
+    ver = (
+        cand.join(survivors.select("id", F.col("g").alias("ga")), "id")
+        .join(c.select(F.col("id").alias("cid"), F.col("g").alias("gb")), "cid")
+        .where(jaccard(F.col("ga"), F.col("gb")) >= threshold)
+        .select("id")
+        .distinct()
+    )
+    unique = survivors.select("id").join(ver, "id", "left_anti")
+
+    census = (
+        exact_corp.select(F.lit("exact_corpus").alias("clazz"))
+        .unionByName(exact_batch.select(F.lit("exact_batch").alias("clazz")))
+        .unionByName(ver.select(F.lit("near_corpus").alias("clazz")))
+        .unionByName(unique.select(F.lit("unique").alias("clazz")))
+    )
+    return census.groupBy("clazz").agg(F.count(F.lit(1)).alias("n_docs"))
