@@ -6530,6 +6530,187 @@ def _label_communities_sql() -> str:
     return sql
 
 
+PERC_THR = 4
+
+
+def q_hot_percolation(spark, sf):
+    """Site-percolation census of the hot-cell mask (count >= 4):
+    rook-adjacency connected components over hot cells (isolated hot
+    cells self-loop so they register as singleton clusters) —
+    contiguity structure of the hot mask, the percolation companion
+    to q_join_counts; output (n_hot, n_clusters, max_cluster,
+    n_singletons) (operators/graph.connected_components over the
+    aggregate-sized mask).  Oracle: recursive-CTE reachability."""
+    from skyway_spark.operators import spatialstats
+    from skyway_spark.operators.graph import connected_components
+
+    cells = spatialstats.cell_counts(_event_cells_int(spark, sf).drop("ts"))
+    hot = cells.where(F.col("x") >= PERC_THR).select(
+        (F.col("cx") * 1000 + F.col("cy")).alias("v"), "cx", "cy"
+    ).localCheckpoint(eager=True)
+    b = hot.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("v").alias("w"),
+    )
+    east = hot.join(
+        b, (F.col("cx") + 1 == F.col("bx")) & (F.col("cy") == F.col("by"))
+    ).select("v", "w")
+    north = hot.join(
+        b, (F.col("cx") == F.col("bx")) & (F.col("cy") + 1 == F.col("by"))
+    ).select("v", "w")
+    selfe = hot.select("v", F.col("v").alias("w"))
+    cc = connected_components(
+        east.unionByName(north).unionByName(selfe), src="v", dst="w"
+    )
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.sum("sz").cast("long").alias("n_hot"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("sz").cast("long").alias("max_cluster"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+    )
+
+
+def _hot_percolation_sql() -> str:
+    return f"""
+        WITH RECURSIVE cells AS (
+            SELECT cx, cy, cx * 1000 + cy AS v
+            FROM (SELECT ((user_id * 7919) % 17000) // 100 AS cx,
+                         ((event_id * 104729) % 36000) // 100 AS cy
+                  FROM events)
+            GROUP BY cx, cy HAVING COUNT(*) >= {PERC_THR}),
+        adj AS (
+            SELECT a.v AS s, b.v AS t FROM cells a JOIN cells b
+              ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+              OR (b.cx = a.cx AND b.cy = a.cy + 1)),
+        e AS (SELECT s, t FROM adj
+              UNION SELECT t, s FROM adj
+              UNION SELECT v, v FROM cells),
+        reach(s, t) AS (
+            SELECT s, t FROM e
+            UNION
+            SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s),
+        lab AS (SELECT s AS node, LEAST(s, MIN(t)) AS component
+                FROM reach GROUP BY s),
+        sizes AS (SELECT component, COUNT(*) AS sz FROM lab GROUP BY 1)
+        SELECT (SUM(sz))::BIGINT AS n_hot,
+               COUNT(*)::BIGINT AS n_clusters,
+               (MAX(sz))::BIGINT AS max_cluster,
+               (SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END))::BIGINT
+                   AS n_singletons
+        FROM sizes
+    """
+
+
+def q_radius_gyration(spark, sf):
+    """Per-user radius of gyration (Gonzalez/Hidalgo/Barabasi, the
+    mobility-range classic): rg^2 in cleared-integer form
+    n*sum(x^2+y^2) - (sum x)^2 - (sum y)^2 over n^2 — ONE
+    map-side-combined groupBy, one double division."""
+    (ev,) = _tables(spark, sf, "events")
+    x = (F.col("user_id") * 7919 + F.col("event_id") * 131) % 17000
+    y = (F.col("event_id") * 104729) % 36000
+    pts = ev.select("user_id", x.alias("x"), y.alias("y"))
+    mom = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y"))
+        .cast("long")
+        .alias("sq"),
+    )
+    num = (
+        F.col("n") * F.col("sq")
+        - F.col("sx") * F.col("sx")
+        - F.col("sy") * F.col("sy")
+    )
+    den = F.col("n") * F.col("n")
+    return mom.select(
+        "user_id",
+        F.col("n").alias("n_points"),
+        num.alias("rg2_num"),
+        den.alias("rg2_den"),
+        (num.cast("double") / den.cast("double")).alias("rg2"),
+    )
+
+
+def _radius_gyration_sql() -> str:
+    return """
+        WITH pts AS (
+            SELECT user_id,
+                   (user_id * 7919 + event_id * 131) % 17000 AS x,
+                   (event_id * 104729) % 36000 AS y
+            FROM events),
+        mom AS (
+            SELECT user_id, COUNT(*)::BIGINT AS n,
+                   (SUM(x))::BIGINT AS sx, (SUM(y))::BIGINT AS sy,
+                   (SUM(x * x + y * y))::BIGINT AS sq
+            FROM pts GROUP BY user_id)
+        SELECT user_id, n AS n_points,
+               (n * sq - sx * sx - sy * sy)::BIGINT AS rg2_num,
+               (n * n)::BIGINT AS rg2_den,
+               (n * sq - sx * sx - sy * sy)::DOUBLE / (n * n)::DOUBLE AS rg2
+        FROM mom
+    """
+
+
+def q_jump_sizes(spark, sf):
+    """Displacement (jump-size) distribution across consecutive
+    per-user moves — the Levy-flight diagnostic: Chebyshev step
+    lengths bucketed to power-of-two bands via an exact integer CASE
+    ladder (no float log2 boundary risk); histogram
+    (bucket, n_jumps, min_d, max_d)."""
+    from pyspark.sql import Window
+
+    (ev,) = _tables(spark, sf, "events")
+    x = (F.col("user_id") * 7919 + F.col("event_id") * 131) % 17000
+    y = (F.col("event_id") * 104729) % 36000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select("user_id", "ts", "event_id", x.alias("x"), y.alias("y"))
+    d = F.greatest(
+        F.abs(F.col("x") - F.lag("x").over(w)),
+        F.abs(F.col("y") - F.lag("y").over(w)),
+    )
+    moves = pts.select(d.alias("d")).where(F.col("d").isNotNull())
+    bucket = F.when(F.col("d") == 0, F.lit(-1))
+    for k in range(16):
+        bucket = bucket.when(F.col("d") < (1 << (k + 1)), F.lit(k))
+    bucket = bucket.otherwise(F.lit(16)).cast("int")
+    return moves.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_jumps"),
+        F.min("d").cast("long").alias("min_d"),
+        F.max("d").cast("long").alias("max_d"),
+    )
+
+
+def _jump_sizes_sql() -> str:
+    ladder = " ".join(
+        f"WHEN d < {1 << (k + 1)} THEN {k}" for k in range(16)
+    )
+    return f"""
+        WITH pts AS (
+            SELECT user_id, ts, event_id,
+                   (user_id * 7919 + event_id * 131) % 17000 AS x,
+                   (event_id * 104729) % 36000 AS y
+            FROM events),
+        mv AS (
+            SELECT GREATEST(abs(x - LAG(x) OVER w), abs(y - LAG(y) OVER w))
+                       AS d
+            FROM pts WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id)),
+        b AS (
+            SELECT d,
+                   (CASE WHEN d = 0 THEN -1 {ladder} ELSE 16 END)::INT
+                       AS bucket
+            FROM mv WHERE d IS NOT NULL)
+        SELECT bucket, COUNT(*)::BIGINT AS n_jumps,
+               (MIN(d))::BIGINT AS min_d, (MAX(d))::BIGINT AS max_d
+        FROM b GROUP BY bucket
+    """
+
+
 def q_incremental_dedup(spark, sf):
     """Incremental (daily-crawl) dedup census: the corpus is the full
     documents table; the NEW batch is a dup-augmented view (exact
@@ -7887,6 +8068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dispersion": q_dispersion,
         "q_rendezvous": q_rendezvous,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_hot_percolation": q_hot_percolation,
+        "q_radius_gyration": q_radius_gyration,
+        "q_jump_sizes": q_jump_sizes,
         "q_polygon_validity": q_polygon_validity,
         "q_join_counts": q_join_counts,
         "q_gini_cells": q_gini_cells,
@@ -11644,6 +11828,9 @@ def oracle_sql() -> dict[str, str]:
     out["q_dispersion"] = _dispersion_sql()
     out["q_rendezvous"] = _rendezvous_sql()
     out["q_incremental_dedup"] = _incremental_dedup_sql()
+    out["q_hot_percolation"] = _hot_percolation_sql()
+    out["q_radius_gyration"] = _radius_gyration_sql()
+    out["q_jump_sizes"] = _jump_sizes_sql()
     out["q_polygon_validity"] = _polygon_validity_sql()
     out["q_join_counts"] = _join_counts_sql()
     out["q_gini_cells"] = _gini_sql()

@@ -262,6 +262,9 @@ BENCH_QUERIES = [
     "q_join_counts",
     "q_gini_cells",
     "q_incremental_dedup",
+    "q_hot_percolation",
+    "q_radius_gyration",
+    "q_jump_sizes",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
