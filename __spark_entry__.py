@@ -6530,6 +6530,128 @@ def _label_communities_sql() -> str:
     return sql
 
 
+EHS_RES, EHS_DAYS, EHS_THR = 500, 6, 3
+
+
+def q_emerging_hotspots(spark, sf):
+    """Emerging hot-spot classification (the space-time-cube analysis,
+    ArcGIS-style, in crisp integer rules): per (res-500 cell, 6-day
+    period) counts on a FILLED cell x period grid, hot = count >= 3,
+    Mann-Kendall S over each cell's period series, then the
+    category ladder — new / persistent / intensifying / diminishing /
+    sporadic — for every cell with at least one hot period.  Census
+    (category, n_cells, sum_events).  Composes cell_counts-style
+    aggregation + the q_mann_kendall pair logic; every rule is an
+    integer comparison, so the census is engine-exact."""
+    (ev,) = _tables(spark, sf, "events")
+    cx = (((F.col("user_id") * 7919) % 17000) / F.lit(EHS_RES)).cast("long")
+    cy = (((F.col("event_id") * 104729) % 36000) / F.lit(EHS_RES)).cast("long")
+    wk = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").cast(
+        "long"
+    ) / F.lit(EHS_DAYS)
+    pts = ev.select(cx.alias("cx"), cy.alias("cy"), wk.cast("long").alias("w"))
+    counts = pts.groupBy("cx", "cy", "w").agg(F.count(F.lit(1)).alias("y"))
+    weeks = counts.select("w").distinct()
+    wmax = counts.agg(F.max("w").alias("wmax"))
+    # fill the grid for cells that are ever hot
+    hot_cells = counts.where(F.col("y") >= EHS_THR).select("cx", "cy").distinct()
+    grid = (
+        hot_cells.crossJoin(F.broadcast(weeks))
+        .join(counts, ["cx", "cy", "w"], "left")
+        .select("cx", "cy", "w", F.coalesce("y", F.lit(0)).alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    a = grid.select("cx", "cy", F.col("w").alias("wa"), F.col("y").alias("ya"))
+    b = grid.select("cx", "cy", F.col("w").alias("wb"), F.col("y").alias("yb"))
+    mk = (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("wa") < F.col("wb"))
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s")
+        )
+    )
+    flags = grid.crossJoin(F.broadcast(wmax)).groupBy("cx", "cy").agg(
+        F.sum(F.when(F.col("y") >= EHS_THR, 1).otherwise(0))
+        .cast("long").alias("n_hot"),
+        F.max(
+            F.when((F.col("w") == F.col("wmax")) & (F.col("y") >= EHS_THR), 1)
+            .otherwise(0)
+        ).cast("long").alias("hot_last"),
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum("y").cast("long").alias("total"),
+    )
+    j = flags.join(mk, ["cx", "cy"])
+    cat = (
+        F.when((F.col("n_hot") == 1) & (F.col("hot_last") == 1), "new")
+        .when(
+            (F.col("n_hot") * 5 >= F.col("n_weeks") * 4)
+            & (F.abs(F.col("s")) <= 2),
+            "persistent",
+        )
+        .when((F.col("s") > 0) & (F.col("hot_last") == 1), "intensifying")
+        .when((F.col("s") < 0) & (F.col("hot_last") == 0), "diminishing")
+        .otherwise("sporadic")
+    )
+    return j.select(cat.alias("category"), "total").groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("total").cast("long").alias("sum_events"),
+    )
+
+
+def _emerging_hotspots_sql() -> str:
+    return f"""
+        WITH pts AS (
+            SELECT ((user_id * 7919) % 17000) // {EHS_RES} AS cx,
+                   ((event_id * 104729) % 36000) // {EHS_RES} AS cy,
+                   (epoch_us(ts) // 86400000000) // {EHS_DAYS} AS w
+            FROM events),
+        counts AS MATERIALIZED (
+            SELECT cx, cy, w, COUNT(*) AS y FROM pts GROUP BY 1, 2, 3),
+        weeks AS (SELECT DISTINCT w FROM counts),
+        wmax AS (SELECT MAX(w) AS wmax FROM counts),
+        hot_cells AS (SELECT DISTINCT cx, cy FROM counts WHERE y >= {EHS_THR}),
+        grid AS MATERIALIZED (
+            SELECT h.cx, h.cy, weeks.w, COALESCE(c.y, 0) AS y
+            FROM hot_cells h CROSS JOIN weeks
+            LEFT JOIN counts c
+              ON c.cx = h.cx AND c.cy = h.cy AND c.w = weeks.w),
+        mk AS (
+            SELECT a.cx, a.cy,
+                   (SUM(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END))::BIGINT AS s
+            FROM grid a JOIN grid b
+              ON a.cx = b.cx AND a.cy = b.cy AND a.w < b.w
+            GROUP BY 1, 2),
+        flags AS (
+            SELECT cx, cy,
+                   (SUM(CASE WHEN y >= {EHS_THR} THEN 1 ELSE 0
+                        END))::BIGINT AS n_hot,
+                   (MAX(CASE WHEN w = (SELECT wmax FROM wmax)
+                                  AND y >= {EHS_THR} THEN 1 ELSE 0
+                        END))::BIGINT AS hot_last,
+                   COUNT(*)::BIGINT AS n_weeks,
+                   (SUM(y))::BIGINT AS total
+            FROM grid GROUP BY 1, 2),
+        j AS (
+            SELECT f.*, mk.s,
+                   CASE WHEN f.n_hot = 1 AND f.hot_last = 1 THEN 'new'
+                        WHEN f.n_hot * 5 >= f.n_weeks * 4
+                             AND abs(mk.s) <= 2 THEN 'persistent'
+                        WHEN mk.s > 0 AND f.hot_last = 1 THEN 'intensifying'
+                        WHEN mk.s < 0 AND f.hot_last = 0 THEN 'diminishing'
+                        ELSE 'sporadic' END AS category
+            FROM flags f JOIN mk ON mk.cx = f.cx AND mk.cy = f.cy)
+        SELECT category, COUNT(*)::BIGINT AS n_cells,
+               (SUM(total))::BIGINT AS sum_events
+        FROM j GROUP BY category
+    """
+
+
 PERC_THR = 4
 
 
@@ -8068,6 +8190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dispersion": q_dispersion,
         "q_rendezvous": q_rendezvous,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_emerging_hotspots": q_emerging_hotspots,
         "q_hot_percolation": q_hot_percolation,
         "q_radius_gyration": q_radius_gyration,
         "q_jump_sizes": q_jump_sizes,
@@ -11828,6 +11951,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_dispersion"] = _dispersion_sql()
     out["q_rendezvous"] = _rendezvous_sql()
     out["q_incremental_dedup"] = _incremental_dedup_sql()
+    out["q_emerging_hotspots"] = _emerging_hotspots_sql()
     out["q_hot_percolation"] = _hot_percolation_sql()
     out["q_radius_gyration"] = _radius_gyration_sql()
     out["q_jump_sizes"] = _jump_sizes_sql()

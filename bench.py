@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "q_hot_percolation",
     "q_radius_gyration",
     "q_jump_sizes",
+    "q_emerging_hotspots",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
