@@ -6530,6 +6530,75 @@ def _label_communities_sql() -> str:
     return sql
 
 
+def q_minhash_error(spark, sf):
+    """MinHash calibration audit over ground-truth pairs (exact copies
+    and first-char near copies, the docs2 construction): 16-perm
+    signature estimate vs exact shingle Jaccard, absolute error
+    histogrammed in 5-percent-point integer buckets per pair type
+    (operators/dedup.minhash_error_histogram)."""
+    from skyway_spark.operators.dedup import minhash_error_histogram
+
+    (docs,) = _tables(spark, sf, "documents")
+    exact = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.lit("exact").alias("pair_type"),
+        F.col("text").alias("text_a"),
+        F.col("text").alias("text_b"),
+    )
+    near = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.lit("near").alias("pair_type"),
+        F.col("text").alias("text_a"),
+        F.expr("concat('Z', substring(text, 2))").alias("text_b"),
+    )
+    return minhash_error_histogram(exact.unionByName(near))
+
+
+def _minhash_error_sql(bucket_pp: int = 5) -> str:
+    sig = lambda g: "[" + ", ".join(
+        f"list_min(list_transform({g}, x -> (x * {a} + {b}) % {_PR}))"
+        for a, b in dedup.MINHASH_PERMS
+    ) + "]"
+    P = len(dedup.MINHASH_PERMS)
+    return f"""
+        WITH pairs AS (
+            SELECT 'exact' AS pair_type, text AS text_a, text AS text_b
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'near', text, 'Z' || substring(text, 2)
+            FROM documents WHERE doc_id % 5 = 0),
+        tok AS (
+            SELECT pair_type,
+                   list_transform(string_split(text_a, ' '),
+                                  tok -> {_sql_token_hash('tok')}) AS tha,
+                   list_transform(string_split(text_b, ' '),
+                                  tok -> {_sql_token_hash('tok')}) AS thb
+            FROM pairs),
+        g AS (
+            SELECT pair_type,
+                   {_SQL_WORD_SHINGLES.replace('th', 'tha')} AS ga,
+                   {_SQL_WORD_SHINGLES.replace('th', 'thb')} AS gb
+            FROM tok),
+        s AS (
+            SELECT pair_type, ga, gb,
+                   {sig('ga')} AS sa, {sig('gb')} AS sb
+            FROM g),
+        m AS (
+            SELECT pair_type,
+                   len(list_filter(range(1, {P} + 1),
+                                   k -> sa[k::INT] = sb[k::INT]))::BIGINT AS m,
+                   len(list_intersect(ga, gb))::BIGINT AS i,
+                   (len(ga) + len(gb) - len(list_intersect(ga, gb)))::BIGINT
+                       AS u
+            FROM s),
+        e AS (
+            SELECT pair_type,
+                   (abs(m * u - {P} * i) * 100 // ({P} * u))::BIGINT AS e
+            FROM m)
+        SELECT pair_type, (e // {bucket_pp})::BIGINT AS err_bucket,
+               COUNT(*)::BIGINT AS n_pairs, (MAX(e))::BIGINT AS max_err_pp
+        FROM e GROUP BY 1, 2
+    """
+
+
 EHS_RES, EHS_DAYS, EHS_THR = 500, 6, 3
 
 
@@ -8191,6 +8260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rendezvous": q_rendezvous,
         "q_incremental_dedup": q_incremental_dedup,
         "q_emerging_hotspots": q_emerging_hotspots,
+        "q_minhash_error": q_minhash_error,
         "q_hot_percolation": q_hot_percolation,
         "q_radius_gyration": q_radius_gyration,
         "q_jump_sizes": q_jump_sizes,
@@ -11952,6 +12022,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_rendezvous"] = _rendezvous_sql()
     out["q_incremental_dedup"] = _incremental_dedup_sql()
     out["q_emerging_hotspots"] = _emerging_hotspots_sql()
+    out["q_minhash_error"] = _minhash_error_sql()
     out["q_hot_percolation"] = _hot_percolation_sql()
     out["q_radius_gyration"] = _radius_gyration_sql()
     out["q_jump_sizes"] = _jump_sizes_sql()

@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "q_radius_gyration",
     "q_jump_sizes",
     "q_emerging_hotspots",
+    "q_minhash_error",
 ]
 
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))

@@ -1034,3 +1034,53 @@ def incremental_dedup_census(
         .unionByName(unique.select(F.lit("unique").alias("clazz")))
     )
     return census.groupBy("clazz").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def minhash_error_histogram(
+    pairs: DataFrame,
+    text_a: str = "text_a",
+    text_b: str = "text_b",
+    type_col: str = "pair_type",
+    n: int = 3,
+    bucket_pp: int = 5,
+) -> DataFrame:
+    """MinHash estimator calibration — measure, don't guess: for
+    ground-truth document pairs, compare the signature estimate
+    (matching positions / 16) against the EXACT shingle Jaccard and
+    histogram the absolute error in percent-point buckets.  The audit
+    that tells you whether 16 permutations are enough for your dedup
+    threshold before you spend a 100 TB pass on it.
+
+    All integer: with m matching positions (of P=16 perms), i = |A&B|,
+    u = |A|+|B|-i, the error in scaled percent points is
+    |m*u - P*i| * 100 // (P*u), bucketed by ``bucket_pp``.
+
+    Output: (pair_type, err_bucket, n_pairs, max_err_pp).
+
+    Scale shape: Column-only per pair (shingles, signatures, one
+    zip_with) — no joins beyond what the caller used to form pairs;
+    the histogram is a map-side-combined groupBy.
+    """
+    P = len(MINHASH_PERMS)
+    ga = word_shingle_hashes(F.col(text_a), n)
+    gb = word_shingle_hashes(F.col(text_b), n)
+    sa = minhash_from_grams(ga)
+    sb = minhash_from_grams(gb)
+    m = F.aggregate(
+        F.zip_with(sa, sb, lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    i = F.size(F.array_intersect(ga, gb))
+    u = F.size(ga) + F.size(gb) - i
+    err_pp = F.abs(m * u - P * i) * 100 / (P * u)
+    err_pp = F.floor(err_pp).cast("long")
+    out = pairs.select(
+        F.col(type_col).alias("pair_type"),
+        (err_pp / F.lit(bucket_pp)).cast("long").alias("err_bucket"),
+        err_pp.alias("e"),
+    )
+    return out.groupBy("pair_type", "err_bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("e").alias("max_err_pp"),
+    )
