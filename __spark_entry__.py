@@ -8053,7 +8053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_boilerplate": q_boilerplate,
         "q_url_host_stats": q_url_host_stats,
-        "q_pages_pipeline": q_pages_pipeline,
+        # (q_pages_pipeline already registered above at position 48 —
+        # the flagship sits inside the driver window; a duplicate literal
+        # key here was a no-op and has been removed)
         # ---- position 50+: driver-signed green in rounds 1-2 -----------
         # (q_pip/q_pip_agg/q_extract_entities/q_cell_assign rotate below
         # the cut: their modules are untouched this round and all four
