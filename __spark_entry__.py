@@ -6574,8 +6574,8 @@ def _minhash_error_sql(bucket_pp: int = 5) -> str:
             FROM pairs),
         g AS (
             SELECT pair_type,
-                   {_SQL_WORD_SHINGLES.replace('th', 'tha')} AS ga,
-                   {_SQL_WORD_SHINGLES.replace('th', 'thb')} AS gb
+                   {_sql_word_shingles('tha')} AS ga,
+                   {_sql_word_shingles('thb')} AS gb
             FROM tok),
         s AS (
             SELECT pair_type, ga, gb,
@@ -7316,14 +7316,16 @@ def q_rendezvous(spark, sf):
 def _rendezvous_sql() -> str:
     # DuckDB: argmax via list_max over [hash, -shard] pairs
     # (lexicographic on nested lists, same tie rule as Spark structs)
-    hs_b = ", ".join(
-        f"[((doc_id * 131 + {s} * 7919) * 1103515245 + 12345) % 2147483647, {-s}]"
-        for s in range(RDV_BEFORE)
-    )
-    hs_a = ", ".join(
-        f"[((doc_id * 131 + {s} * 7919) * 1103515245 + 12345) % 2147483647, {-s}]"
-        for s in range(RDV_AFTER)
-    )
+    # id reduced mod P before the LCG multiply: every intermediate fits
+    # int64 for the whole id domain (partitioner.rendezvous_shards doc)
+    def _h(s: int) -> str:
+        return (
+            f"[(((doc_id % 2147483647) * 131 + {s} * 7919) % 2147483647"
+            f" * 1103515245 + 12345) % 2147483647, {-s}]"
+        )
+
+    hs_b = ", ".join(_h(s) for s in range(RDV_BEFORE))
+    hs_a = ", ".join(_h(s) for s in range(RDV_AFTER))
     return f"""
         WITH a AS (
             SELECT (-list_max([{hs_b}])[2])::INT AS s_before,
@@ -7491,7 +7493,8 @@ BITEXT_BUCKET = 32
 def q_bitext_candidates(spark, sf):
     """Bitext-mining blocking: cross-language same-source document
     pairs with close token lengths — equi-join on (source, length
-    bucket) with 3-bucket explode, never a within-source cross join
+    bucket) with the exact tolerance-derived bucket-range explode,
+    never a within-source cross join
     (operators/textstats.bitext_candidates)."""
     from skyway_spark.operators.textstats import bitext_candidates
 
@@ -7508,8 +7511,11 @@ def _bitext_sql() -> str:
                     // {BITEXT_BUCKET})::BIGINT AS bk
             FROM documents WHERE length(trim(text)) > 0),
         b AS (
+            -- exact admissible partner-length bucket range from the
+            -- tolerance: na in [ceil(9*l/11), floor(11*l/9)]
             SELECT source, lang AS lang_b, doc AS doc_b, l AS len_b,
-                   unnest([bk - 1, bk, bk + 1]) AS jb
+                   unnest(generate_series(((9 * l + 10) // 11) // {BITEXT_BUCKET},
+                                          ((11 * l) // 9) // {BITEXT_BUCKET})) AS jb
             FROM base)
         SELECT a.source, a.lang AS lang_a, b.lang_b,
                a.doc AS doc_a, b.doc_b, a.l AS len_a, b.len_b
@@ -7980,18 +7986,14 @@ def q_kmv_distinct(spark, sf):
     return kmv_distinct(ev, "event_type", "user_id", k=64)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry ORDER is load-bearing: the driver gate checks exactly the
-    # first 50 entries in insertion order each round.  Round 3 rotates
-    # again (VERDICT r2 item 3): the window leads with (a) q_raster_tiles,
-    # round 2's one driver-red (oracle HUGEINT cast fixed this round),
-    # (b) the 18 round-2 queries the round-2 window never reached,
-    # (c) the queries new in round 3, and (d) re-sign slots for
-    # previously-signed queries whose underlying modules were EDITED this
-    # round (dedup/graph/cluster/kmeans/knn/stats/textstats/trajectory/
-    # urls/bloom) plus the flagship path.  Everything below position 49
-    # was driver-signed green in rounds 1-2 and stays regression-guarded
-    # by the full local sweep (tools/check_oracle.py) + pytest.
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Full query registry in historical (rounds 1-3) insertion order.
+
+    Window rotation no longer lives here: `queries()` below reorders this
+    dict so the round's 50-entry driver window (`_R4_WINDOW`) leads.  Keep
+    appending new queries at the END of this dict; promote them into the
+    window list when they need a driver signature.
+    """
     return {
         # -- round-2 driver red, oracle dtype fixed (pos 0) -------------
         "q_raster_tiles": q_raster_tiles,
@@ -8275,6 +8277,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Round-4 driver window (VERDICT r3 item 1): the driver gate signs exactly
+# the FIRST 50 registry entries each round, so this list IS the round's
+# signing budget.  Composition: 46 never-driver-signed queries (the
+# LLM-pipeline / flagship-adjacent batch first, then spatial statistics,
+# then web-crawl ops — VERDICT r3's priority order) + 4 re-sign slots for
+# previously-signed queries whose modules are edited this round (codegen
+# staging in extract/pip/geometry + the flagship).  All ten queries from
+# the r3 codegen-64KB fallback cluster and all five ADVICE-touched queries
+# sit inside the window, so every edit this round lands a fresh signature.
+_R4_WINDOW = [
+    # -- LLM-data-pipeline batch (never signed) --------------------------
+    "q_dedup_eval",
+    "q_incremental_dedup",
+    "q_bpe_tokenize",
+    "q_media_clusters",
+    "q_ahash",
+    "q_ahash_pairs",
+    "q_warc_parse",
+    "q_warc_stats",
+    "q_warc_pipeline",
+    "q_pq_codes",
+    "q_pq_topk",
+    "q_int8_quant",
+    "q_matryoshka_recall",
+    "q_jaccard_join",
+    "q_cdc_chunks",
+    "q_cdc_dedup",
+    "q_containment_pairs",
+    "q_dedup_best",
+    "q_set_cover",
+    "q_minhash_error",
+    # -- spatial-statistics batch (never signed) -------------------------
+    "q_morans_i",
+    "q_hot_spots",
+    "q_adaptive_tiles",
+    "q_map_match",
+    "q_nn_graph",
+    "q_gearys_c",
+    "q_ripley_k",
+    "q_knox",
+    "q_variogram",
+    "q_hex_assign",
+    "q_hex_disk",
+    "q_voronoi",
+    # -- web-crawl batch (never signed) -----------------------------------
+    "q_link_graph",
+    "q_host_rank",
+    "q_crawl_frontier",
+    "q_robots_rules",
+    "q_url_templates",
+    "q_redirects",
+    "q_crawl_budget",
+    "q_dead_links",
+    "q_web_tables",
+    "q_kcore",
+    "q_dom_stats",
+    "q_anchor_terms",
+    # -- ADVICE-touched modules (never signed) ----------------------------
+    "q_rendezvous",
+    "q_bitext_candidates",
+    # -- re-sign: modules edited this round (codegen staging) + flagship --
+    "q_pages_pipeline",
+    "q_extract_entities",
+    "q_simplify_ways",
+    "q_pip",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is load-bearing: the driver gate checks exactly the
+    # first 50 entries in insertion order.  Lead with this round's window,
+    # then everything else in historical order — previously-signed rows
+    # stay regression-guarded by the full Arrow-strict local sweep
+    # (tools/check_oracle.py) + pytest.
+    reg = _registry()
+    window = {k: reg[k] for k in _R4_WINDOW}
+    assert len(window) == 50, f"driver window must be exactly 50, got {len(window)}"
+    rest = {k: v for k, v in reg.items() if k not in window}
+    return {**window, **rest}
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — built to match the Spark semantics bit-for-bit
 # ---------------------------------------------------------------------------
@@ -8366,11 +8449,19 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
-_SQL_WORD_SHINGLES = (
-    f"list_distinct(list_transform(range(1, greatest(len(th) - 2, 1) + 1), "
-    f"i -> ((th[i::INT] * 31 + coalesce(th[(i+1)::INT], 0)) % {_HM} * 31 "
-    f"+ coalesce(th[(i+2)::INT], 0)) % {_HM}))"
-)
+def _sql_word_shingles(tok: str = "th") -> str:
+    """Distinct 3-gram shingle-hash list over token-hash array column
+    ``tok`` — parameterized on the column name (a blind str.replace on
+    the generated SQL silently corrupts it if the template ever gains
+    another 'th' substring, e.g. `length()`)."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({tok}) - 2, 1) + 1), "
+        f"i -> (({tok}[i::INT] * 31 + coalesce({tok}[(i+1)::INT], 0)) % {_HM} * 31 "
+        f"+ coalesce({tok}[(i+2)::INT], 0)) % {_HM}))"
+    )
+
+
+_SQL_WORD_SHINGLES = _sql_word_shingles()
 
 
 def _simhash_pairs_sql(bits: int = 44, bands: int = 4, max_hamming: int = 1) -> str:

@@ -959,25 +959,37 @@ def incremental_dedup_census(
 
     Output census: (clazz, n_docs), exact int64.
 
+    Exactness: hash-equal candidates are RE-VERIFIED on raw text, so a
+    44-bit text_hash collision (near-certain by ~4M docs, guaranteed at
+    the 100 TB target) can never classify a distinct doc as
+    exact_corpus/exact_batch — the census matches a raw-text-equality
+    oracle for every input, not just collision-free fixtures.
+
     Scale shape: the corpus contributes ONLY its hash set and its
     banded signature table (signature = 16 longs/doc; both
     aggregate-light, both buildable once and reused across ingests);
     the batch-side joins are hash- and band-keyed equi-joins sized by
-    the BATCH.  Gram arrays re-attach to candidate pairs only (two
-    narrow id-keyed joins, the minhash_lsh_pairs discipline).  No
-    bucket cap here — parity with the exhaustive oracle; production
-    can pre-filter hot bands exactly as minhash_lsh_pairs does.
+    the BATCH.  Corpus text re-attaches only for hashes that actually
+    occur in the batch (a hash-keyed semi-join first, so the verify
+    join is batch-sized); gram arrays re-attach to candidate pairs
+    only (two narrow id-keyed joins, the minhash_lsh_pairs
+    discipline).  No bucket cap here — parity with the exhaustive
+    oracle; production can pre-filter hot bands exactly as
+    minhash_lsh_pairs does.
     """
     from pyspark.sql import Window
 
     rows_per_band = len(MINHASH_PERMS) // bands
 
-    def prep(df):
-        return df.select(
+    def prep(df, with_text=False):
+        cols = [
             F.col(id_col).alias("id"),
             word_shingle_hashes(F.col(text_col), n).alias("g"),
             text_hash(F.col(text_col)).alias("h"),
-        )
+        ]
+        if with_text:
+            cols.append(F.col(text_col).alias("txt"))
+        return df.select(*cols)
 
     def banded(df):
         sig = df.withColumn("sig", minhash_from_grams(F.col("g")))
@@ -997,13 +1009,31 @@ def incremental_dedup_census(
             ).alias("band", "bh"),
         )
 
-    b = prep(batch).localCheckpoint(eager=True)
+    b = prep(batch, with_text=True).localCheckpoint(eager=True)
     c = prep(corpus).localCheckpoint(eager=True)
 
-    corp_h = c.select("h").distinct()
-    exact_corp = b.join(corp_h, "h", "left_semi").select("id")
-    rest1 = b.join(corp_h, "h", "left_anti")
-    w = Window.partitionBy("h").orderBy("id")
+    # exact-vs-corpus: hash-keyed candidate probe, then raw-text verify.
+    # Corpus text enters the plan only for batch-present hashes (the
+    # semi-join keeps the verify side batch-sized at 100 TB corpus).
+    cand_corp = (
+        corpus.select(
+            text_hash(F.col(text_col)).alias("h"),
+            F.col(text_col).alias("ctxt"),
+        )
+        .join(b.select("h").distinct(), "h", "left_semi")
+        .distinct()
+    )
+    exact_corp = (
+        b.join(cand_corp, "h")
+        .where(F.col("txt") == F.col("ctxt"))
+        .select("id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rest1 = b.join(exact_corp, "id", "left_anti")
+    # intra-batch exact classes group on (h, text): same-hash different-
+    # text rows are NOT duplicates
+    w = Window.partitionBy("h", "txt").orderBy("id")
     rest1 = rest1.withColumn("rn", F.row_number().over(w))
     exact_batch = rest1.where(F.col("rn") > 1).select("id")
     survivors = rest1.where(F.col("rn") == 1).select("id", "g").localCheckpoint(

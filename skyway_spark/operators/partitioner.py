@@ -185,9 +185,13 @@ def rendezvous_shards(
     reshuffles between surviving shards — the property that makes
     100 TB re-sharding an append, not a rebuild.
 
-    Hash: ((id * 131 + shard * 7919) * 1103515245 + 12345) mod 2^31-1
-    (sampling.py's portable LCG family); argmax ties break to the
-    smallest shard id.  Output per after-shard:
+    Hash: ((id % P) * 131 + shard * 7919) % P * 1103515245 + 12345,
+    all mod P = 2^31-1 (sampling.py's portable LCG family).  The id is
+    reduced mod P BEFORE the LCG multiply so every intermediate stays
+    below 2^31 * 1103515245 < 2^63 for the whole int64 id domain —
+    the unreduced form overflows int64 above id ~6.4e10, where Spark
+    wraps silently but DuckDB raises, breaking the oracle contract.
+    Argmax ties break to the smallest shard id.  Output per after-shard:
     (shard, n_before_here, n_after_here, n_moved_in) — the movement
     audit; the invariant ``n_moved_in = 0`` for shard < n_before is
     the rendezvous guarantee, pinned by tests.
@@ -200,12 +204,14 @@ def rendezvous_shards(
         raise ValueError("need 0 < n_before <= n_after")
     i = F.col(id_col).cast("long")
 
+    P = 2147483647
+
     def best(n):
         scores = F.array(*[
             F.struct(
                 (
-                    ((i * 131 + s * 7919) * 1103515245 + 12345)
-                    % 2147483647
+                    (((i % P) * 131 + s * 7919) % P * 1103515245 + 12345)
+                    % P
                 ).alias("h"),
                 (-F.lit(s)).alias("ns"),
             )

@@ -1123,7 +1123,13 @@ def knox_statistic(
 
     # ---- time-close pair count via tau-buckets -----------------------
     tau = int(tau_us)
-    fb = (F.col("t") / F.lit(tau)).cast("long")
+    # FLOOR division (integer-exact via pmod), not cast-truncation:
+    # (t / tau).cast('long') truncates toward zero, which for negative
+    # (pre-epoch) timestamps makes bucket 0 span (-tau, tau) — width
+    # ~2*tau — and diverges from the oracle's `//`.  pmod(t, tau) is
+    # non-negative, so (t - pmod) is an exact tau multiple and `div`
+    # is exact floor for every sign of t.
+    fb = F.expr("(t - pmod(t, {0})) div {0}".format(tau))
     bkt = e.select(fb.alias("b"), "t")
     same = (
         bkt.groupBy("b")

@@ -1048,17 +1048,22 @@ def bitext_candidates(
     """Bitext-mining candidate pairs (the blocking stage of parallel-
     corpus construction a la WikiMatrix/CCAligned): documents from the
     SAME group (site/source) in DIFFERENT languages whose token
-    lengths are close — same or adjacent length bucket, then the exact
-    cross-multiplied tolerance ``|na - nb| * 10 <= na + nb`` (~±18%).
+    lengths satisfy the exact cross-multiplied tolerance
+    ``|na - nb| * 10 <= na + nb`` (~±18%).
 
     Output: (source, lang_a, lang_b, doc_a, doc_b, len_a, len_b) with
     lang_a < lang_b (each unordered pair once).
 
     Scale shape: NO within-group cross join — candidates come from an
     EQUI-join on (group, length bucket), with the b-side exploded to
-    its 3 adjacent buckets (each pair meets on exactly one key, so no
-    post-dedup); per-(group, bucket) populations are bounded by
-    construction, the classic blocking guarantee.
+    the EXACT admissible bucket range implied by the tolerance
+    (partner length na in [ceil(9*nb/11), floor(11*nb/9)], so buckets
+    [lo div W, hi div W] — a fixed ±1 explode silently loses recall
+    once lengths exceed ~10 buckets, e.g. na=320/nb=384 passes the
+    tolerance but sits 2 buckets apart).  Each pair meets on exactly
+    one key (the a-side's own bucket), so no post-dedup; the per-doc
+    explode width is O(len/(2.5*W)) — the honest cost of the
+    tolerance, linear in the tolerance window, never corpus-sized.
     """
     toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     base = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
@@ -1076,7 +1081,10 @@ def bitext_candidates(
         "source", F.col("lang").alias("lang_b"), F.col("doc").alias("doc_b"),
         F.col("len").alias("len_b"),
         F.explode(
-            F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)
+            F.sequence(
+                F.expr(f"((9 * len + 10) div 11) div {int(bucket_tokens)}"),
+                F.expr(f"((11 * len) div 9) div {int(bucket_tokens)}"),
+            )
         ).alias("jb"),
     )
     pairs = a.join(b, ["source", "jb"]).where(

@@ -38,6 +38,8 @@ def test_bitext_blocking_and_tolerance(spark):
             (4, mk(40), "en", "s2"),   # different source -> never pairs
             (5, mk(41), "en", "s1"),   # same lang as 1 -> no (1,5); pairs w/ 2
             (6, mk(63), "fr", "s1"),   # bucket 1 vs 1 for doc 3: pairs w/ 3
+            (7, mk(320), "en", "s1"),  # long pair 2 buckets apart:
+            (8, mk(384), "de", "s1"),  # |64|*10 <= 704 — must be found
         ],
         "doc_id long, text string, lang string, source string",
     )
@@ -45,7 +47,7 @@ def test_bitext_blocking_and_tolerance(spark):
     pairs = {(r.doc_a, r.doc_b) for r in out}
     assert (1, 2) in pairs or (2, 1) in pairs
     got = {tuple(sorted(p)) for p in pairs}
-    assert got == {(1, 2), (2, 5), (3, 6)}
+    assert got == {(1, 2), (2, 5), (3, 6), (7, 8)}
     for r in out:
         assert r.lang_a < r.lang_b
         assert abs(r.len_a - r.len_b) * 10 <= r.len_a + r.len_b

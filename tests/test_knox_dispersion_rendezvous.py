@@ -43,6 +43,19 @@ def test_knox_boundary_dt_exactly_tau(spark):
     assert r.n_s == 0
 
 
+def test_knox_negative_timestamps_floor_bucketing(spark):
+    # pre-epoch timestamps: cast-truncation would give bucket 0 width
+    # ~2*tau and over-count; floor bucketing must match brute force
+    rows = [
+        (i, t, (i * 7) % 5, (i * 3) % 4)
+        for i, t in enumerate([-25, -15, -11, -10, -1, 0, 1, 9, 10, 21])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, t_us long, cx long, cy long")
+    r = knox_statistic(df, tau_us=10).collect()[0]
+    n_s, n_t, n_st = _ref_knox(rows, 10)
+    assert (r.n_s, r.n_t, r.n_st) == (n_s, n_t, n_st)
+
+
 def test_quadrat_dispersion_uniform_vs_clustered(spark):
     # one point per quadrat on a 4-quadrat grid: VMR = 0 (fully even)
     even = spark.createDataFrame(
@@ -58,11 +71,13 @@ def test_quadrat_dispersion_uniform_vs_clustered(spark):
     assert r.vmr == 4.0
 
 
+def _score(doc, s):
+    # id reduced mod P before the LCG multiply (int64-safe on all engines)
+    return (((doc % PRIME) * 131 + s * 7919) % PRIME * 1103515245 + 12345) % PRIME
+
+
 def _ref_shard(doc, n):
-    return max(
-        range(n),
-        key=lambda s: (((doc * 131 + s * 7919) * 1103515245 + 12345) % PRIME, -s),
-    )
+    return max(range(n), key=lambda s: (_score(doc, s), -s))
 
 
 def test_rendezvous_only_new_shard_receives(spark):
@@ -81,6 +96,19 @@ def test_rendezvous_only_new_shard_receives(spark):
     exp_after = collections.Counter(_ref_shard(i, 9) for i in range(500))
     for s, r in out.items():
         assert r.n_after_here == exp_after[s]
+
+
+def test_rendezvous_large_ids_no_overflow(spark):
+    # ids above ~6.4e10 overflowed int64 in the unreduced hash form;
+    # the reduced form must agree with the big-int scalar reference
+    ids = [10**11 + i * 10**13 for i in range(40)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.shard: r.n_after_here for r in rendezvous_shards(df, 4, 7).collect()}
+    import collections
+
+    exp = collections.Counter(_ref_shard(i, 7) for i in ids)
+    for s, n in exp.items():
+        assert out.get(s, 0) == n
 
 
 def test_rendezvous_same_n_no_moves(spark):

@@ -2,7 +2,12 @@
 queries() entry on Spark and its oracle_sql() on DuckDB over the same
 parquet, compare row count + sorted-column value multisets.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--walls=OUT.json] [sf_dir] [query ...]
+
+--walls writes a {query: {"spark_sec": wall, "rows": n}} table for every
+entry it ran — the cross-round per-query regression record (VERDICT r3
+item 5; the driver's bench tail-clip means BENCH_r*.json alone never
+carries the full registry).
 """
 
 from __future__ import annotations
@@ -154,8 +159,17 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+    import time
+
+    argv = list(sys.argv[1:])
+    walls_path = None
+    for a in list(argv):
+        if a.startswith("--walls="):
+            walls_path = a.split("=", 1)[1]
+            argv.remove(a)
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle-check", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -163,13 +177,19 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    walls: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
+            t0 = time.monotonic()
             sdf_spark = fn(spark, sf)
             spark_schema = sdf_spark.schema
             sdf = sdf_spark.toPandas()
+            walls[name] = {
+                "spark_sec": round(time.monotonic() - t0, 3),
+                "rows": len(sdf),
+            }
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
@@ -194,6 +214,9 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(sdf)} rows match")
     print(f"\n{failures} failures")
+    if walls_path:
+        Path(walls_path).write_text(json.dumps(walls, indent=1, sort_keys=True))
+        print(f"walls -> {walls_path} ({len(walls)} queries)")
     return 1 if failures else 0
 
 
