@@ -5081,10 +5081,12 @@ def q_hex_assign(spark, sf):
     hex — uniform 6-neighbor cells, engine-exact sqrt(3)-free math."""
     from skyway_spark.functions import hexgrid as hx
 
-    pts = _hex_points(spark, sf)
-    q, r = hx.hex_qr(F.col("x"), F.col("y"), HEX_SIZE_U)
+    # staged hex assignment (Generate barrier, functions/hexgrid
+    # .assign_hex) so the cube-rounding grouping keys stay inside the
+    # codegen 64 KB limit when this query is composed (q_hex_disk)
+    pts = hx.assign_hex(_hex_points(spark, sf), "x", "y", HEX_SIZE_U, keep=[])
     return (
-        pts.select(hx.hex_pack(q, r).alias("cell"), q.alias("q"), r.alias("r"))
+        pts.select(hx.hex_pack(F.col("q"), F.col("r")).alias("cell"), "q", "r")
         .groupBy("cell", "q", "r")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )

@@ -47,15 +47,36 @@ def _fdiv(a: Column, b: int) -> Column:
     return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
 
 
-def hex_qr(x_u: Column, y_u: Column, size_u: int) -> tuple[Column, Column]:
-    """Axial (q, r) hex coordinates for integer-microdegree planar
-    coords, via FP-scaled fractional axial + cube rounding."""
+def _frac_axial(x_u: Column, y_u: Column, size_u: int) -> tuple[Column, Column]:
+    """FP-scaled fractional axial coordinates (qs, rs) — the linear
+    half of the hex transform, before cube rounding."""
     s3 = 3 * int(size_u)
     # force long math: int32 inputs (or int literals in tests) would
     # overflow the ANSI multiply at microdegree scale
     x_u, y_u = x_u.cast("long"), y_u.cast("long")
     qs = _fdiv(F.lit(SQRT3_FP).cast("long") * x_u - F.lit(FP) * y_u, s3)
     rs = _fdiv(F.lit(2 * FP).cast("long") * y_u, s3)
+    return qs, rs
+
+
+def hex_qr(x_u: Column, y_u: Column, size_u: int) -> tuple[Column, Column]:
+    """Axial (q, r) hex coordinates for integer-microdegree planar
+    coords, via FP-scaled fractional axial + cube rounding.
+
+    Column-composition form: the rounding cascade references (qs, rs)
+    many times, so the returned trees are textually LARGE — fine at
+    the top of a simple plan, but when the result feeds grouping keys
+    fused with joins/parses, prefer ``assign_hex`` (the staged
+    DataFrame form) to stay inside the codegen 64 KB method limit."""
+    qs, rs = _frac_axial(x_u, y_u, size_u)
+    return _cube_round(qs, rs)
+
+
+def _cube_round(qs: Column, rs: Column) -> tuple[Column, Column]:
+    """Cube-round FP-scaled fractional axial coords to integer (q, r):
+    round each of (q, r, s) to nearest, then fix the axis with the
+    largest rounding error so q + r + s == 0 (deterministic q-first,
+    then r tie order)."""
     ss = -qs - rs
     half = FP // 2
     qr = _fdiv(qs + half, FP)
@@ -70,6 +91,38 @@ def hex_qr(x_u: Column, y_u: Column, size_u: int) -> tuple[Column, Column]:
     q = F.when(fix_q, -rr - sr).otherwise(qr)
     r = F.when(fix_r, -qr - sr).otherwise(rr)
     return q.cast("long"), r.cast("long")
+
+
+def assign_hex(
+    df,
+    x_col: str,
+    y_col: str,
+    size_u: int,
+    q_name: str = "q",
+    r_name: str = "r",
+    keep: list[str] | None = None,
+):
+    """DataFrame-level hex assignment, staged into TWO projections with
+    a Generate barrier between them (plans/barrier.stage): the linear
+    fractional-axial step lands as attributes, then the cube-rounding
+    cascade reads those attributes.  Same values as ``hex_qr`` in every
+    case, but the rounding tree never textually inlines the (already
+    large) fractional step — each stage whole-stage-codegens on its
+    own, so composing the result into grouped/joined consumers cannot
+    blow Janino's 64 KB method limit (round-3 sweep: q_hex_disk,
+    q_variogram — BENCH/SWEEP_r03c.log).
+
+    Returns ``df`` narrowed to ``keep`` (default: all existing columns)
+    plus integer axial columns ``q_name``/``r_name``.  Row-local
+    scan-stage work: no shuffle, no materialization.
+    """
+    from skyway_spark.plans.barrier import stage
+
+    keep = list(df.columns) if keep is None else list(keep)
+    qs, rs = _frac_axial(F.col(x_col), F.col(y_col), size_u)
+    st = stage(df, *keep, qs.alias("__qs"), rs.alias("__rs"))
+    q, r = _cube_round(F.col("__qs"), F.col("__rs"))
+    return st.select(*keep, q.alias(q_name), r.alias(r_name))
 
 
 def hex_pack(q: Column, r: Column) -> Column:
@@ -115,9 +168,14 @@ def disk_offsets(k: int) -> list[tuple[int, int]]:
 
 def hex_disk(cell: Column, k: int) -> Column:
     """Array of the 1+3k(k+1) cell ids within hex distance ``k`` of
-    ``cell`` (including itself) — the hex k-ring neighborhood, as a
-    literal-offset transform (constant plan size, scan-stage only)."""
-    q, r = hex_q(cell), hex_r(cell)
-    return F.array(
-        *[hex_pack(q + F.lit(dq), r + F.lit(dr)) for dq, dr in disk_offsets(k)]
-    )
+    ``cell`` (including itself) — the hex k-ring neighborhood.
+
+    ``hex_pack`` is affine in (q, r), so the distance-(dq, dr)
+    neighbor id is exactly ``cell + (dq << 30) + dr`` (the biased q
+    stays within its 30-bit field for |dq| <= k << 2^29): the disk is
+    one literal delta array + a transform referencing ``cell`` ONCE,
+    instead of an unpack+repack tree per offset (38+ textual copies of
+    ``cell`` at k=2 — a whole-stage-codegen 64 KB hazard once composed
+    into a fused consumer stage; round-3 sweep hit it in q_hex_disk)."""
+    deltas = F.array(*[F.lit((dq << 30) + dr).cast("long") for dq, dr in disk_offsets(k)])
+    return F.transform(deltas, lambda d: cell + d)

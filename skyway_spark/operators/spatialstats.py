@@ -493,9 +493,12 @@ def variogram_hex(
     """
     from skyway_spark.functions import hexgrid as hx
 
-    q, r = hx.hex_qr(F.col(x_col), F.col(y_col), size_u)
+    # staged hex assignment (Generate barrier) — the cube-rounding
+    # cascade as grouping keys fused with the upstream join blew the
+    # codegen 64 KB method limit in round 3 (BENCH/SWEEP_r03c.log)
+    assigned = hx.assign_hex(points, x_col, y_col, size_u, keep=[value_col])
     cells_df = (
-        points.select(q.alias("q"), r.alias("r"), F.col(value_col).alias("v"))
+        assigned.select("q", "r", F.col(value_col).alias("v"))
         .groupBy("q", "r")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -149,17 +149,25 @@ def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = No
     parallelism (hash-of-id determinism, no RNG sequence), and exactly
     reproducible in SQL (see _page_mentions_sql in __spark_entry__).
 
-    Note on codegen: this projection alone compiles inside the 64KB
-    whole-stage limit, but FUSING it with the extraction regex in one
-    stage (as the small fixture-scale contract queries do) inlines the
-    text expression per use and falls back to interpreted execution —
-    harmless at fixture scale; the scale path (bench, scaling harness,
-    jobs/run_pipeline) always materializes pages to parquet first, so
-    production plans never hit it."""
+    Note on codegen: the mention arithmetic is a large expression
+    tree, and ``prose`` feeds two output columns (html, text).  The
+    projection is therefore split by a Generate barrier
+    (plans/barrier.stage) that computes ``prose`` exactly once:
+    without it, CollapseProject re-inlines the tree per use when a
+    consumer fuses extraction regexes on top, and the fused stage
+    blows Janino's 64 KB method limit into interpreted fallback
+    (round-3 exit sweep: 9 of the 12 "Code grows beyond 64 KB" hits
+    were consumers of this generator -- BENCH/SWEEP_r03c.log)."""
     df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
 
-    def mention(j: int):
+    # Projection 1: the per-mention microdegree coordinates, one output
+    # column each.  ProjectExec splits independent outputs into their
+    # own Janino methods, so each ~4 KB coordinate tree compiles on its
+    # own; and because _fmt_microdeg references each coordinate THREE
+    # times downstream, Catalyst's cost-aware CollapseProject never
+    # re-inlines them (non-cheap multi-referenced producers are kept).
+    def lat_lon_u(j: int):
         hot = _ph(i, 10 + j) < (PAGE_PRIME * 4) // 5  # 80% hot
         city = _ph(i, 20 + j) % len(HOT_CITIES_U)
         dlat = _ph(i, 30 + j) % 200_001 - 100_000  # +-0.1 deg
@@ -172,17 +180,31 @@ def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = No
         ) + dlon
         cold_lat = _ph(i, 50 + j) % 170_000_001 - 85_000_000
         cold_lon = _ph(i, 60 + j) % 360_000_001 - 180_000_000
-        lat_u = F.when(hot, hot_lat).otherwise(cold_lat)
-        lon_u = F.when(hot, hot_lon).otherwise(cold_lon)
+        return (
+            F.when(hot, hot_lat).otherwise(cold_lat),
+            F.when(hot, hot_lon).otherwise(cold_lon),
+        )
+
+    coord_cols = []
+    for j in range(5):
+        lat_u, lon_u = lat_lon_u(j)
+        coord_cols += [lat_u.alias(f"__lat{j}"), lon_u.alias(f"__lon{j}")]
+    base = df.select(i.alias("id"), *coord_cols)
+    i = F.col("id")
+
+    # Projection 2: prose assembled from the coordinate ATTRIBUTES —
+    # the remaining mention text (kind pick, name slug, n_mentions
+    # gate) is small, so the whole string tree stays one modest method.
+    def mention(j: int):
         kind = F.element_at(
             F.array(*[F.lit(k) for k in _GEO_KINDS]),
             (_ph(i, 70 + j) % len(_GEO_KINDS)).cast("int") + 1,
         )
         return F.concat(
             F.lit(" @geo("),
-            _fmt_microdeg(lat_u),
+            _fmt_microdeg(F.col(f"__lat{j}")),
             F.lit(","),
-            _fmt_microdeg(lon_u),
+            _fmt_microdeg(F.col(f"__lon{j}")),
             F.lit(";name=place-"),
             i.cast("string"),
             F.lit("-" + str(j)),
@@ -210,14 +232,21 @@ def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = No
         .otherwise("und")
     )
     ts0 = F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
-    return df.select(
+    # Projection 3: prose aliased once here, referenced twice (html,
+    # text) by the outer projection — again protected from collapse by
+    # the cost-aware rule, so the string tree is codegen'd ONCE.
+    # (A Generate/inline barrier is WRONG for this: the whole struct
+    # payload becomes one unsplittable 1.4 MB Janino method.)
+    mid = base.select(i.alias("id"), prose.alias("__prose"), lang.alias("lang"))
+    i, prose = F.col("id"), F.col("__prose")
+    return mid.select(
         F.concat(F.lit("https://example.org/p/"), i.cast("string")).alias("url"),
         F.timestamp_add("SECOND", i.cast("int"), ts0).alias("warc_ts"),
         F.encode(
             F.concat(F.lit("<html><body>"), prose, F.lit("</body></html>")), "utf-8"
         ).alias("html"),
         prose.alias("text"),
-        lang.alias("lang"),
+        F.col("lang").alias("lang"),
     )
 
 
