@@ -128,6 +128,105 @@ def _odd_crossings(ring, lat_c, lon_c):
 # whose cost is O(1) in plan size (geometry ships in the UDF closure).
 JVM_REFINE_MAX_EDGES = 10_000
 
+# Adaptive interior covering (round 4): per polygon, the finest cell
+# resolution whose bbox cover stays under this budget.  Rows per
+# polygon in the broadcast candidate table are bounded by it; 64 cells
+# per axis keeps the driver-side classification (cells x edges numpy)
+# trivially cheap while making each cell ~1/60 of the polygon extent,
+# so the boundary band is a small fraction of the cover.
+INTERIOR_CELL_BUDGET = 4096
+INTERIOR_MAX_RES = 18
+
+
+def _corner_verdict(geom: dict, py: np.ndarray, px: np.ndarray) -> np.ndarray:
+    """Exact polygon verdict (inside any outer, not inside any hole)
+    for driver-side sample points — the same even-odd arithmetic as
+    the runtime refine engines."""
+    in_outer = np.zeros(len(py), dtype=bool)
+    for ys, xs in geom["outer"]:
+        in_outer |= _ray_cast_batch(py, px, ys, xs)
+    in_hole = np.zeros(len(py), dtype=bool)
+    for ys, xs in geom["hole"]:
+        in_hole |= _ray_cast_batch(py, px, ys, xs)
+    return in_outer & ~in_hole
+
+
+def _pick_cover_res(ylo, yhi, xlo, xhi, coarse_res: int) -> int:
+    """Finest LADDER resolution (coarse_res + 4k steps, capped at
+    INTERIOR_MAX_RES) whose bbox cover stays within
+    INTERIOR_CELL_BUDGET cells.  The ladder quantization matters: the
+    point side computes one cell key per DISTINCT level in the polygon
+    set, so free-form levels would multiply the probe stream — with
+    the ladder a mixed city/region polygon table uses 2 levels."""
+    f = coarse_res
+    cand = coarse_res
+    while cand <= INTERIOR_MAX_RES:
+        x0, y1 = cells.cell_xy_np(np.array([ylo]), np.array([xlo]), cand)
+        x1, y0 = cells.cell_xy_np(np.array([yhi]), np.array([xhi]), cand)
+        n = (int(x1[0]) - int(x0[0]) + 1) * (int(y1[0]) - int(y0[0]) + 1)
+        if n > INTERIOR_CELL_BUDGET:
+            break
+        f = cand
+        cand += 4
+    return f
+
+
+def _classify_cover(geom: dict, f: int) -> tuple[np.ndarray, np.ndarray]:
+    """Classify every cell of the polygon's bbox cover at resolution
+    ``f`` as interior / boundary / exterior, EXACTLY:
+
+    the runtime verdict (even-odd over all rings) changes only across
+    ring edges, so a cell rectangle touched by NO edge has a constant
+    verdict equal to its corners' verdict.  Edge-vs-rectangle uses the
+    exact separating test (bbox overlap AND the 4 rect corners not
+    strictly on one side of the edge line; a corner exactly on the
+    line counts as touching — conservative toward 'boundary').
+
+    Returns (cell_ids, interior_flags) with exterior cells DROPPED —
+    a point in an exterior cell cannot be inside the polygon, so it
+    need not even become a join candidate.
+    """
+    rings = geom["outer"] + geom["hole"]
+    ys_all = np.concatenate([r[0] for r in rings])
+    xs_all = np.concatenate([r[1] for r in rings])
+    cell_ids = cells.cells_covering_bbox(
+        float(ys_all.min()), float(ys_all.max()),
+        float(xs_all.min()), float(xs_all.max()), f,
+    )
+    _r, x, y = cells.cell_decode_np(cell_ids)
+    nx, ny = 1 << (f + 1), 1 << f
+    xlo = x * 360.0 / nx - 180.0
+    xhi = (x + 1) * 360.0 / nx - 180.0
+    yhi = 90.0 - y * 180.0 / ny
+    ylo = 90.0 - (y + 1) * 180.0 / ny
+
+    has_edge = np.zeros(len(cell_ids), dtype=bool)
+    for ys, xs in rings:
+        y1, y2 = ys[:-1][None, :], ys[1:][None, :]
+        x1, x2 = xs[:-1][None, :], xs[1:][None, :]
+        ov = (
+            (np.minimum(x1, x2) <= xhi[:, None])
+            & (np.maximum(x1, x2) >= xlo[:, None])
+            & (np.minimum(y1, y2) <= yhi[:, None])
+            & (np.maximum(y1, y2) >= ylo[:, None])
+        )
+        dx, dy = x2 - x1, y2 - y1
+        allpos = np.ones_like(ov)
+        allneg = np.ones_like(ov)
+        for cx, cy in ((xlo, ylo), (xlo, yhi), (xhi, ylo), (xhi, yhi)):
+            cr = dx * (cy[:, None] - y1) - dy * (cx[:, None] - x1)
+            allpos &= cr > 0
+            allneg &= cr < 0
+        has_edge |= (ov & ~allpos & ~allneg).any(axis=1)
+
+    cx = np.concatenate([xlo, xlo, xhi, xhi])
+    cy = np.concatenate([ylo, yhi, ylo, yhi])
+    v = _corner_verdict(geom, cy, cx).reshape(4, -1)
+    interior = v.all(axis=0) & ~has_edge
+    exterior = (~v).all(axis=0) & ~has_edge
+    keep = ~exterior
+    return cell_ids[keep], interior[keep]
+
 
 def point_in_polygon(
     points: DataFrame,
@@ -138,6 +237,7 @@ def point_in_polygon(
     lon: str = "lon",
     broadcast_polygons: bool = True,
     refine: str = "auto",
+    interior_shortcut: bool = True,
 ) -> DataFrame:
     """Rows of ``points`` (all columns preserved) paired with every
     ``polygon_id`` containing them.
@@ -162,20 +262,53 @@ def point_in_polygon(
         ].append(_ring_arrays(r["ring"]))
     pids = sorted(by_pid)
     geoms = [by_pid[p] for p in pids]  # indexed by __geom
-    cell_rows: list[tuple[int, int]] = []  # (cell, geom_idx) distinct
+
+    # Adaptive fine covering with interior/exterior classification
+    # (round 4): each polygon's candidate cells live at the finest
+    # per-polygon resolution within INTERIOR_CELL_BUDGET.  Cells
+    # provably inside the polygon short-circuit the refine entirely
+    # (verdict true, no ray cast — the bulk of truly-contained
+    # points); provably-outside cells never become candidates at all
+    # (at the old coarse cover a 2.8-degree cell made every point
+    # near a city a candidate for its 0.3-degree polygon).  Only the
+    # thin boundary band pays the per-edge refine.
+    cell_rows: list[tuple[int, int, int, bool]] = []  # (res, cell, geom, interior)
+    used_res: set[int] = set()
     for gi, p in enumerate(pids):
-        cs: set[int] = set()
-        for ys, xs in by_pid[p]["outer"] + by_pid[p]["hole"]:
-            cs.update(
-                int(c)
-                for c in cells.cells_covering_bbox(
-                    float(ys.min()), float(ys.max()), float(xs.min()), float(xs.max()), res
+        rings = by_pid[p]["outer"] + by_pid[p]["hole"]
+        ys_all = np.concatenate([r[0] for r in rings])
+        xs_all = np.concatenate([r[1] for r in rings])
+        if interior_shortcut:
+            f = _pick_cover_res(
+                float(ys_all.min()), float(ys_all.max()),
+                float(xs_all.min()), float(xs_all.max()), res,
+            )
+            ids, inter = _classify_cover(by_pid[p], f)
+        else:  # plain coarse bbox cover (pre-round-4 behavior, for A/B)
+            f = res
+            ids = np.unique(
+                np.concatenate(
+                    [
+                        cells.cells_covering_bbox(
+                            float(ys.min()), float(ys.max()),
+                            float(xs.min()), float(xs.max()), res,
+                        )
+                        for ys, xs in rings
+                    ]
                 )
             )
-        cell_rows.extend((c, gi) for c in cs)
+            inter = np.zeros(len(ids), dtype=bool)
+        used_res.add(f)
+        cell_rows.extend(
+            (f, int(c), gi, bool(i)) for c, i in zip(ids.tolist(), inter.tolist())
+        )
 
     spark = points.sparkSession
-    pcells = F.broadcast(spark.createDataFrame(cell_rows, "cell long, __geom int"))
+    pcells = F.broadcast(
+        spark.createDataFrame(
+            cell_rows, "res int, cell long, __geom int, __interior boolean"
+        )
+    )
 
     lat_c, lon_c = F.col(lat), F.col(lon)
     if refine == "auto":
@@ -223,7 +356,10 @@ def point_in_polygon(
         anchor = F.when(
             lat_c.isNull() | lon_c.isNull(), F.lit(None).cast("int")
         ).otherwise(F.lit(0))
-        inside_pred = (
+        # interior cells short-circuit: the whole refine runs only on
+        # boundary-band candidates (Or short-circuits; __interior is a
+        # codegen'd broadcast column, the HOF casts are interpreted)
+        inside_pred = F.col("__interior") | (
             in_bbox
             & F.exists(
                 F.element_at(outer_by_geom, F.col("__geom") + 1 + anchor),
@@ -253,18 +389,41 @@ def point_in_polygon(
                 out[m] = in_outer
             return pd.Series(out)
 
-        inside_pred = inside_udf(lat_c, lon_c, F.col("__geom"))
+        inside_pred = F.col("__interior") | inside_udf(lat_c, lon_c, F.col("__geom"))
     else:
         raise ValueError(f"unknown refine engine: {refine!r}")
 
-    pts = points.withColumn("__cell", cells.cell_encode(lat_c, lon_c, res))
+    # one cell per point per USED resolution (usually 1-2 distinct
+    # levels across the polygon set); a polygon's cells all live at
+    # its single resolution and are distinct, so each (point, polygon)
+    # candidate appears exactly once: the filtered join IS the result
+    # — fully narrow, zero shuffles.
+    levels = sorted(used_res)
+    if len(levels) == 1:
+        pts = points.withColumn("__cell", cells.cell_encode(lat_c, lon_c, levels[0]))
+        join_cond = pts["__cell"] == pcells["cell"]
+    else:
+        pts = points.withColumn(
+            "__rc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("r"),
+                            cells.cell_encode(lat_c, lon_c, r).alias("c"),
+                        )
+                        for r in levels
+                    ]
+                )
+            ),
+        )
+        join_cond = (pts["__rc"]["r"] == pcells["res"]) & (
+            pts["__rc"]["c"] == pcells["cell"]
+        )
     pid_arr = F.array(*[F.lit(p) for p in pids])
     passthrough = [c for c in points.columns if c != point_id]
-    # a point lives in exactly one cell and (cell, geom) is distinct,
-    # so each (point, polygon) candidate appears once: the filtered
-    # join IS the result — fully narrow, zero shuffles.
     return (
-        pts.join(pcells, pts["__cell"] == pcells["cell"], "inner")
+        pts.join(pcells, join_cond, "inner")
         .where(inside_pred)
         .select(
             point_id, *passthrough, F.element_at(pid_arr, F.col("__geom") + 1).alias("polygon_id")
