@@ -35,13 +35,21 @@ def extract_geo_entities(pages: DataFrame) -> DataFrame:
     )
     # mention = "@geo(<lat>,<lon>;name=<slug>;amenity=<kind>)"
     inner = F.substring_index(F.substring_index("mention", ")", 1), "(", -1)
-    parts = F.split(inner, ";")  # [lat,lon | name=slug | amenity=kind]
+    # the ";"-split array is aliased ONCE here and referenced four
+    # times below — Catalyst's cost-aware CollapseProject keeps a
+    # non-cheap multi-referenced producer un-collapsed, so the byte
+    # scans run once per mention, not once per output field (and not
+    # AGAIN inside downstream filters)
+    parts_df = mentions.select(
+        "url", "text", "lang", "pos", F.split(inner, ";").alias("__parts")
+    )
+    parts = F.col("__parts")  # [lat,lon | name=slug | amenity=kind]
     latlon = F.split(F.element_at(parts, 1), ",")
     lat = F.element_at(latlon, 1).cast("double")
     lon = F.element_at(latlon, 2).cast("double")
     name = F.substring_index(F.element_at(parts, 2), "=", -1)
     amenity = F.substring_index(F.element_at(parts, 3), "=", -1)
-    return mentions.select(
+    return parts_df.select(
         "url",
         "text",
         "lang",
@@ -54,8 +62,13 @@ def extract_geo_entities(pages: DataFrame) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         lat.alias("lat"),
         lon.alias("lon"),
-        F.map_from_arrays(
-            F.array(F.lit("name"), F.lit("amenity")), F.array(name, amenity)
+        # create_map (not map_from_arrays): Catalyst's
+        # SimplifyExtractValueOps only matches CreateMap, so a
+        # downstream tags["amenity"] collapses to the amenity
+        # expression instead of re-running the whole parse chain to
+        # build a 2-entry map per row just to index it
+        F.create_map(
+            F.lit("name"), name, F.lit("amenity"), amenity
         ).alias("tags"),
     )
 
