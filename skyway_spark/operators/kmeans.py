@@ -257,6 +257,99 @@ def ivf_trained_topk(
     return out
 
 
+def _argmin_literal(qcol: Column, centroids: list[list[int]]) -> Column:
+    """(dist, cid) struct of the nearest literal centroid — argmin via
+    array_min over per-centroid integer squared distances, ties to the
+    lowest centroid id (the same contract as _assign mode='literal')."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(qcol, c).alias("dist"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+) -> list[list[list[int]]]:
+    """Train all ``m`` PQ sub-codebooks JOINTLY: one corpus scan per
+    Lloyd iteration instead of m (and one init collect instead of m).
+
+    Bit-identical to training each dim/m sub-block with kmeans_train
+    separately — same quantization, same k-lowest-id init (every vector
+    carries all m blocks, so the per-block inits are slices of the same
+    k rows), same literal-argmin assignment with lowest-cid ties, same
+    order-independent int64 sums and floor-div updates, same
+    empty-cluster carry-over — because the blocks never interact: the
+    joint pass just stacks the m independent (cluster, dim) aggregates
+    into one (block, cluster, dim) aggregate.
+
+    Scale shape per iteration: ONE pass over the cached quantized
+    projection; the m per-block assignments are scan-stage literal
+    argmins; one explode to (block, cluster, d, v) feeds a map-side-
+    combined groupBy with m*k*(dim/m) = k*dim output rows regardless of
+    corpus size; one driver sync of k*dim longs — the cost of training
+    m codebooks collapses to the cost of training one.
+    """
+    if dim % m:
+        raise ValueError("dim must divide evenly into m blocks")
+    bs = dim // m
+    staged = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            _quantize(F.slice(F.col(vec_col), j * bs + 1, bs), scale_bits).alias(
+                f"__q{j}"
+            )
+            for j in range(m)
+        ],
+    ).persist()
+    init = sorted(
+        staged.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
+    )
+    books = [[list(r[f"__q{j}"]) for r in init] for j in range(m)]
+    for _ in range(iters):
+        stacked = staged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("b"),
+                            _argmin_literal(F.col(f"__q{j}"), books[j])[
+                                "cid"
+                            ].alias("cluster"),
+                            F.col(f"__q{j}").alias("q"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("e")
+        )
+        stats = (
+            stacked.select("e.b", "e.cluster", F.posexplode("e.q").alias("d", "v"))
+            .groupBy("b", "cluster", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        nxt = [[list(c) for c in book] for book in books]  # empty clusters carry
+        for r in stats:
+            nxt[r["b"]][r["cluster"]][r["d"]] = r["s"] // r["c"]
+        books = nxt
+    staged.unpersist()
+    return books
+
+
 def pq_codes(
     vectors: DataFrame,
     m: int = 4,
@@ -285,23 +378,16 @@ def pq_codes(
     Output: (vec_id, code_0..dist_0.., code_{m-1}, dist_{m-1}) with
     dist_j the integer squared distance to the chosen sub-centroid.
 
-    Scale shape: training cost is m small driver syncs (k * dim/m
-    longs each); encoding is scan-stage Column math with zero shuffles
+    Scale shape: training is pq_train's one-scan-per-iteration joint
+    Lloyd (one k*dim-long driver sync per iteration, shared by all m
+    codebooks); encoding is scan-stage Column math with zero shuffles
     and zero joins — at 10^12 vectors the codes append to the scan like
     any derived column.
     """
     if dim % m:
         raise ValueError("dim must divide evenly into m blocks")
     bs = dim // m
-    books = []
-    for j in range(m):
-        sub = vectors.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * bs + 1, bs).alias(vec_col),
-        )
-        centroids, qdf = kmeans_train(sub, k, iters, id_col, vec_col, scale_bits)
-        qdf.unpersist()
-        books.append(centroids)
+    books = pq_train(vectors, m, k, iters, id_col, vec_col, dim, scale_bits)
     staged = vectors.select(
         F.col(id_col).alias("vec_id"),
         *[
@@ -313,17 +399,7 @@ def pq_codes(
     )
     out_cols = [F.col("vec_id")]
     for j, centroids in enumerate(books):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_dist(F.col(f"__q{j}"), c).alias("dist"),
-                        F.lit(i).alias("cid"),
-                    )
-                    for i, c in enumerate(centroids)
-                ]
-            )
-        )
+        best = _argmin_literal(F.col(f"__q{j}"), centroids)
         out_cols.append(best["cid"].alias(f"code_{j}"))
         out_cols.append(best["dist"].alias(f"dist_{j}"))
     return staged.select(*out_cols)
@@ -351,7 +427,8 @@ def pq_topk(
     Output: the ``topk`` (vec_id, approx_dist) rows, ordered
     (approx_dist, vec_id) — deterministic cut.
 
-    Scale shape: after the m small trainings, everything is one
+    Scale shape: after pq_train's joint training (one scan + one
+    k*dim-long sync per Lloyd iteration), everything is one
     output scan — per block an argmin over k literal sub-centroids
     plus a literal-array table lookup — and a TakeOrdered top-k.  The
     query vector is one driver-side row (the only collect); no joins,
@@ -368,15 +445,7 @@ def pq_topk(
     scale = float(1 << scale_bits)
     qvec = [int(math.floor(float(x) * scale)) for x in qrow[0][0]]
 
-    books = []
-    for j in range(m):
-        sub = vectors.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * bs + 1, bs).alias(vec_col),
-        )
-        centroids, qdf = kmeans_train(sub, k, iters, id_col, vec_col, scale_bits)
-        qdf.unpersist()
-        books.append(centroids)
+    books = pq_train(vectors, m, k, iters, id_col, vec_col, dim, scale_bits)
 
     staged = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -393,17 +462,7 @@ def pq_topk(
         dtab = [
             sum((a - b) * (a - b) for a, b in zip(qsub, c)) for c in centroids
         ]
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_dist(F.col(f"__q{j}"), c).alias("dist"),
-                        F.lit(i).alias("cid"),
-                    )
-                    for i, c in enumerate(centroids)
-                ]
-            )
-        )
+        best = _argmin_literal(F.col(f"__q{j}"), centroids)
         approx = approx + F.element_at(
             F.array(*[F.lit(int(d)).cast("long") for d in dtab]),
             best["cid"] + 1,

@@ -625,6 +625,27 @@ def test_pq_topk_recall_against_exact(spark):
     assert overlap >= 2, f"ADC overlap not above chance: {overlap}/10"
 
 
+def test_pq_train_joint_equals_per_block(spark):
+    """pq_train's one-scan-per-iteration joint Lloyd must be
+    bit-identical to training each sub-block separately with
+    kmeans_train (the blocks never interact — the joint pass only
+    stacks the m independent aggregates), across an m that exercises
+    both the explode stacking and the empty-cluster carry-over."""
+    from skyway_spark.operators.kmeans import kmeans_train, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for m, k, iters in [(2, 4, 2), (4, 8, 1)]:
+        bs = 64 // m
+        joint = pq_train(emb, m=m, k=k, iters=iters)
+        for j in range(m):
+            sub = emb.select(
+                "vec_id", F.slice("embedding", j * bs + 1, bs).alias("embedding")
+            )
+            solo, qdf = kmeans_train(sub, k=k, iters=iters)
+            qdf.unpersist()
+            assert joint[j] == solo, f"m={m} block {j} diverged"
+
+
 # ---------------------------------------------------------------------------
 # online anomaly detection (batch + streaming parity)
 # ---------------------------------------------------------------------------
