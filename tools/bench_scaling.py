@@ -255,6 +255,13 @@ runtime backstop (plans/session.py).
 """
     out_md = REPO / "BENCH" / "BASELINE.md"
     out_md.parent.mkdir(exist_ok=True)
+    # Preserve the manually-curated sections (cross-round history,
+    # per-run notes) below the skew table: the headline is replaced,
+    # everything from the history marker down is carried over.
+    marker = "## Cross-round history"
+    if out_md.exists() and marker in out_md.read_text():
+        tail = out_md.read_text()
+        md = md + "\n" + tail[tail.index(marker):]
     out_md.write_text(md)
     print(f"wrote {out_md}")
 
