@@ -2899,26 +2899,32 @@ def q_dedup_eval(spark, sf):
         F.col("doc_id").alias("__id"),
         dedup.word_shingle_hashes(F.col("text"), 3).alias("__g"),
     ).localCheckpoint(eager=True)
-    g = sh.select("__id", F.explode("__g").alias("gram"))
-    sizes = g.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
-    a = g.select("gram", F.col("__id").alias("id_a"))
-    b = g.select("gram", F.col("__id").alias("id_b"))
+    # grams are DISTINCT per doc (word_shingle_hashes array_distincts),
+    # so inter <= min(sa, sb) and Jaccard >= 0.8 forces the size-ratio
+    # filter 5*min(sa,sb) >= 4*max(sa,sb): applying it INSIDE the
+    # gram-keyed pair join is exact pruning (same truth set), and it
+    # kills the dominant cost — the near-identical-length dup pairs
+    # survive while the cross-length gram collisions never reach the
+    # pair aggregate.  Sizes ride along on the gram rows, so the two
+    # post-aggregate size joins disappear too.
+    gsz = sh.select(
+        F.col("__id"),
+        F.size("__g").alias("sz"),
+        F.explode("__g").alias("gram"),
+    )
+    a = gsz.select("gram", F.col("__id").alias("id_a"), F.col("sz").alias("sa"))
+    b = gsz.select("gram", F.col("__id").alias("id_b"), F.col("sz").alias("sb"))
     inter = (
         a.join(b, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (5 * F.least("sa", "sb") >= 4 * F.greatest("sa", "sb"))
+        )
+        .groupBy("id_a", "id_b", "sa", "sb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     truth = (
-        inter.join(
-            sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("sz", "sa"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("sz", "sb"),
-            "id_b",
-        )
-        .where(
+        inter.where(
             F.col("inter") * 5 >= 4 * (F.col("sa") + F.col("sb") - F.col("inter"))
         )
         .select("id_a", "id_b")

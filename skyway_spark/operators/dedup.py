@@ -230,22 +230,35 @@ def minhash_lsh_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # id pairs only — candidate-sized, pinned so the verify stage
+        # below doesn't re-run the whole banding pipeline per use
+        .localCheckpoint(eager=True)
     )
-    # exact-verify: re-attach gram arrays via two NARROW doc scans
-    # equi-joined against the candidate set on the id key.  Deliberately
-    # UN-hinted: an explicit F.broadcast is honored regardless of size
-    # (AQE never overrides a hint), and on a duplicate-heavy corpus —
-    # the normal case for web crawls — candidate rows carrying ~10^2
-    # longs of grams each would OOM the driver under a forced broadcast.
-    # Un-hinted, AQE picks broadcast when the runtime size is small and
-    # degrades to a keyed shuffle otherwise (pinned by
+    # exact-verify: gram arrays re-attach to CANDIDATE docs only — a
+    # candidate-id semi-join runs BELOW the gram hashing, so the
+    # (expensive, token-proportional) shingle hashing happens once for
+    # the candidate set instead of twice for the whole corpus; one
+    # narrow doc scan instead of two.  The verify joins stay
+    # deliberately UN-hinted: an explicit F.broadcast is honored
+    # regardless of size (AQE never overrides a hint), and on a
+    # duplicate-heavy corpus — the normal case for web crawls —
+    # candidate rows carrying ~10^2 longs of grams each would OOM the
+    # driver under a forced broadcast.  Un-hinted, AQE picks broadcast
+    # when the runtime size is small and degrades to a keyed shuffle
+    # otherwise (pinned by
     # tests/test_datapipe.py::test_minhash_lsh_join_degrades_to_shuffle).
-    ga = grams_of(docs).select(
-        F.col("__id").alias("id_a"), F.col("__grams").alias("__ga")
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__cid"))
+        .union(cand.select(F.col("id_b").alias("__cid")))
+        .distinct()
     )
-    gb = grams_of(docs).select(
-        F.col("__id").alias("id_b"), F.col("__grams").alias("__gb")
-    )
+    gcand = grams_of(
+        docs.join(
+            cand_ids, F.col(id_col) == F.col("__cid"), "semi"
+        )
+    ).localCheckpoint(eager=True)
+    ga = gcand.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"))
+    gb = gcand.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"))
     withg = gb.join(ga.join(cand, "id_a"), "id_b")
     return withg.select(
         "id_a", "id_b", jaccard(F.col("__ga"), F.col("__gb")).alias("jaccard")
