@@ -39,11 +39,32 @@ overflow and division by zero also degrade to drop-the-row instead of
 an ANSI job abort.  The interpreter backend raises an internal error
 per element and drops it with an aggregated warning.
 
+Null METADATA (absent user/uid/changeset/timestamp/visible) is a
+first-class ``Value::Null`` in the reference's context — not an eval
+error — so cel-interpreter compares it structurally (``null == null``
+is true, ``null != "x"`` is true, ``null in [..]`` is false). The
+Column backend models this with a static purity flag: subtrees with no
+error source (literals, context vars, ``has``, and ``==``/``in`` over
+those) compile ``==``/``!=`` to null-safe equality and ``in`` to
+coalesced membership, while any impure side keeps NULL-propagation so
+eval errors still drop the row. Fuzz-verified against the interpreter
+(tests/test_cel_fuzz.py).
+
 Known, documented divergences from cel-interpreter in the Column
 backend (the interpreter backend matches the reference): ``/`` on two
 doubles follows SQL (same), but mixed int expressions are typed
 structurally, and the ``filter``/``map`` macros treat a lambda eval
 error as element-not-matched rather than poisoning the whole row.
+Two null-metadata corners remain conflated with eval errors: (1) a
+null VALUE that reaches the top of the program (e.g. the bare program
+``visible`` on an element without the flag) PANICS the reference and
+raises in the interpreter backend, but the Column backend drops the
+element — at 100 TB, dropping beats aborting the job, and the drop is
+the same observable the reference produces for every *error* null;
+(2) a null value transported through an impure node (a ternary
+branch, arithmetic) and then compared with ``==``/``!=``/``in`` is
+treated as an error (drop) rather than a value, because the merged
+NULL channel cannot distinguish them downstream of the impure node.
 
 Compile errors (bad syntax, unknown identifier, statically non-boolean
 program) raise ``CelCompileError`` — the reference panics on compile
@@ -462,12 +483,33 @@ def _check_scope(node, bound: frozenset) -> None:
 # "int", "double", "num", "str", "map", "list", "null", "any"} — used
 # for the "result must be boolean" check (cel/mod.rs:9-14), to pick
 # size()/'+'/'/' behavior, and to type macro receivers.
+#
+# ``pure`` is a STATIC no-error-source flag: a pure subtree can never
+# raise a CEL eval error at runtime, so a NULL it produces is a
+# first-class null VALUE (absent metadata: cel-interpreter converts
+# Option::None context vars to Value::Null), not an error. Impure
+# subtrees (map index, arithmetic, conversions, logic, ...) use NULL to
+# carry "eval error" per the module-docstring convention. `==`/`!=`
+# and `in` branch on this flag: cel-interpreter compares null values
+# structurally (null == null -> true, null != "x" -> true, null in
+# [..] -> false) while errors must keep propagating-to-drop.
 
 
 @dataclass
 class Typed:
     col: Column
     t: str
+    pure: bool = False  # no error source in the subtree
+    nn: bool = False  # statically never NULL
+
+    @property
+    def maybe_null_value(self) -> bool:
+        """True when a runtime NULL from this subtree is a first-class
+        null VALUE (absent metadata) rather than an eval error — the
+        only case where ==/!=/in need value-null handling. Impure
+        sides' NULLs are errors and plain SQL null-propagation is
+        already crate-exact for them."""
+        return self.pure and not self.nn
 
 
 _VAR_TYPES = {
@@ -498,14 +540,21 @@ class _ColumnBackend:
 
     def compile(self, node, env: dict[str, Typed]) -> Typed:
         if isinstance(node, Lit):
-            return Typed(F.lit(node.value), node.t)
+            return Typed(F.lit(node.value), node.t, pure=True, nn=node.value is not None)
         if isinstance(node, ListLit):
             items = [self.compile(i, env) for i in node.items]
-            return Typed(F.array(*[i.col for i in items]), "list")
+            return Typed(
+                F.array(*[i.col for i in items]),
+                "list",
+                pure=all(i.pure for i in items),
+                nn=True,
+            )
         if isinstance(node, Var):
             if node.name in env:
                 return env[node.name]
-            return Typed(F.col(node.name), _VAR_TYPES.get(node.name, "any"))
+            # a NULL here is absent metadata = a null VALUE (the
+            # reference context maps Option::None to Value::Null)
+            return Typed(F.col(node.name), _VAR_TYPES.get(node.name, "any"), pure=True)
         if isinstance(node, Index):
             recv = self.compile(node.recv, env)
             idx = self.compile(node.idx, env)
@@ -534,7 +583,11 @@ class _ColumnBackend:
             a = self.compile(node.a, env)
             b = self.compile(node.b, env)
             t = a.t if a.t == b.t else "any"
-            return Typed(F.when(c.col, a.col).otherwise(b.col), t)
+            # NO .otherwise(): a NULL condition (eval error, or a null
+            # bool value — both are errors for a ternary condition in
+            # cel-interpreter) must produce NULL = error, not silently
+            # take the else branch as CASE WHEN would.
+            return Typed(F.when(c.col, a.col).when(~c.col, b.col), t)
         raise _Fallback(f"unsupported node {type(node).__name__}")
 
     def _binary(self, node: Binary, env) -> Typed:
@@ -547,16 +600,61 @@ class _ColumnBackend:
             l = self.compile(node.l, env)
             r = self.compile(node.r, env)
             if r.t == "map":
+                if l.maybe_null_value:
+                    # a null probe VALUE: None in {..} -> false in
+                    # cel-interpreter; a null MAP stays an eval error.
+                    core = F.coalesce(F.map_contains_key(r.col, l.col), F.lit(False))
+                    return Typed(
+                        F.when(
+                            r.col.isNull(), F.lit(None).cast("boolean")
+                        ).otherwise(core),
+                        "bool",
+                    )
+                # impure/never-null probe: plain NULL propagation is
+                # crate-exact (probe error -> drop, null map -> drop)
                 return Typed(F.map_contains_key(r.col, l.col), "bool")
             if r.t == "list":
-                return Typed(F.array_contains(r.col, l.col), "bool")
+                if l.maybe_null_value:
+                    return Typed(
+                        F.coalesce(F.array_contains(r.col, l.col), F.lit(False)),
+                        "bool",
+                        pure=r.pure,
+                        nn=r.pure,
+                    )
+                return Typed(
+                    F.array_contains(r.col, l.col),
+                    "bool",
+                    pure=l.pure and r.pure and l.nn,
+                    nn=l.pure and r.pure and l.nn,
+                )
             raise _Fallback("'in' on dynamically-typed right operand")
         l = self.compile(node.l, env)
         r = self.compile(node.r, env)
-        if op in ("==", "!=", "<", "<=", ">", ">="):
+        if op in ("==", "!="):
+            # value semantics on null (cel-interpreter): null == null
+            # -> true, null == x -> false, null != x -> true. Only a
+            # PURE NULLABLE side (a context var: absent metadata) can
+            # produce a null VALUE; an impure side's null carries an
+            # eval error and must propagate to drop. When no side can
+            # hold a value-null, the plain operator's NULL propagation
+            # is already crate-exact — keep that fast path (it is the
+            # flagship predicate's shape).
+            if l.maybe_null_value or r.maybe_null_value:
+                core = l.col.eqNullSafe(r.col)
+                if op == "!=":
+                    core = ~core
+                guards = [s.col.isNull() for s in (l, r) if not s.pure]
+                if guards:
+                    g = guards[0] if len(guards) == 1 else (guards[0] | guards[1])
+                    core = F.when(g, F.lit(None).cast("boolean")).otherwise(core)
+                return Typed(core, "bool", pure=not guards, nn=not guards)
+            c = l.col == r.col if op == "==" else l.col != r.col
+            return Typed(c, "bool", pure=l.pure and r.pure, nn=l.pure and r.pure)
+        if op in ("<", "<=", ">", ">="):
+            # a null VALUE in an order comparison is an eval error in
+            # cel-interpreter (_comparable rejects it), which NULL
+            # propagation already models — no purity split needed.
             c = {
-                "==": l.col == r.col,
-                "!=": l.col != r.col,
                 "<": l.col < r.col,
                 "<=": l.col <= r.col,
                 ">": l.col > r.col,
@@ -590,7 +688,9 @@ class _ColumnBackend:
         name, args = node.name, node.args
         if name == "has" and len(args) == 1:
             inner = self.compile(args[0], env)
-            return Typed(inner.col.isNotNull(), "bool")
+            # never-null output (isNotNull of anything is true/false),
+            # and has() absorbs the missing-key error by definition
+            return Typed(inner.col.isNotNull(), "bool", pure=True, nn=True)
         if name == "size" and len(args) == 1:
             inner = self.compile(args[0], env)
             if inner.t in ("map", "list"):
