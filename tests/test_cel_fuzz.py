@@ -203,6 +203,108 @@ N_PROGRAMS = 400
 BATCH = 60
 
 
+class MacroGen:
+    """Comprehension-macro programs over the `tags` map with ERROR-FREE
+    lambdas (the bound key is always a present, non-null string and the
+    bodies touch only it and literals), so the documented lambda-error
+    divergence is out of scope and the two backends must agree EXACTLY
+    — this fuzzes the Spark-HOF compilation path (`exists`/`forall`/
+    `filter`/`transform`) against the tree-walk interpreter."""
+
+    def __init__(self, rng: random.Random):
+        self.r = rng
+
+    def body(self, d: int) -> str:
+        c = self.r.randrange(8 if d > 0 else 5)
+        if c == 0:
+            return f"(k == {self.r.choice(STR_LITS)})"
+        if c == 1:
+            return f"(k != {self.r.choice(STR_LITS)})"
+        if c == 2:
+            m = self.r.choice(["contains", "startsWith", "endsWith"])
+            return f"k.{m}({self.r.choice(STR_LITS)})"
+        if c == 3:
+            lst = ", ".join(
+                f'"{t}"' for t in self.r.sample(TAG_KEYS, self.r.randrange(1, 4))
+            )
+            return f"(k in [{lst}])"
+        if c == 4:
+            return f"(size(k) {self.r.choice(['<', '<=', '>', '>=', '==', '!='])} {self.r.randrange(9)})"
+        if c == 5:
+            return f"({self.body(d - 1)} && {self.body(d - 1)})"
+        if c == 6:
+            return f"({self.body(d - 1)} || {self.body(d - 1)})"
+        return f"!({self.body(d - 1)})"
+
+    def macro_atom(self) -> str:
+        c = self.r.randrange(6)
+        if c == 0:
+            return f"tags.exists(k, {self.body(2)})"
+        if c == 1:
+            return f"tags.all(k, {self.body(2)})"
+        if c == 2:
+            return f"tags.exists_one(k, {self.body(2)})"
+        if c == 3:
+            op = self.r.choice(["==", "!=", "<", ">", "<=", ">="])
+            return f"(size(tags.filter(k, {self.body(2)})) {op} {self.r.randrange(4)})"
+        if c == 4:
+            return f'("{self.r.choice(TAG_KEYS)}" in tags.map(k, k))'
+        return (
+            f"(size(tags.map(k, {self.body(2)}, k)) "
+            f"{self.r.choice(['==', '>='])} {self.r.randrange(3)})"
+        )
+
+    def program(self, d: int) -> str:
+        if d <= 0 or self.r.random() < 0.45:
+            return self.macro_atom()
+        c = self.r.randrange(5)
+        if c == 0:
+            return f"({self.program(d - 1)} && {self.program(d - 1)})"
+        if c == 1:
+            return f"({self.program(d - 1)} || {self.program(d - 1)})"
+        if c == 2:
+            return f"!({self.program(d - 1)})"
+        if c == 3:
+            return f"({self.program(d - 1)} ? {self.program(d - 1)} : {self.program(d - 1)})"
+        return f"({self.program(d - 1)} {self.r.choice(['==', '!='])} {self.program(d - 1)})"
+
+
+def test_fuzz_macros_match_interpreter_exactly(spark):
+    rng = random.Random(0x3AC20)
+    progs = []
+    while len(progs) < 200:
+        text = MacroGen(rng).program(2)
+        ast = _Parser(_lex(text)).parse()
+        _check_scope(ast, frozenset())
+        typed = _ColumnBackend().compile(ast, {})
+        assert typed.t in ("bool", "any"), f"non-bool macro program: {text}"
+        progs.append((text, ast, typed.col))
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    mismatches = []
+    for start in range(0, len(progs), BATCH):
+        chunk = progs[start : start + BATCH]
+        sel = df.select(
+            F.col("id"),
+            *[
+                F.coalesce(col, F.lit(False)).alias(f"k{i}")
+                for i, (_, _, col) in enumerate(chunk)
+            ],
+        )
+        got = sel.collect()
+        assert [r["id"] for r in got] == [r[1] for r in ROWS]
+        for i, (text, ast, _) in enumerate(chunk):
+            want = _kept(ast, strict=False)
+            have = [bool(r[f"k{i}"]) for r in got]
+            for j in range(len(CTXS)):
+                assert want[j] != "panic", f"macro grammar produced a panic: {text}"
+                if have[j] != want[j]:
+                    mismatches.append((text, j, want[j], have[j]))
+    assert not mismatches, "\n".join(
+        f"program: {t}\n  row {j}: interpreter={w} column={h}"
+        for t, j, w, h in mismatches[:12]
+    )
+
+
 def _programs():
     rng = random.Random(0xCE1F)
     progs = []
