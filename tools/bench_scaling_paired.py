@@ -64,7 +64,16 @@ cpus = __CPUS__
 spark = get_spark(
     "scaling-paired-%d" % cpus, cpus=cpus, shuffle_partitions=cpus,
     extra_conf={
-        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        # SPARK_GRAFT_SPLIT_MB tunes scan-split granularity: 16 MB over
+        # the 128-file input reproduces the sequential tool's 128
+        # splits; smaller values over a finer-file input raise the wave
+        # count (128 splits = only 8 waves at 16 cores, so the
+        # last-wave straggler penalty lands 4x harder on the fast leg
+        # than at 4 cores' 32 waves — a 100 TB scan has millions of
+        # splits and no such quantization).
+        "spark.sql.files.maxPartitionBytes": str(
+            int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "16")) * 1024 * 1024
+        ),
         "spark.sql.files.openCostInBytes": "0",
     },
 )
@@ -80,7 +89,7 @@ rolled = tiles.assign_tiles(hits, 10).groupBy(
     "polygon_id", "tile_x", "tile_y").agg(F.count(F.lit(1)).alias("n"))
 
 tiles_n = rolled.count()  # warm-up: codegen, parquet footers
-print("READY %d %d" % (n, tiles_n), flush=True)
+print("READY %d %d %d" % (n, tiles_n, pages.rdd.getNumPartitions()), flush=True)
 
 for line in sys.stdin:
     cmd = line.strip()
@@ -167,7 +176,11 @@ def main() -> None:
     r_hi = await_line(hi, "READY")
     n_docs = int(r_lo.split()[1])
     assert r_lo.split()[1:] == r_hi.split()[1:], "children disagree on input"
-    print(f"children ready: {n_docs} docs, tiles={r_lo.split()[2]}", flush=True)
+    n_splits = int(r_lo.split()[3]) if len(r_lo.split()) > 3 else None
+    print(
+        f"children ready: {n_docs} docs, tiles={r_lo.split()[2]}, splits={n_splits}",
+        flush=True,
+    )
 
     # The host's 4->16 parallel headroom swings 0.65-0.90 on a ~30 s
     # timescale even with zero Spark running (measured control,
@@ -217,6 +230,7 @@ def main() -> None:
     report = {
         "protocol": "interleaved-paired",
         "pages": n_docs,
+        "scan_splits": n_splits,
         "n_lo": n_lo,
         "n_hi": n_hi,
         "pairs": pairs,
