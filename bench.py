@@ -332,6 +332,15 @@ def main() -> None:
     generate_pages(spark, PAGES_N, partitions=4 * cpus).write.mode("overwrite").parquet(
         pages_dir
     )
+    # Scan-split granularity: at the session default (8 MB splits over
+    # 4*cpus files) the 4M-page scan is 128 splits = only 4 task waves
+    # at 32 cores, so one straggler task idles 31 cores for a whole
+    # wave tail — measured A/B (BENCH/BASELINE.md wave-quantization
+    # note): 1 MB splits -> ~640 splits / 20 waves, best wall 2.335 s
+    # vs 2.749 s under 8 MB in the same window. A 100 TB scan has
+    # millions of splits, so the finer setting is the realistic shape;
+    # scoped to the flagship only (runtime conf, restored after).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
     pages = spark.read.parquet(pages_dir)
     rolled = flagship_plan(spark, pages)
     rolled.count()  # warm-up 1: codegen, parquet footers
@@ -344,6 +353,7 @@ def main() -> None:
     flagship_sec = min(walls)  # capability statistic (noisy shared host)
     docs_per_sec = PAGES_N / flagship_sec
     shutil.rmtree(os.path.dirname(pages_dir), ignore_errors=True)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
 
     # ---- per-query operator suite ---------------------------------
     qs = entrymod.queries()
