@@ -57,10 +57,16 @@ cpus = __CPUS__
 spark = get_spark(
     "scaling-%d" % cpus, cpus=cpus, shuffle_partitions=cpus,
     extra_conf={
-        # one parquet file per split: the bench input is 128 x ~19MB
-        # files; kill bin-packing so both configs see 128 tasks (a
-        # 100 TB scan has >> cores splits naturally)
-        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        # SPARK_GRAFT_SPLIT_MB tunes scan-split granularity. Default
+        # 16 MB over the 128-file input = 128 splits (the like-for-like
+        # series); 4 MB over a 512-file layout = 1536 splits, which
+        # fixes wave quantization (128 splits is only 8 task waves at
+        # 16 cores, so a straggler taxes the fast leg ~4x harder — see
+        # BENCH/BASELINE.md runs DD/EE; a 100 TB scan has millions of
+        # splits and no such quantization).
+        "spark.sql.files.maxPartitionBytes": str(
+            int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "16")) * 1024 * 1024
+        ),
         "spark.sql.files.openCostInBytes": "0",
     },
 )
