@@ -8449,6 +8449,65 @@ _R4_WINDOW = [
 ]
 
 
+# Round-5 driver window: the oldest-unsigned 50 per BENCH/SIGNING.md's
+# deterministic rotation (r05 slots 0-49) — the spatial-stats/terrain/
+# mobility + graph/trajectory batches from rounds 3c/3d.  After this
+# round the unsigned backlog is the 29 r06-planned entries, which stay
+# guarded by the Arrow-strict local sweep + pytest.
+_R5_WINDOW = [
+    "q_lm_coverage",
+    "q_snapshot_diff",
+    "q_tile_diff",
+    "q_line_raster",
+    "q_running_anomaly",
+    "q_od_matrix",
+    "q_quality_gate",
+    "q_fetch_slots",
+    "q_lang_confusion",
+    "q_host_hits",
+    "q_cell_trends",
+    "q_tile_bins",
+    "q_isochrone",
+    "q_polygon_fill",
+    "q_str_pack",
+    "q_skyline",
+    "q_polygon_centroid",
+    "q_classifier_auc",
+    "q_readability",
+    "q_session_paths",
+    "q_mention_city",
+    "q_host_components",
+    "q_simpson_cells",
+    "q_clip_rings",
+    "q_tile_clip",
+    "q_track_hausdorff",
+    "q_idw",
+    "q_user_hulls",
+    "q_segment_crossings",
+    "q_cocitation",
+    "q_rolling_wau",
+    "q_fuzzy_join",
+    "q_bib_coupling",
+    "q_reciprocity",
+    "q_heading_octants",
+    "q_interval_union",
+    "q_lcss_tracks",
+    "q_cusum",
+    "q_rbo_rankings",
+    "q_span_corrupt",
+    "q_ra_links",
+    "q_hull_diameter",
+    "q_curve_locality",
+    "q_pit_join",
+    "q_k_anonymity",
+    "q_prune_stats",
+    "q_seq_patterns",
+    "q_nearest_centroid",
+    "q_marker_thinning",
+    "q_posting_sizes",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver gate checks exactly the
     # first 50 entries in insertion order.  Lead with this round's window,
@@ -8456,7 +8515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stay regression-guarded by the full Arrow-strict local sweep
     # (tools/check_oracle.py) + pytest.
     reg = _registry()
-    window = {k: reg[k] for k in _R4_WINDOW}
+    window = {k: reg[k] for k in _R5_WINDOW}
     assert len(window) == 50, f"driver window must be exactly 50, got {len(window)}"
     rest = {k: v for k, v in reg.items() if k not in window}
     return {**window, **rest}

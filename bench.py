@@ -340,20 +340,26 @@ def main() -> None:
     # vs 2.749 s under 8 MB in the same window. A 100 TB scan has
     # millions of splits, so the finer setting is the realistic shape;
     # scoped to the flagship only (runtime conf, restored after).
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
-    pages = spark.read.parquet(pages_dir)
-    rolled = flagship_plan(spark, pages)
-    rolled.count()  # warm-up 1: codegen, parquet footers
-    rolled.count()  # warm-up 2: page cache fully hot
-    walls = []
-    for _ in range(7):
-        t0 = time.monotonic()
-        rolled.count()
-        walls.append(time.monotonic() - t0)
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        pages = spark.read.parquet(pages_dir)
+        rolled = flagship_plan(spark, pages)
+        rolled.count()  # warm-up 1: codegen, parquet footers
+        rolled.count()  # warm-up 2: page cache fully hot
+        walls = []
+        for _ in range(7):
+            t0 = time.monotonic()
+            rolled.count()
+            walls.append(time.monotonic() - t0)
+    finally:
+        # restore the SAVED value (not a hard-coded 8 MB) even if the
+        # flagship block raises, so 1 MB splits never leak into the
+        # operator-suite timings below (ADVICE r4)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        shutil.rmtree(os.path.dirname(pages_dir), ignore_errors=True)
     flagship_sec = min(walls)  # capability statistic (noisy shared host)
     docs_per_sec = PAGES_N / flagship_sec
-    shutil.rmtree(os.path.dirname(pages_dir), ignore_errors=True)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
 
     # ---- per-query operator suite ---------------------------------
     qs = entrymod.queries()

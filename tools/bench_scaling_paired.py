@@ -121,15 +121,23 @@ def start_child(cpus: int, pages_dir: str) -> subprocess.Popen:
 
 
 def await_line(proc: subprocess.Popen, prefix: str, timeout_s: float = 900) -> str:
+    # select-gated read so a silently hung child (e.g. a Spark deadlock)
+    # trips the deadline instead of blocking readline() forever (ADVICE r4).
+    import select
+
     deadline = time.monotonic() + timeout_s
     while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            raise RuntimeError(f"timeout waiting for {prefix!r}")
+        ready, _, _ = select.select([proc.stdout], [], [], min(remaining, 5.0))
+        if not ready:
+            continue
         line = proc.stdout.readline()
         if not line:
             raise RuntimeError(f"child exited before {prefix!r} (rc={proc.poll()})")
         if line.startswith(prefix):
             return line.strip()
-        if time.monotonic() > deadline:
-            raise RuntimeError(f"timeout waiting for {prefix!r}")
 
 
 def timed_wall(proc: subprocess.Popen) -> float:
@@ -190,6 +198,7 @@ def main() -> None:
     # hardware context, and the headline conditional statistic is the
     # median paired efficiency over pairs whose own ceiling was >= 0.8.
     c_pre = spin_calibration(n_lo, n_hi)
+    c_mid = None
     pairs = []
     for i in range(PAIRS):
         c_i = spin_calibration(n_lo, n_hi, reps=1)
@@ -224,7 +233,7 @@ def main() -> None:
     effs = sorted(p["eff"] for p in pairs)
     walls_lo = sorted(p["wall_lo"] for p in pairs)
     walls_hi = sorted(p["wall_hi"] for p in pairs)
-    ceilings = [round(c, 3) for c in (c_pre, c_mid, c_post)]
+    ceilings = [round(c, 3) for c in (c_pre, c_mid, c_post) if c is not None]
     ceiling = min(ceilings)
     good = sorted(p["eff"] for p in pairs if p["ceiling"] >= 0.8)
     report = {
