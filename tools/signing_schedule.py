@@ -53,7 +53,7 @@ def registry_order() -> list[str]:
 def main() -> None:
     signed = signed_rounds()
     order = registry_order()
-    current_round = 4
+    current_round = 5
     window = order[:50]
 
     rows = []
