@@ -31,6 +31,14 @@ from skyway_spark.operators.pip import point_in_polygon  # noqa: E402
 from skyway_spark.plans.session import get_spark  # noqa: E402
 from skyway_spark.sources.generate import generate_pages, generate_polygons  # noqa: E402
 
+# The timed operator suite. NOT the full 268-query registry: entries
+# whose value is a byte-exact converter golden, a streaming-parity
+# harness, or a plan-pinned physical check (layout pruning, pushdown
+# audits) are excluded here — their cost is dominated by driver-side
+# serialization or subprocess orchestration, not operator throughput,
+# so a wall-clock row would measure the harness. The emitted JSON
+# carries the exact excluded set under "suite_excluded" so the suite
+# count is never mistaken for registry coverage (VERDICT r4 item 5).
 BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_top_orders",
@@ -380,6 +388,7 @@ def main() -> None:
             print(f"warning: {name} returned 0 rows", file=sys.stderr)
     timings["flagship_pages_pipeline"] = round(flagship_sec, 3)
 
+    excluded = sorted(set(qs) - set(BENCH_QUERIES))
     print(
         json.dumps(
             {
@@ -391,6 +400,18 @@ def main() -> None:
                 "cpus": cpus,
                 "flagship_pages": PAGES_N,
                 "flagship_walls": [round(w, 3) for w in walls],
+                "suite_excluded": {
+                    "rule": (
+                        "registry entries not timed here: converter "
+                        "byte-goldens, streaming-parity harnesses, and "
+                        "plan-pinned physical checks, whose wall is "
+                        "harness- not operator-dominated; all remain "
+                        "correctness-gated in the sf0.01 sweep "
+                        "(BENCH/QUERIES_*.json)"
+                    ),
+                    "count": len(excluded),
+                    "queries": excluded,
+                },
             }
         )
     )

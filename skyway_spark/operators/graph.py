@@ -398,7 +398,11 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 64) -> DataFrame:
     redirect), hops the chain length (0 for terminals), and
     in_cycle=true (final_url/hops NULL) for URLs on or leading into a
     redirect loop — a real crawler marks those dead rather than
-    looping.
+    looping.  Chains DEEPER than ``max_hops`` are also flagged
+    in_cycle=true (r5 review: after ceil(log2(max_hops)) doubling
+    rounds their pointer still redirects, which is indistinguishable
+    from — and operationally identical to — a loop: the crawler gives
+    up on the URL either way).
 
     Scale shape: pointer DOUBLING — round k composes the pointer map
     with itself (ptr := ptr∘ptr, hops := hops + hops∘ptr), so a

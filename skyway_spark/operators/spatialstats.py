@@ -291,7 +291,13 @@ def simpson_diversity(
 
     Scale shape: ONE corpus shuffle to (cell, entity) counts (map-side
     combined), then a cell-keyed rollup of that aggregate — the moment
-    sums ride the second, aggregate-sized shuffle."""
+    sums ride the second, aggregate-sized shuffle.
+
+    Exact-arithmetic domain (r5 review): div_num/div_den are int64, so
+    N^2 must fit — a single cell may hold at most ~3.03e9 events
+    (sqrt(2^63)) before the rational overflows.  At 100 TB that bound
+    is about per-CELL hot-spot density, not corpus size; cells hotter
+    than 3e9 events should be bucketed to a finer res first."""
     per = points.groupBy(cx, cy, entity_col).agg(F.count(F.lit(1)).alias("n"))
     roll = per.groupBy(cx, cy).agg(
         F.sum("n").alias("n_events"),

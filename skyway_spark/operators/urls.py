@@ -225,6 +225,11 @@ def crawl_budget(
     rides a broadcast single-row crossJoin.
 
     Output: (host, n_docs, alloc) with SUM(alloc) == budget.
+
+    Exact-arithmetic domain (r5 review): the proportional share is the
+    int64 product ``budget * n_docs``, so budget * max-host-count must
+    stay below 2^63 (e.g. a 10^9 budget is safe up to ~9.2e9 docs on
+    one host).  budget == 0 allocates 0 everywhere (leftover == 0).
     """
     from pyspark.sql import Window
 

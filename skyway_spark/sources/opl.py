@@ -328,7 +328,11 @@ def parse_opl_lines(
         ("lon", _field(fields, "x").try_cast("double")),
         (
             "nodes",
-            F.when(
+            # empty N field (a way with zero nodes) must read back []:
+            # split('', ',') yields [''] whose ref parses to null, so the
+            # writer->reader round trip would otherwise invent [null]
+            # (r5 serialization fuzz finding)
+            F.when(nodes_raw == "", F.array().cast("array<long>")).when(
                 nodes_raw.isNotNull(),
                 F.transform(
                     F.split(nodes_raw, ","),

@@ -580,3 +580,189 @@ def test_datasource_osmpbf_matches_mapinpandas(spark, tmp_path):
     assert _canon(via_ds) == _canon(via_mp)
     # blob-grouped partitioning: 300 elements / 64-el blocks -> >1 split
     assert via_ds.rdd.getNumPartitions() > 1
+
+
+# ------------- seeded adversarial write->read round-trip fuzz (r5) -------------
+#
+# The OSMFilter (300-program) and CEL (600-program) differential fuzzers
+# each caught a real semantic divergence; the byte-exact writers had only
+# fixed vectors.  This fuzz drives RANDOM elements — unicode tags
+# including the OPL escape delimiters themselves ('%', ',', '=', '@'),
+# control characters, missing optional metadata, empty strings, empty
+# node/member lists, role null-vs-empty-vs-set — through full
+# write->read round-trips of all three enabled writers, asserting only
+# the documented lossy-by-design canonicalizations change
+# (opl.rs:158-162 role TODO; json.rs:140-188 no element version,
+# 165-168 visible only-if-false, 130-134 role null->""; xml.rs:172
+# visible default true).
+
+import random as _random
+
+# strings the escape rules must defend: OPL delimiters, the escape
+# marker itself and marker look-alikes, XML/JSON metacharacters,
+# multi-byte and astral unicode, combining marks, bidi/line separators
+_NASTY_ATOMS = [
+    " ", ",", "=", "@", "%", "%%", "%20%", "%zz%", "%1f631%", "\\", '"',
+    "'", "<", ">", "&", "&amp;", "&#10;", "]]>", "\t", "\n", "\r", "\r\n",
+    "😱", "𒄈", "é", "中文", "á", "ß", " ", " ", "k=v",
+    "a,b", "n1@x", " lead", "trail ",
+]
+# XML 1.0 cannot represent these at all (not even as character refs)
+_CTRL_ATOMS = ["\x00", "\x01", "\x07", "\x1b", "\x7f\x02"]
+
+
+def _fuzz_str(rng: _random.Random, xml_safe: bool, allow_empty: bool = True) -> str:
+    if allow_empty and rng.random() < 0.08:
+        return ""
+    parts = []
+    for _ in range(rng.randrange(1, 5)):
+        r = rng.random()
+        if r < 0.45:
+            parts.append(rng.choice(_NASTY_ATOMS))
+        elif r < 0.55 and not xml_safe:
+            parts.append(rng.choice(_CTRL_ATOMS))
+        elif r < 0.8:
+            parts.append(
+                "".join(rng.choice("abcXYZ089_-.:/") for _ in range(rng.randrange(1, 7)))
+            )
+        else:
+            # random BMP (surrogate-free, pre-FFFE) + occasional astral
+            cp = rng.randrange(0x20, 0xD7FF) if rng.random() < 0.8 else rng.randrange(
+                0x10000, 0x10400
+            )
+            parts.append(chr(cp))
+    return "".join(parts)
+
+
+def _fuzz_rows(seed: int, n: int, xml_safe: bool) -> list:
+    rng = _random.Random(seed)
+    rows, used = [], {"node": set(), "way": set(), "relation": set()}
+    for _ in range(n):
+        t = rng.choice(("node", "way", "relation"))
+        while True:
+            eid = rng.choice(
+                (rng.randrange(1, 1000), rng.randrange(-(2**40), 2**40), rng.randrange(2**50))
+            )
+            if eid not in used[t]:
+                used[t].add(eid)
+                break
+        lat = lon = nodes = members = None
+        if t == "node":
+            lat = rng.choice((rng.uniform(-90, 90), 0.0, -0.0, 1e-12, 89.999999, -3.5))
+            lon = rng.choice((rng.uniform(-180, 180), 0.25, -179.999999, float(rng.randrange(-180, 180))))
+        elif t == "way":
+            nodes = [rng.randrange(-(2**40), 2**40) for _ in range(rng.randrange(0, 6))]
+        else:
+            members = [
+                (
+                    rng.choice(("node", "way", "relation")),
+                    rng.randrange(-(2**40), 2**40),
+                    rng.choice((None, "", _fuzz_str(rng, xml_safe))),
+                )
+                for _ in range(rng.randrange(0, 5))
+            ]
+        tags = {}
+        for _ in range(rng.randrange(0, 5)):
+            tags[_fuzz_str(rng, xml_safe)] = _fuzz_str(rng, xml_safe)
+        changeset = None if rng.random() < 0.4 else rng.randrange(0, 2**40)
+        uid = None if rng.random() < 0.4 else rng.randrange(0, 2**31 - 1)
+        user = None if rng.random() < 0.3 else _fuzz_str(rng, xml_safe)
+        version = None if rng.random() < 0.4 else rng.randrange(0, 2**31 - 1)
+        timestamp = (
+            None
+            if rng.random() < 0.4
+            else "%04d-%02d-%02dT%02d:%02d:%02dZ"
+            % (
+                rng.randrange(1970, 2038), rng.randrange(1, 13), rng.randrange(1, 29),
+                rng.randrange(24), rng.randrange(60), rng.randrange(60),
+            )
+        )
+        visible = rng.choice((None, True, False))
+        rows.append(
+            (t, eid, lat, lon, nodes, members, tags, changeset, uid, user,
+             version, timestamp, visible)
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_elements(spark):
+    from skyway_spark.schema import ELEMENTS_SCHEMA
+
+    return spark.createDataFrame(_fuzz_rows(20260821, 320, xml_safe=False), ELEMENTS_SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def fuzz_elements_xmlsafe(spark):
+    from skyway_spark.schema import ELEMENTS_SCHEMA
+
+    return spark.createDataFrame(_fuzz_rows(9120821, 320, xml_safe=True), ELEMENTS_SCHEMA).cache()
+
+
+def test_fuzz_opl_roundtrip(spark, fuzz_elements, tmp_path):
+    p = str(tmp_path / "fuzz.opl")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(opl.serialize_opl_string(fuzz_elements))
+    back, _ = opl.read_opl(spark, p)
+    want, got = _canon(fuzz_elements), _canon(back)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        w_adj = list(w)
+        if w_adj[5] is not None:  # role None -> "" (opl.rs:158-162 TODO)
+            w_adj[5] = [(t, r, "" if role is None else role) for (t, r, role) in w_adj[5]]
+        assert g == tuple(w_adj), f"\nwant {tuple(w_adj)}\ngot  {g}"
+
+
+def test_fuzz_json_roundtrip(spark, fuzz_elements, tmp_path):
+    p = str(tmp_path / "fuzz.json")
+    md_in = {"version": "0.6", "generator": "fuzz", "copyright": None,
+             "license": None, "timestamp": None}
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(jsonio.serialize_json_string(fuzz_elements, md_in))
+    back, _ = jsonio.read_json(spark, p)
+    want, got = _canon(fuzz_elements), _canon(back)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        w_adj = list(w)
+        if w_adj[12] is True:  # visible only-if-false (json.rs:165-168)
+            w_adj[12] = None
+        w_adj[10] = None  # element version never written (json.rs:140-188)
+        if w_adj[5] is not None:  # role null -> "" (json.rs:130-134)
+            w_adj[5] = [(t, r, "" if role is None else role) for (t, r, role) in w_adj[5]]
+        assert g == tuple(w_adj), f"\nwant {tuple(w_adj)}\ngot  {g}"
+
+
+def test_fuzz_xml_roundtrip(spark, fuzz_elements_xmlsafe, tmp_path):
+    p = str(tmp_path / "fuzz.xml")
+    md_in = {"version": "0.6", "generator": "fuzz", "copyright": None,
+             "license": None, "timestamp": None}
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(xmlio.serialize_xml_string(fuzz_elements_xmlsafe, md_in))
+    back, _ = xmlio.read_xml(spark, p)
+    want, got = _canon(fuzz_elements_xmlsafe), _canon(back)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        w_adj = list(w)
+        if w_adj[12] is None:  # visible default true on write (xml.rs:172)
+            w_adj[12] = True
+        assert g == tuple(w_adj), f"\nwant {tuple(w_adj)}\ngot  {g}"
+
+
+def test_fuzz_opl_field_order_and_escapes(fuzz_elements):
+    """Writer-side invariants on every fuzz line: field order is the
+    reference's fixed order (opl.rs:78-109), every token except the
+    first is introduced by its prefix letter, and no unescaped
+    delimiter survives outside its structural position."""
+    lines = opl.serialize_opl_string(fuzz_elements).splitlines()
+    assert len(lines) == 320
+    order = "vdctiuTNMxy"
+    for ln in lines:
+        toks = ln.split(" ")
+        assert toks[0][0] in "nwr" and int(toks[0][1:]) is not None
+        seen = [t[0] for t in toks[1:]]
+        assert seen == sorted(seen, key=order.index), ln
+        # tags token: every k=v entry has exactly one unescaped '='
+        for t in toks[1:]:
+            if t.startswith("T") and len(t) > 1:
+                for entry in t[1:].split(","):
+                    assert entry.count("=") == 1, ln

@@ -64,3 +64,65 @@ def test_checkpoint_layout_write_prunes_files(spark, tmp_path):
     assert set(resumed.columns) == set(pts.columns)
     assert resumed.count() == n_all
     assert mgr.results[-1].resumed
+
+
+def test_flagship_serving_path_layout_prune(spark, tmp_path):
+    """r5 stretch (VERDICT r4 item 8): the 32x file-prune microbenchmark
+    closed onto the FLAGSHIP SERVING PATH — checkpoint the pipeline's
+    tile-assigned hit table with a hilbert(lat, lon) clustered layout +
+    per-file tile_x/tile_y stats, then serve a tile-bbox query from the
+    manifest alone and pin that the physical scan touches only the kept
+    bucket directories."""
+    import os
+
+    from skyway_spark.functions.filter import apply_cel
+    from skyway_spark.operators import tiles
+    from skyway_spark.operators.extract import extract_geo_entities
+    from skyway_spark.operators.pip import point_in_polygon
+    from skyway_spark.sources.generate import generate_pages, generate_polygons
+
+    pages = generate_pages(spark, 100_000, partitions=8)
+    ents = extract_geo_entities(pages)
+    kept = apply_cel(ents, 'tags["amenity"] != "bench"')
+    hits = point_in_polygon(
+        kept.select("id", "lat", "lon"), generate_polygons(spark), res=6
+    )
+    serving = tiles.assign_tiles(hits, 10)
+
+    order = entry.HILBERT_ORDER
+    mgr = CheckpointManager(str(tmp_path))
+    layout = {
+        "key": cells.hilbert_key(F.col("lat"), F.col("lon"), order),
+        "buckets": entry.LAYOUT_FILES,
+        "key_max": 1 << (2 * order),
+        "stats": ["tile_x", "tile_y"],
+    }
+    out = mgr.stage(spark, "serving", "fp1", lambda: serving, layout_by=layout)
+    n_all = out.count()
+    assert n_all > 0
+
+    # serving query: the 3x3 tile window around NYC (hot city 0) at z=10
+    ctx, cty = (
+        spark.range(1)
+        .select(*cells.tile_xy(F.lit(40.7128), F.lit(-74.0060), 10))
+        .collect()[0]
+    )
+    ranges = {"tile_x": (ctx - 1, ctx + 1), "tile_y": (cty - 1, cty + 1)}
+    pruned, scanned, total = mgr.read_pruned(spark, "serving", ranges)
+    cond = (
+        (F.col("tile_x") >= ctx - 1) & (F.col("tile_x") <= ctx + 1)
+        & (F.col("tile_y") >= cty - 1) & (F.col("tile_y") <= cty + 1)
+    )
+    want = out.where(cond)
+    got = pruned.where(cond)
+    assert got.count() == want.count() > 0
+    # exact result parity, not just counts
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # the layout pays: a city window reads a small fraction of the files
+    assert len(scanned) * 4 <= total, (scanned, total)
+
+    # plan-pinned: every physical input file lies inside a kept bucket dir
+    kept_dirs = {f"__file_bucket={b}" + os.sep for b in scanned}
+    for f in got.inputFiles():
+        assert any(d in f for d in kept_dirs), f

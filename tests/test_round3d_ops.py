@@ -480,3 +480,34 @@ def test_int8_quantize_constant_dim_zero_error(spark):
     )
     got = {r.vec_id: r.max_abs_err for r in int8_quantize_error(df).collect()}
     assert got[0] == 0.0 and got[1] == 0.0  # extremes reconstruct exactly
+
+
+def test_resolve_redirects_chain_deeper_than_max_hops_is_dead(spark):
+    """r5 review: a chain longer than max_hops is flagged in_cycle
+    (dead) — after ceil(log2(max_hops)) doubling rounds its pointer
+    still redirects, same observable state as a loop."""
+    from skyway_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(10)], "src string, dst string"
+    )
+    got = {r.url: (r.final_url, r.hops, r.in_cycle)
+           for r in resolve_redirects(edges, max_hops=4).collect()}
+    # head of the 10-deep chain cannot resolve within 4 hops -> dead
+    assert got["u0"] == (None, None, True)
+    # the tail IS within reach and must still resolve exactly
+    assert got["u8"] == ("u10", 2, False)
+    assert got["u9"] == ("u10", 1, False)
+    assert got["u10"] == ("u10", 0, False)
+
+
+def test_crawl_budget_zero_budget(spark):
+    """r5 review: budget=0 -> every host gets 0 (leftover==0, so the
+    remainder rank awards nothing) and the sum-law still holds."""
+    from skyway_spark.operators.urls import crawl_budget
+
+    docs = spark.createDataFrame(
+        [("h1",)] * 3 + [("h2",)] * 5, "source string"
+    )
+    rows = crawl_budget(docs, 0).collect()
+    assert sorted((r.host, r.alloc) for r in rows) == [("h1", 0), ("h2", 0)]
